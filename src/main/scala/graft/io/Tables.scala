@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers for the engine.
+  *
+  * The reference ingests one CSV per job with header detection and 100-row
+  * schema inference (`/root/reference/src/services/processor.rs:253-261`) and
+  * re-reads the raw bytes from object storage on every query
+  * (`query_translator.rs:232-278`). Here sources are declarative Spark scans:
+  * Catalyst prunes columns and pushes predicates into the file format, and a
+  * table is read once per plan, not once per operation. Parquet is the
+  * primary format (columnar, splittable — the 100 TB path); CSV is kept for
+  * reference parity.
+  */
+object Tables {
+
+  /** All driver-generated test tables (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan of a named table under `dir`. Splittable + columnar:
+    * at cluster scale each file splits into `maxPartitionBytes` tasks and
+    * the vectorized reader only materializes referenced columns.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** CSV ingestion with header + schema inference — the reference's S1
+    * operator (`processor.rs:253-261`). The reference infers from the first
+    * 100 rows; Spark scans the whole file by default, so `samplingRatio`
+    * bounds inference cost on large inputs instead of a fixed row window
+    * (a row-count window does not distribute — a 100 TB CSV's "first 100
+    * rows" live in one task).
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: Option[StructType] = None,
+          samplingRatio: Double = 1.0): DataFrame = {
+    val base = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE") // malformed rows -> nulls, not job failure
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None =>
+        base.option("inferSchema", "true")
+          .option("samplingRatio", samplingRatio.toString)
+          .csv(path)
+    }
+  }
+}
