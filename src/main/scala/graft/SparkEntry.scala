@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
 import graft.io.Tables
+import graft.model._
+import graft.model.ColumnOperation._
+import graft.query.{NLTranslator, QueryCompiler}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every query registered here returns a DETERMINISTIC result at a given
   * scale factor: aggregates are rounded (floating-point accumulation order
-  * differs between engines) and outputs are ordered by a unique key so the
-  * DuckDB-oracle hash compare is stable.
+  * differs between engines) and limits are preceded by a total order so
+  * the DuckDB-oracle hash compare is stable.
   */
 object SparkEntry {
 
@@ -35,6 +39,90 @@ object SparkEntry {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- P1+P2 via QueryCompiler: typed AND-composed filters + projection.
+    "q2_filter" -> ((s, dir) => {
+      QueryCompiler.compile(
+        Tables.lineitem(s, dir),
+        StructuredQuery(QueryIntent.Filter,
+          columns = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+          operations = Seq(
+            Filter("l_quantity", CompareOp.Gt, "45"),
+            Filter("l_discount", CompareOp.Le, "0.05"),
+            Filter("l_returnflag", CompareOp.Ne, "A"))))
+    }),
+
+    // --- O1 via QueryCompiler: sort + projection (row order is free for
+    // the oracle hash; the sort node itself is what's exercised).
+    "q3_sort" -> ((s, dir) => {
+      QueryCompiler.compile(
+        Tables.orders(s, dir),
+        StructuredQuery(QueryIntent.Sort,
+          columns = Seq("o_orderkey", "o_totalprice", "o_orderpriority"),
+          operations = Seq(
+            Filter("o_orderstatus", CompareOp.Eq, "F"),
+            SortBy("o_totalprice", ascending = false))))
+    }),
+
+    // --- A4 via QueryCompiler: group-by + per-group count.
+    "q4_groupby_count" -> ((s, dir) => {
+      QueryCompiler.compile(
+        Tables.lineitem(s, dir),
+        StructuredQuery(QueryIntent.Aggregate,
+          operations = Seq(GroupBy("l_returnflag"))))
+    }),
+
+    // --- A1-A3 via QueryCompiler: scalar aggregates share one agg node.
+    "q5_scalar_aggs" -> ((s, dir) => {
+      val r = QueryCompiler.compile(
+        Tables.lineitem(s, dir),
+        StructuredQuery(QueryIntent.Aggregate,
+          operations = Seq(
+            Mean("l_extendedprice"), Sum("l_quantity"), Count("l_orderkey"))))
+      r.select(
+        round(col("mean_l_extendedprice"), 4).as("mean_l_extendedprice"),
+        round(col("sum_l_quantity"), 2).as("sum_l_quantity"),
+        col("count_l_orderkey"))
+    }),
+
+    // --- O2: Describe = deterministic first-10 (sorted by unique key).
+    "q6_describe" -> ((s, dir) => {
+      QueryCompiler.compile(
+        Tables.orders(s, dir),
+        StructuredQuery(QueryIntent.Describe,
+          columns = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          operations = Seq(SortBy("o_orderkey", ascending = true))))
+    }),
+
+    // --- O3: Visualize = 100-row capped payload, deterministic.
+    "q7_visualize" -> ((s, dir) => {
+      QueryCompiler.compile(
+        Tables.orders(s, dir),
+        StructuredQuery(QueryIntent.Visualize,
+          columns = Seq("o_orderkey", "o_totalprice"),
+          operations = Seq(SortBy("o_orderkey", ascending = true))))
+    }),
+
+    // --- A13: viz numeric averages as ONE distributed agg (not JSON
+    // post-processing like the reference).
+    "q8_viz_avg" -> ((s, dir) => {
+      val df = QueryCompiler.vizNumericAverages(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      df.select(df.columns.map(c => round(col(c), 4).as(c)): _*)
+    }),
+
+    // --- A14: viz value counts (group-count, deterministically ordered).
+    "q9_viz_counts" -> ((s, dir) =>
+      QueryCompiler.vizValueCounts(Tables.customer(s, dir), "c_mktsegment")),
+
+    // --- U1: rule-based NL translation compiled end-to-end.
+    "q10_nl_mean" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sq = NLTranslator.translate("what is the average l_extendedprice?", li.schema)
+      val r = QueryCompiler.compile(li, sq)
+      r.select(r.columns.map(c => round(col(c), 4).as(c)): _*)
     })
   )
 
@@ -55,6 +143,39 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount <= 0.05 AND l_returnflag <> 'A'""".stripMargin,
+    "q3_sort" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_totalprice DESC""".stripMargin,
+    "q4_groupby_count" ->
+      """SELECT l_returnflag, count(l_returnflag) AS count_l_returnflag
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q5_scalar_aggs" ->
+      """SELECT round(avg(l_extendedprice), 4) AS mean_l_extendedprice,
+        |  round(sum(l_quantity), 2) AS sum_l_quantity,
+        |  count(l_orderkey) AS count_l_orderkey
+        |FROM lineitem""".stripMargin,
+    "q6_describe" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "q7_visualize" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q8_viz_avg" ->
+      """SELECT round(avg(l_quantity), 4) AS avg_l_quantity,
+        |  round(avg(l_extendedprice), 4) AS avg_l_extendedprice,
+        |  round(avg(l_discount), 4) AS avg_l_discount,
+        |  round(avg(l_tax), 4) AS avg_l_tax
+        |FROM lineitem""".stripMargin,
+    "q9_viz_counts" ->
+      """SELECT c_mktsegment, count(*) AS count
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q10_nl_mean" ->
+      "SELECT round(avg(l_extendedprice), 4) AS mean_l_extendedprice FROM lineitem"
   )
 }

@@ -1,0 +1,131 @@
+package graft.query
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.model._
+import graft.model.ColumnOperation._
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "a", 10.0, "x"),
+    (2L, "b", 20.0, "x"),
+    (3L, "a", 30.0, "y"),
+    (4L, "c", 40.0, "y"),
+    (5L, "a", 50.0, "z")
+  ).toDF("id", "cat", "v", "seg")
+
+  test("filters AND-compose and type their literals") {
+    val out = QueryCompiler.compile(df,
+      StructuredQuery(QueryIntent.Filter,
+        columns = Seq("id"),
+        operations = Seq(
+          Filter("v", CompareOp.Gt, "15"),
+          Filter("cat", CompareOp.Ne, "c"))))
+    assert(out.as[Long].collect().sorted === Array(2L, 3L, 5L))
+    assert(out.columns === Array("id"))
+  }
+
+  test("filter(p) and filter(not p) partition the table") {
+    val p = StructuredQuery(QueryIntent.Filter,
+      operations = Seq(Filter("v", CompareOp.Ge, "30")))
+    val notP = StructuredQuery(QueryIntent.Filter,
+      operations = Seq(Filter("v", CompareOp.Lt, "30")))
+    val n1 = QueryCompiler.compile(df, p).count()
+    val n2 = QueryCompiler.compile(df, notP).count()
+    assert(n1 + n2 === df.count())
+  }
+
+  test("scalar aggregates share one agg with reference aliases") {
+    val out = QueryCompiler.compile(df,
+      StructuredQuery(QueryIntent.Aggregate,
+        operations = Seq(Mean("v"), Sum("v"), Count("id"))))
+    assert(out.columns === Array("mean_v", "sum_v", "count_id"))
+    val r = out.collect().head
+    assert(r.getDouble(0) === 30.0)
+    assert(r.getDouble(1) === 150.0)
+    assert(r.getLong(2) === 5L)
+  }
+
+  test("group-by with no explicit agg counts the key (reference A4)") {
+    val out = QueryCompiler.compile(df,
+      StructuredQuery(QueryIntent.Aggregate, operations = Seq(GroupBy("cat"))))
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("grouped aggregate combines GroupBy with agg ops") {
+    val out = QueryCompiler.compile(df,
+      StructuredQuery(QueryIntent.Aggregate,
+        operations = Seq(GroupBy("seg"), Sum("v"))))
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m === Map("x" -> 30.0, "y" -> 70.0, "z" -> 50.0))
+  }
+
+  test("sort orders rows; describe limits to 10; visualize to 100") {
+    val sorted = QueryCompiler.compile(df,
+      StructuredQuery(QueryIntent.Sort,
+        columns = Seq("id"),
+        operations = Seq(SortBy("v", ascending = false))))
+    assert(sorted.as[Long].collect() === Array(5L, 4L, 3L, 2L, 1L))
+
+    val big = spark.range(200).toDF("id")
+    assert(QueryCompiler.compile(big,
+      StructuredQuery(QueryIntent.Describe,
+        operations = Seq(SortBy("id", ascending = true)))).count() === 10)
+    assert(QueryCompiler.compile(big,
+      StructuredQuery(QueryIntent.Visualize,
+        operations = Seq(SortBy("id", ascending = true)))).count() === 100)
+  }
+
+  test("viz numeric averages skip non-numeric and honor explicit cols") {
+    val out = QueryCompiler.vizNumericAverages(df)
+    assert(out.columns.toSet === Set("avg_id", "avg_v"))
+    val one = QueryCompiler.vizNumericAverages(df, Seq("v")).collect().head
+    assert(one.getDouble(0) === 30.0)
+  }
+
+  test("viz value counts are ordered desc by count") {
+    val out = QueryCompiler.vizValueCounts(df, "cat").collect()
+    assert(out.head === Row("a", 3L))
+    assert(out.map(_.getString(0)).toSet === Set("a", "b", "c"))
+  }
+
+  test("filter literal comparison is numeric, not lexicographic") {
+    // "9" > "10" as strings; as numbers 9 < 10 — typed cast must win.
+    val d2 = Seq((9.0), (10.0), (100.0)).toDF("v")
+    val out = QueryCompiler.compile(d2,
+      StructuredQuery(QueryIntent.Filter,
+        operations = Seq(Filter("v", CompareOp.Gt, "9"))))
+    assert(out.count() === 2)
+  }
+}
+
+class NLTranslatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val schema =
+    Seq(("n", 1.0, 2.0)).toDF("name", "price", "quantity").schema
+
+  test("intent keywords map to the reference rule table") {
+    import graft.model.QueryIntent._
+    assert(NLTranslator.translate("average price", schema).intent === Aggregate)
+    assert(NLTranslator.translate("total quantity", schema).intent === Aggregate)
+    assert(NLTranslator.translate("how many rows", schema).intent === Aggregate)
+    assert(NLTranslator.translate("sort by price", schema).intent === Sort)
+    assert(NLTranslator.translate("plot price", schema).intent === Visualize)
+    assert(NLTranslator.translate("show me the data", schema).intent === Describe)
+  }
+
+  test("columns mentioned in text are resolved (not just the first column)") {
+    val q = NLTranslator.translate("what is the mean quantity?", schema)
+    assert(q.operations === Seq(ColumnOperation.Mean("quantity")))
+  }
+
+  test("numeric fallback when no column is mentioned") {
+    val q = NLTranslator.translate("average?", schema)
+    assert(q.operations === Seq(ColumnOperation.Mean("price")))
+  }
+}
