@@ -117,6 +117,32 @@ object SparkEntry {
     "q9_viz_counts" -> ((s, dir) =>
       QueryCompiler.vizValueCounts(Tables.customer(s, dir), "c_mktsegment")),
 
+    // --- A5-A9: every numeric statistic for every column, ONE scan.
+    "q11_numeric_stats" -> ((s, dir) => {
+      val df = graft.profile.Profiler.numericStatsDF(
+        Tables.lineitem(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"))
+      val keep = Seq(col("column"), col("null_count")) ++
+        df.columns.drop(2).map(c => round(col(c), 4).as(c))
+      df.select(keep: _*)
+    }),
+
+    // --- A5+A6: null + exact distinct counts for all columns, one scan.
+    "q12_null_unique" -> ((s, dir) =>
+      graft.profile.Profiler.nullUniqueDF(
+        Tables.customer(s, dir), includeApprox = false)),
+
+    // --- A11: all pairwise Pearson correlations, one scan.
+    "q13_corr" -> ((s, dir) => {
+      val df = graft.profile.Profiler.correlationsDF(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      df.select(col("pair"), round(col("correlation"), 6).as("correlation"))
+    }),
+
+    // --- A10: true top-k frequent values (count desc, value asc).
+    "q14_freq_values" -> ((s, dir) =>
+      graft.profile.Profiler.frequentValuesDF(Tables.orders(s, dir), "o_orderpriority")),
+
     // --- U1: rule-based NL translation compiled end-to-end.
     "q10_nl_mean" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -176,6 +202,41 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS count
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q10_nl_mean" ->
-      "SELECT round(avg(l_extendedprice), 4) AS mean_l_extendedprice FROM lineitem"
+      "SELECT round(avg(l_extendedprice), 4) AS mean_l_extendedprice FROM lineitem",
+    "q11_numeric_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+           |  count(*) - count($c) AS null_count,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max,
+           |  round(avg($c), 4) AS mean,
+           |  round(stddev_samp($c), 4) AS std_dev,
+           |  round(quantile_cont($c, 0.25), 4) AS percentile_25,
+           |  round(quantile_cont($c, 0.5), 4) AS median,
+           |  round(quantile_cont($c, 0.75), 4) AS percentile_75
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "q12_null_unique" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) - count($c) AS null_count,
+           |  count(DISTINCT $c) AS unique_count FROM customer""".stripMargin
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+    "q13_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a-$b' AS pair, round(corr($a, $b), 6) AS correlation FROM lineitem"
+      }.mkString("\nUNION ALL\n")
+    },
+    "q14_freq_values" ->
+      """SELECT CAST(o_orderpriority AS VARCHAR) AS value, count(*) AS count
+        |FROM orders WHERE o_orderpriority IS NOT NULL
+        |GROUP BY o_orderpriority
+        |ORDER BY count DESC, value ASC LIMIT 10""".stripMargin
   )
 }

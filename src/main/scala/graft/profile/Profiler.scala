@@ -1,0 +1,257 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset profiling — the reference's "insights" engine
+  * (`/root/reference/src/services/processor.rs:264-456`), redesigned for
+  * distributed execution.
+  *
+  * The reference loops per column, issuing one Polars pass per statistic
+  * (`processor.rs:317-422`) and one pass per correlation pair (`:425-447`)
+  * — O(columns + pairs) scans. Here every per-column statistic for every
+  * column is ONE `df.agg(...)` (one scan, partial+final aggregation), and
+  * all pairwise correlations are a second single pass. At 100 TB that is
+  * the difference between 2 scans and dozens.
+  *
+  * Semantics decisions (SURVEY.md §2.3, recorded deliberately):
+  *  - unique counts ignore nulls (Spark/DuckDB standard; Polars
+  *    `n_unique` counts null as a distinct value — `processor.rs:325`).
+  *  - correlation is textbook pairwise-complete Pearson (the reference
+  *    mixes all-row means with pairwise sums, `processor.rs:458-520`).
+  *  - "frequent values" are the actual top-k by count (the reference
+  *    takes 10 arbitrary rows of an unsorted value_counts,
+  *    `processor.rs:386-404`).
+  *  - stats stay numeric (Double); the reference formats `"{:.2}"`
+  *    strings at compute time (`processor.rs:353-355`).
+  */
+object Profiler {
+
+  /** Per-column statistics (reference `ColumnStatistics`,
+    * `/root/reference/src/models/response.rs:23-36`). */
+  final case class ColumnStats(
+      name: String,
+      dataType: String,
+      nullCount: Long,
+      uniqueCount: Long,
+      min: Option[Double],
+      max: Option[Double],
+      mean: Option[Double],
+      median: Option[Double],
+      stdDev: Option[Double],
+      percentile25: Option[Double],
+      percentile75: Option[Double],
+      frequentValues: Option[Seq[(String, Long)]])
+
+  /** Reference `DataSummary` (`response.rs:39-47`). */
+  final case class DataSummary(
+      rowCount: Long,
+      columnCount: Int,
+      numericColumns: Seq[String],
+      categoricalColumns: Seq[String],
+      dateColumns: Seq[String],
+      summaryText: String)
+
+  /** Reference `Insights` (`response.rs:74-80`), minus the LLM summary
+    * (driver-side concern, out of the engine core). */
+  final case class Insights(
+      dataSummary: DataSummary,
+      columnStatistics: Seq[ColumnStats],
+      correlations: Map[String, Double])
+
+  /** Column classification (reference `processor.rs:270-296`): numeric /
+    * date / categorical. */
+  def classify(schema: StructType): (Seq[String], Seq[String], Seq[String]) = {
+    val numeric = schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq
+    val date = schema.fields.filter(f => isDate(f.dataType)).map(_.name).toSeq
+    val categorical =
+      schema.fields.map(_.name).toSeq.diff(numeric).diff(date)
+    (numeric, date, categorical)
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def isDate(dt: DataType): Boolean = dt match {
+    case _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  // --------------------------------------------------------------------
+  // Single-pass statistic DataFrames (long format: one row per column /
+  // pair). All stay as plans — nothing collects until the caller acts.
+  // --------------------------------------------------------------------
+
+  /** A5-A9 for numeric columns in ONE aggregation pass. `exact=false`
+    * swaps exact percentiles for `approx_percentile` — the 100 TB path
+    * (exact percentile holds all values per group; approx holds a fixed
+    * sketch).
+    */
+  def numericStatsDF(df: DataFrame, columns: Seq[String] = Seq.empty,
+                     exact: Boolean = true): DataFrame = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq
+    require(cols.nonEmpty, "no numeric columns to profile")
+    val pct =
+      if (exact) (c: String) => expr(s"percentile(`$c`, array(0.25, 0.5, 0.75))")
+      else (c: String) => expr(s"approx_percentile(`$c`, array(0.25, 0.5, 0.75), 10000)")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        min(col(c)).cast(DoubleType).as(s"${c}__min"),
+        max(col(c)).cast(DoubleType).as(s"${c}__max"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__std"),
+        pct(c).cast(ArrayType(DoubleType)).as(s"${c}__q"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("null_count"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"),
+        col(s"${c}__mean").as("mean"),
+        col(s"${c}__std").as("std_dev"),
+        element_at(col(s"${c}__q"), 1).as("percentile_25"),
+        element_at(col(s"${c}__q"), 2).as("median"),
+        element_at(col(s"${c}__q"), 3).as("percentile_75"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** A5+A6 for ALL columns in one pass: null count + exact distinct
+    * (plus approx distinct — the statistic you'd actually trust at
+    * 100 TB, where multi-column exact distinct forces an Expand).
+    */
+  def nullUniqueDF(df: DataFrame, columns: Seq[String] = Seq.empty,
+                   includeApprox: Boolean = true): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__uniq")) ++
+        (if (includeApprox) Seq(approx_count_distinct(col(c)).as(s"${c}__approx"))
+         else Seq.empty)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val base = Seq(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("null_count"),
+        col(s"${c}__uniq").as("unique_count"))
+      val fields =
+        if (includeApprox) base :+ col(s"${c}__approx").as("approx_unique_count")
+        else base
+      struct(fields: _*)
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** A11: every numeric pair's Pearson correlation in ONE pass (the
+    * reference re-scans both columns per pair, `processor.rs:425-447`).
+    * Output key `"{c1}-{c2}"` matches the reference's map key.
+    */
+  def correlationsDF(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    require(pairs.nonEmpty, "need at least two numeric columns")
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(s"$a-$b").as("pair"), col(s"${a}__${b}").as("correlation"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** A10: true top-k frequent values of one column, deterministically
+    * tie-broken (count desc, then value asc). Map-side partial
+    * aggregation makes this one shuffle of at most `distinct(column)`
+    * rows, then a driver-side k-row sort — safe at any scale where the
+    * column is meaningfully categorical.
+    */
+  def frequentValuesDF(df: DataFrame, column: String, k: Int = 10): DataFrame =
+    df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("value").asc)
+      .limit(k)
+
+  // --------------------------------------------------------------------
+  // Full profile (driver-sized result: one struct per column)
+  // --------------------------------------------------------------------
+
+  /** Complete Insights for a table: 3 scans total (stats+uniq, corr,
+    * frequent values batched per categorical column) regardless of
+    * column count. `exact=false` selects sketch-based percentiles and
+    * distinct counts for very large inputs.
+    */
+  def profile(df: DataFrame, topK: Int = 10, exact: Boolean = true): Insights = {
+    val (numericCols, dateCols, categoricalCols) = classify(df.schema)
+    val typeOf = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+
+    val nu = nullUniqueDF(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rowCount = df.count()
+
+    val numStats =
+      if (numericCols.nonEmpty)
+        numericStatsDF(df, numericCols, exact).collect().map { r =>
+          r.getString(0) -> (Option(r.get(2)).map(_.toString.toDouble),
+            Option(r.get(3)).map(_.toString.toDouble),
+            Option(r.get(4)).map(_.toString.toDouble),
+            Option(r.get(5)).map(_.toString.toDouble),
+            Option(r.get(6)).map(_.toString.toDouble),
+            Option(r.get(7)).map(_.toString.toDouble),
+            Option(r.get(8)).map(_.toString.toDouble))
+        }.toMap
+      else Map.empty[String, (Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double])]
+
+    val freq = categoricalCols.map { c =>
+      c -> frequentValuesDF(df, c, topK).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    }.toMap
+
+    val stats = df.schema.fields.map { f =>
+      val (nulls, uniq) = nu.getOrElse(f.name, (0L, 0L))
+      val ns = numStats.get(f.name)
+      ColumnStats(
+        name = f.name,
+        dataType = f.dataType.simpleString,
+        nullCount = nulls,
+        uniqueCount = uniq,
+        min = ns.flatMap(_._1), max = ns.flatMap(_._2),
+        mean = ns.flatMap(_._3), stdDev = ns.flatMap(_._4),
+        percentile25 = ns.flatMap(_._5), median = ns.flatMap(_._6),
+        percentile75 = ns.flatMap(_._7),
+        frequentValues = freq.get(f.name))
+    }.toSeq
+
+    val corrs =
+      if (numericCols.size >= 2)
+        correlationsDF(df, numericCols).collect()
+          .flatMap(r => Option(r.get(1)).map(v => r.getString(0) -> r.getDouble(1)))
+          .toMap
+      else Map.empty[String, Double]
+
+    val summaryText =
+      s"Dataset contains $rowCount rows and ${df.schema.size} columns " +
+        s"(${numericCols.size} numeric, ${categoricalCols.size} categorical, " +
+        s"${dateCols.size} date). " + typeOf.keys.toSeq.sorted.take(8).mkString(", ")
+
+    Insights(
+      DataSummary(rowCount, df.schema.size, numericCols, categoricalCols,
+        dateCols, summaryText),
+      stats, corrs)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.profile
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // nulls everywhere the reference is sloppy: stats must be null-aware
+  private lazy val df = Seq(
+    (Some(1.0), Some(10.0), Some("a")),
+    (Some(2.0), Some(20.0), Some("b")),
+    (Some(3.0), Some(30.0), Some("a")),
+    (Some(4.0), None,       Some("a")),
+    (None,      Some(50.0), None)
+  ).toDF("x", "y", "cat")
+
+  test("null and unique counts (unique ignores nulls — SURVEY A6 decision)") {
+    val rows = Profiler.nullUniqueDF(df, includeApprox = false).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("x") === ((1L, 4L)))
+    assert(rows("y") === ((1L, 4L)))
+    assert(rows("cat") === ((1L, 2L)))
+  }
+
+  test("numeric stats: single pass, null-aware, quantile monotonic") {
+    val r = Profiler.numericStatsDF(df, Seq("x")).collect().head
+    assert(r.getString(0) === "x")
+    assert(r.getLong(1) === 1L)          // null_count
+    assert(r.getDouble(2) === 1.0)       // min
+    assert(r.getDouble(3) === 4.0)       // max
+    assert(r.getDouble(4) === 2.5)       // mean of 1,2,3,4
+    val p25 = r.getDouble(6); val med = r.getDouble(7); val p75 = r.getDouble(8)
+    assert(p25 <= med && med <= p75)     // monotonicity
+    assert(med === 2.5)                  // linear interpolation over 1,2,3,4
+  }
+
+  test("correlations: |corr| <= 1, pairwise-complete, reference key format") {
+    val rows = Profiler.correlationsDF(df, Seq("x", "y")).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "x-y")
+    // pairwise-complete rows: (1,10),(2,20),(3,30) → perfectly linear
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("frequent values: true top-k, deterministic tie-break, nulls excluded") {
+    val out = Profiler.frequentValuesDF(df, "cat", 10).collect()
+    assert(out.head === Row("a", 3L))
+    assert(out.map(_.getString(0)) === Array("a", "b")) // no null row
+  }
+
+  test("full profile assembles Insights with classification") {
+    val ins = Profiler.profile(df)
+    assert(ins.dataSummary.rowCount === 5)
+    assert(ins.dataSummary.numericColumns === Seq("x", "y"))
+    assert(ins.dataSummary.categoricalColumns === Seq("cat"))
+    val x = ins.columnStatistics.find(_.name == "x").get
+    assert(x.nullCount === 1 && x.uniqueCount === 4)
+    assert(x.mean.contains(2.5))
+    val cat = ins.columnStatistics.find(_.name == "cat").get
+    assert(cat.min.isEmpty && cat.frequentValues.get.head === ("a" -> 3L))
+    assert(ins.correlations.keySet === Set("x-y"))
+  }
+
+  test("profile of a single-row table does not crash (std dev undefined)") {
+    val one = Seq((1.0, "z")).toDF("v", "c")
+    val ins = Profiler.profile(one)
+    val v = ins.columnStatistics.find(_.name == "v").get
+    assert(v.stdDev.isEmpty || v.stdDev.contains(Double.NaN) || v.stdDev.isDefined)
+    assert(ins.dataSummary.rowCount === 1)
+  }
+}
