@@ -149,7 +149,33 @@ object SparkEntry {
       val sq = NLTranslator.translate("what is the average l_extendedprice?", li.schema)
       val r = QueryCompiler.compile(li, sq)
       r.select(r.columns.map(c => round(col(c), 4).as(c)): _*)
-    })
+    }),
+
+    // --- Dedup: exact content-hash survivors (shuffles digests, not docs).
+    "q15_exact_dedup" -> ((s, dir) =>
+      graft.ext.Dedup.exactSurvivors(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Dedup: exact token-set Jaccard similarity join (ground truth).
+    "q16_jaccard_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.95)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // --- Dedup: MinHash+LSH sketch path (no SQL oracle — rows-only;
+    // recall/precision asserted against jaccardPairs in DedupSpec).
+    "q17_minhash_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          tau = 0.5, ngram = 1)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    // --- Dedup: SimHash fingerprints + banded Hamming pairs (rows-only).
+    "q18_simhash_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)),
+
+    // --- Dedup: embedding-cosine near-dup pairs (exact verification path).
+    "q19_cosine_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -237,6 +263,32 @@ object SparkEntry {
       """SELECT CAST(o_orderpriority AS VARCHAR) AS value, count(*) AS count
         |FROM orders WHERE o_orderpriority IS NOT NULL
         |GROUP BY o_orderpriority
-        |ORDER BY count DESC, value ASC LIMIT 10""".stripMargin
+        |ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
+    "q15_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q16_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.id_a = sa.doc_id
+        |JOIN sizes sb ON inter.id_b = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95""".stripMargin,
+    "q19_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin
   )
 }

@@ -1,0 +1,232 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference has no dedup of any kind (SURVEY.md §2.3 "not
+  * implemented"); these are the extension surface mandated by
+  * BASELINE.json. Every operator is a composed DataFrame plan designed
+  * around ONE question: what shuffles at 100 TB?
+  *
+  *  - exact: only (digest, id) pairs shuffle — never document bodies.
+  *  - minhash-LSH: signatures are fixed-size (k longs/doc); candidate
+  *    generation shuffles (band-hash, id) pairs, so cost scales with
+  *    docs × bands, not docs².
+  *  - simhash: one 64-bit fingerprint/doc; banding (4×16 bits) finds all
+  *    pairs at Hamming ≤ 3 by pigeonhole without a cross join.
+  *  - n-gram Jaccard: exact token-join verification — the oracle-checkable
+  *    ground truth the sketches approximate. Token join cost is bounded by
+  *    `maxDocFrequency` pruning (a token in half the corpus generates
+  *    |corpus|²/4 candidate rows and no discriminative signal).
+  */
+object Dedup {
+
+  /** Distinct lowercase whitespace tokens: (id, tok). */
+  def tokensDF(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("id"),
+        explode(array_distinct(split(lower(col(text)), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Word n-gram shingles, distinct per doc: (id, shingle).
+    * Documents shorter than n words contribute their whole text as one
+    * shingle so they can still be compared.
+    */
+  def shinglesDF(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val sh = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    df.select(col(id).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  // --------------------------------------------------------------------
+  // Exact dedup
+  // --------------------------------------------------------------------
+
+  /** Exact dedup survivors: minimum id per content digest. Hashing
+    * happens map-side; only (digest, id) shuffles — at 100 TB the
+    * shuffle is ~48 bytes/doc regardless of document size.
+    */
+  def exactSurvivors(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("digest"))
+      .agg(min(col(id)).as(id))
+      .select(id)
+
+  /** Exact-dedup'd rows (keeps the full surviving row via semi-join —
+    * two narrow shuffles instead of shipping texts through the agg).
+    */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
+    df.join(exactSurvivors(df, id, text), Seq(id), "left_semi")
+
+  // --------------------------------------------------------------------
+  // N-gram Jaccard (exact verification path)
+  // --------------------------------------------------------------------
+
+  /** All pairs (id_a < id_b) with token-set Jaccard >= tau.
+    *
+    * Classic distributed set-similarity join: explode to (token, id),
+    * self-join on token to count intersections, then reconstruct the
+    * union via per-doc set sizes. `maxDocFrequency` drops tokens present
+    * in more than that fraction of documents before the join — the skew
+    * guard at scale (default off so the oracle comparison stays exact).
+    */
+  def jaccardPairs(df: DataFrame, id: String, text: String, tau: Double,
+                   ngram: Int = 1,
+                   maxDocFrequency: Option[Double] = None): DataFrame = {
+    val t0 =
+      if (ngram <= 1) tokensDF(df, id, text)
+      else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
+    val sizes = t0.groupBy("id").agg(count(lit(1)).as("n"))
+    val t = maxDocFrequency match {
+      case Some(f) =>
+        val nDocs = df.count()
+        val keep = t0.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= lit(f * nDocs))
+        t0.join(keep.select("tok"), Seq("tok"), "left_semi")
+      case None => t0
+    }
+    val a = t.select(col("id").as("id_a"), col("tok"))
+    val b = t.select(col("id").as("id_b"), col("tok"))
+    val inter = a.join(b, a("tok") === b("tok") && a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------------------------------
+  // MinHash + LSH
+  // --------------------------------------------------------------------
+
+  /** k minhashes per doc from seeded xxhash64 over shingles — ONE
+    * groupBy with k `min` aggregates (map-side partial), signature is
+    * k×8 bytes regardless of document size.
+    */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+                        ngram: Int = 3, numHashes: Int = 128): DataFrame = {
+    val sh = shinglesDF(df, id, text, ngram)
+    val mins: Seq[Column] =
+      (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket by band hash, pair within buckets. Shuffles
+    * (band, hash, id) triples — docs × bands rows, never docs².
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    val sig = sigs.select(col("id"), col("sig"))
+    val r = expr("size(sig)").cast(LongType) / bands
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int"))))))
+      .toDF("id", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(rgt, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup pairs with minhash-estimated Jaccard >= tau: signatures →
+    * LSH candidates → estimate = fraction of agreeing signature
+    * positions. End-to-end sketch path; `jaccardPairs` is its exact
+    * counterpart for verification.
+    */
+  def minhashPairs(df: DataFrame, id: String, text: String, tau: Double,
+                   ngram: Int = 3, numHashes: Int = 128,
+                   bands: Int = 32): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, ngram, numHashes)
+    val cand = lshCandidates(sigs, bands)
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast(DoubleType) / numHashes
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // --------------------------------------------------------------------
+  // SimHash
+  // --------------------------------------------------------------------
+
+  /** 64-bit simhash fingerprint per document: majority vote per bit over
+    * token hashes (each occurrence votes, weight 1). One groupBy with 64
+    * sum aggregates; fingerprint assembly is a plain projection.
+    */
+  def simhashDF(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id).as("id"),
+        explode(split(lower(col(text)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** Pairs at Hamming distance <= maxHamming (must be <= 3 for the 4×16
+    * banding to be exhaustive by pigeonhole). Join key is (band index,
+    * 16-bit band value) — no cross join.
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band simhash guarantees recall only to Hamming 3")
+    val fp = simhashDF(df, id, text)
+    val banded = fp.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "simhash", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // --------------------------------------------------------------------
+
+  /** All pairs with cosine similarity >= tau — exact O(n²) verification
+    * path over a (smallish) embedding set. The scale path for this
+    * operation is [[Similarity.lshCosineCandidates]]: random-hyperplane
+    * buckets make candidate generation linear in rows × tables.
+    */
+  def cosinePairs(df: DataFrame, id: String, vec: String, tau: Double): DataFrame = {
+    val v = df.select(col(id).as("id"),
+        col(vec).cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
+    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+}

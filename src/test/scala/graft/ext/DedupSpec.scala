@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "spark makes distributed data processing simple fast and reliable for very large analytical workloads at scale"
+  private val nearDup = base.replace("reliable", "robust") // 1 of 16 words changed
+  private val unrelated =
+    "completely different subject matter about cooking pasta with tomatoes garlic basil and olive oil tonight"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val ids = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(ids === Array(1L, 3L, 4L))
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() === 3)
+  }
+
+  test("jaccard pairs find exact and near duplicates, not unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // 15 shared of 17 union tokens
+    assert(math.abs(pairs((1L, 3L)) - 15.0 / 17.0) < 1e-12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram shingles: doc shorter than n becomes one whole-text shingle") {
+    val short = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val sh = Dedup.shinglesDF(short, "doc_id", "text", 3).collect()
+    assert(sh.length === 1 && sh.head.getString(1) === "tiny doc")
+  }
+
+  test("minhash LSH detects planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        tau = 0.5, ngram = 3, numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical: est jaccard = 1
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash estimate approximates exact jaccard on identical docs") {
+    val est = Dedup.minhashPairs(docs, "doc_id", "text", tau = 0.0,
+        ngram = 1, numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs absent") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("cosine pairs: identical, near, orthogonal vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
