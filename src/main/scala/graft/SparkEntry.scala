@@ -175,7 +175,25 @@ object SparkEntry {
     // --- Dedup: embedding-cosine near-dup pairs (exact verification path).
     "q19_cosine_pairs" -> ((s, dir) =>
       graft.ext.Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // --- Similarity: exact cosine top-k (queries broadcast, windowed rank).
+    "q20_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // --- Similarity: LSH-bucketed ANN (rows-only; recall asserted vs
+    // brute force in SimilaritySpec).
+    "q21_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Similarity.lshCosineTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          tables = 12, nPlanes = 4)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -289,6 +307,16 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+    "q20_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine
+        |         FROM c, q WHERE id <> qid),
+        |rk AS (SELECT qid, id, cosine,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        |       FROM sims)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM rk WHERE rank <= 10""".stripMargin
   )
 }

@@ -1,0 +1,147 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), BASELINE.json extension surface.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k, queries broadcast against
+  *    the corpus. The per-query ranking is a window; [[topKAggregate]]
+  *    computes the same result with a bounded-heap Aggregator whose
+  *    partial (map-side) step caps every partition's contribution at k
+  *    rows, so the shuffle is queries × partitions × k instead of
+  *    queries × corpus — the shape you want at 10⁹ vectors.
+  *  - [[lshCosineTopK]] — random-hyperplane LSH: deterministic
+  *    hyperplanes (seeded), signature = sign-bit bucket per table; join
+  *    corpus and queries on (table, bucket), exact-rank only the
+  *    candidates. Candidate generation is linear in rows × tables.
+  */
+object Similarity {
+
+  /** (id, v, norm) projection with the vector cast to double. */
+  private def prep(df: DataFrame, id: String, vec: String,
+                   idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(id).as(idAs), col(vec).cast("array<double>").as(vAs))
+      .withColumn(nAs, sqrt(aggregate(
+        transform(col(vAs), x => x * x), lit(0.0), (acc, x) => acc + x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); the corpus
+    * streams map-side. Ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     id: String, vec: String, k: Int): DataFrame = {
+    val c = prep(corpus, id, vec, "id", "v", "norm")
+    val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+    val sims = c.join(broadcast(q), col("id") =!= col("qid"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .select("qid", "id", "cosine")
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** Bounded top-k buffer (encoder-friendly Product wrapper). */
+  final case class TopKBuf(items: Seq[(Long, Double)])
+
+  /** Bounded top-k heap as a typed Aggregator over (qid, id, score): the
+    * partial buffer never exceeds k entries, so map-side combine reduces
+    * each partition's contribution to k rows per query before the
+    * shuffle.
+    */
+  final class TopKAgg(k: Int)
+      extends Aggregator[(Long, Long, Double), TopKBuf, TopKBuf] {
+    private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      s.sortBy { case (i, sc) => (-sc, i) }.take(k)
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, a: (Long, Long, Double)): TopKBuf =
+      TopKBuf(trim(b.items :+ ((a._2, a._3))))
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+      TopKBuf(trim(x.items ++ y.items))
+    override def finish(r: TopKBuf): TopKBuf = r
+    override def bufferEncoder = Encoders.product[TopKBuf]
+    override def outputEncoder = Encoders.product[TopKBuf]
+  }
+
+  /** Same result as [[bruteForceTopK]] via the bounded-heap Aggregator —
+    * the shuffle-minimal shape for very large corpora.
+    */
+  def topKAggregate(corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, k: Int): DataFrame = {
+    val c = prep(corpus, id, vec, "id", "v", "norm")
+    val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+    val sims = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))).as("cosine"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    sims.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk.items")))
+      .select(col("qid"), col("col._1").as("id"), col("col._2").as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** Deterministic random hyperplanes: tables × planes × dim, seeded. */
+  private def planes(tables: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Array.fill(tables, nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket ids, one per table: (id, table, bucket). */
+  def lshBuckets(df: DataFrame, id: String, vec: String,
+                 tables: Int = 8, nPlanes: Int = 12, dim: Int = 64,
+                 seed: Long = 42L): DataFrame = {
+    val ps = planes(tables, nPlanes, dim, seed)
+    val v = col(vec).cast("array<double>")
+    val bucketCols: Seq[Column] = (0 until tables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val plane = array(ps(t)(p).map(lit): _*)
+        when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).as(s"b$t")
+    }
+    df.select(col(id).as("id") +: bucketCols: _*)
+      .select(col("id"), posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+      .toDF("id", "table", "bucket")
+  }
+
+  /** ANN top-k: LSH-bucket join for candidates, exact cosine rank on the
+    * candidate set only. Recall grows with `tables`; cost per query is
+    * the candidate set size, not the corpus.
+    */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, k: Int,
+                    tables: Int = 8, nPlanes: Int = 12, dim: Int = 64,
+                    seed: Long = 42L): DataFrame = {
+    val cb = lshBuckets(corpus, id, vec, tables, nPlanes, dim, seed)
+    val qb = lshBuckets(queries, id, vec, tables, nPlanes, dim, seed)
+      .toDF("qid", "table", "bucket")
+    val candIds = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "id").distinct()
+    val c = prep(corpus, id, vec, "id", "v", "norm")
+    val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+    val sims = candIds
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .select("qid", "id", "cosine")
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.98f, 0.2f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks the nearest vector first") {
+    val res = Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" === 0L), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(res.length === 3)
+    assert(res.head._2 === 1L && res.head._4 === 1) // closest to e0 is e1
+    assert(res.last._2 != 5L || res.last._3 < 0)    // antipode ranks last if present
+  }
+
+  test("aggregator top-k equals window top-k") {
+    val queries = emb.filter($"vec_id" < 2L)
+    val a = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val b = Similarity.topKAggregate(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("lsh buckets are deterministic and identical vectors share buckets") {
+    val dup = Seq(
+      (10L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (11L, Array(0.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(dup, "vec_id", "embedding",
+        tables = 4, nPlanes = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { t =>
+      assert(b((10L, t)) === b((11L, t))) // same vector -> same bucket in every table
+    }
+  }
+
+  test("lsh ANN finds the identical-direction neighbor") {
+    val res = Similarity.lshCosineTopK(
+        emb, emb.filter($"vec_id" === 0L), "vec_id", "embedding", 3,
+        tables = 6, nPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(res.nonEmpty)
+    assert(res.head._1 === 1L) // e1 is nearly colinear with e0 -> must be found
+  }
+
+  test("lsh recall on the real embeddings table (sf0.001) vs brute force") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 5L)
+    val exact = Similarity.bruteForceTopK(real, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // This table is near-random 64-dim data (top-10 cosines ~0.3-0.5), the
+    // hardest case for hyperplane LSH: P(bit agree) ≈ 0.6, so selectivity
+    // must come from tables, not planes. 4 planes × 12 tables trades
+    // candidate-set size for recall.
+    val approx = Similarity.lshCosineTopK(real, queries, "vec_id", "embedding", 10,
+        tables = 12, nPlanes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"LSH recall@10 = $recall%.3f (${approx.size} returned)")
+    assert(recall >= 0.4, s"recall $recall below floor")
+  }
+}
