@@ -193,7 +193,31 @@ object SparkEntry {
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
           tables = 12, nPlanes = 4)
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
-    })
+    }),
+
+    // --- Text: token statistics (whitespace + BPE-ish regex), map-side.
+    "q22_token_counts" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Text: heuristic quality score with auditable components.
+    "q23_quality" -> ((s, dir) => {
+      val q = graft.ext.TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      q.select(col("doc_id"), col("n_tokens"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("avg_token_len"), 6).as("avg_token_len"),
+        round(col("quality_score"), 6).as("quality_score"))
+    }),
+
+    // --- Text: trigram-profile language ID (rows-only; accuracy asserted
+    // on real multilingual sentences in TextAnalysisSpec).
+    "q24_lang_id" -> ((s, dir) =>
+      graft.ext.TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Text: rolling-hash document fingerprints (rows-only; collision
+    // and order-sensitivity properties in spec).
+    "q25_fingerprint" -> ((s, dir) =>
+      graft.ext.TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -317,6 +341,40 @@ object SparkEntry {
         |rk AS (SELECT qid, id, cosine,
         |       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
         |       FROM sims)
-        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM rk WHERE rank <= 10""".stripMargin
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM rk WHERE rank <= 10""".stripMargin,
+    "q22_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+    "q23_quality" -> {
+      val stop = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    length(text) * 1.0 AS n_chars,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 AS punct
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN len(list_filter(toks, x -> list_contains($stop, x))) * 1.0 / len(toks)
+         |      ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+         |      ELSE 0.0 END AS avg_token_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(avg_token_len, 6) AS avg_token_len,
+         |  round(0.4 * least(n_tokens, 100.0) / 100.0
+         |      + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+         |      + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS quality_score
+         |FROM u""".stripMargin
+    }
   )
 }

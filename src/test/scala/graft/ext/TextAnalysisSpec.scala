@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs bpe-ish vs chars") {
+    val df = Seq((1L, "Hello world, it's 42 degrees!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").collect().head
+    assert(r.getInt(1) === 5)            // ws tokens
+    // bpe-ish on lowercase: hello|world|,|it|'|s|42|degrees|! = 9
+    assert(r.getInt(2) === 9)
+    assert(r.getInt(3) === 29)
+  }
+
+  test("quality: clean prose beats punctuation soup; empty text safe") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of us"),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(m(1L) > m(2L))
+    assert(m(3L) >= 0.0 && m(3L) <= 1.0)
+  }
+
+  test("language id detects real sentences per language") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the cat is with them in the house"),
+      (2L, "el gato que vive en la casa de los vecinos es muy bonito y siempre come con una cuchara"),
+      (3L, "der hund und die katze sind ein schönes paar und sie gehen nicht in das kino der stadt"),
+      (4L, "le chien et les chats de la maison que nous avons est une belle chose pour nous tous"),
+      (5L, "这是一个中文句子用来测试语言识别功能是否正确工作")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("min-shingle fingerprint blocks near-dups together") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " thirteen"),         // tail edit
+      (3L, "totally different words entirely here now okay")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.minShingleFingerprint(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L)) // min over shared shingles survives the edit
+    assert(fp(1L) !== fp(3L))
+  }
+}
