@@ -217,7 +217,82 @@ object SparkEntry {
     // --- Text: rolling-hash document fingerprints (rows-only; collision
     // and order-sensitivity properties in spec).
     "q25_fingerprint" -> ((s, dir) =>
-      graft.ext.TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text"))
+      graft.ext.TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Joins: TPC-H Q5 shape — two big-table joins (shuffled) + three
+    // explicitly broadcast dimension joins; one partial+final agg.
+    "q26_join_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // --- Joins: Q3 shape — big-big join, grouped revenue, deterministic
+    // top-20 (rounded revenue + key tiebreak).
+    "q27_join_topn" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    }),
+
+    // --- Window functions: rank + frame-bounded running sum + lag.
+    "q28_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_sum",
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("rn") <= 100)
+    }),
+
+    // --- Set operations: UNION / INTERSECT / EXCEPT (distinct semantics).
+    "q29_setops" -> ((s, dir) => {
+      val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select("o_custkey")
+      val u = f.union(o).distinct().agg(count(lit(1)).as("n"))
+        .select(lit("union").as("op"), col("n"))
+      val i = f.intersect(o).agg(count(lit(1)).as("n"))
+        .select(lit("intersect").as("op"), col("n"))
+      val e = f.except(o).agg(count(lit(1)).as("n"))
+        .select(lit("except").as("op"), col("n"))
+      u.union(i).union(e)
+    }),
+
+    // --- Streaming surface, batch-checkable: tumbling windows.
+    "q30_tumbling" -> ((s, dir) =>
+      graft.streaming.Events.tumblingCounts(Tables.events(s, dir), "1 hour")),
+
+    // --- Sliding windows (2h every 30m: each event in 4 windows).
+    "q31_sliding" -> ((s, dir) =>
+      graft.streaming.Events.slidingCounts(Tables.events(s, dir), "2 hours", "30 minutes")),
+
+    // --- Session windows per user (1h gap; end = last event + gap).
+    "q32_session" -> ((s, dir) =>
+      graft.streaming.Events.sessionCounts(Tables.events(s, dir), "1 hour")),
+
+    // --- JSON extraction from the events props column.
+    "q33_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(col("k")).as("n")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -375,6 +450,88 @@ object SparkEntry {
          |      + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
          |      + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS quality_score
          |FROM u""".stripMargin
-    }
+    },
+    "q26_join_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q27_join_topn" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "q28_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC
+        |      ROWS UNBOUNDED PRECEDING), 2) AS running_sum,
+        |    lag(o_totalprice, 1) OVER w AS prev_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 100""".stripMargin,
+    "q29_setops" ->
+      """SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+    "q30_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS window_end,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q31_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |           - (k * INTERVAL '30 minutes') AS window_start,
+        |         event_type, value
+        |  FROM e, (VALUES (0), (1), (2), (3)) AS offs(k))
+        |SELECT window_start,
+        |  window_start + INTERVAL '2 hours' AS window_end,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+    "q32_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flags AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '1 hour'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL '1 hour' AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q33_json" ->
+      """SELECT event_type,
+        |  round(avg(CAST(props ->> '$.k' AS INTEGER)), 4) AS avg_k,
+        |  count(CAST(props ->> '$.k' AS INTEGER)) AS n
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

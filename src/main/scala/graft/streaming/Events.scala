@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time processing over the `events` stream table.
+  *
+  * The reference has no streaming at all ("Real-time data streaming
+  * capabilities" is future work, `/root/reference/README.md:218`; its only
+  * asynchrony is a tokio job queue, `src/main.rs:72-107`). This module is
+  * the Structured Streaming extension surface (SURVEY.md §2.9): the same
+  * window aggregations run identically in batch (DuckDB-oracle-checkable)
+  * and as incremental streaming plans with watermarked state eviction —
+  * which is exactly how you'd run them over a 100 TB/day event firehose.
+  */
+object Events {
+
+  /** Tumbling event-time window counts/sums per event type. Works on
+    * batch and streaming frames alike. */
+  def tumblingCounts(df: DataFrame, every: String = "1 hour"): DataFrame =
+    df.groupBy(window(col("ts"), every), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding windows (`length` every `slide`): each event contributes to
+    * length/slide windows. */
+  def slidingCounts(df: DataFrame, length: String = "2 hours",
+                    slide: String = "30 minutes"): DataFrame =
+    df.groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user: a session closes after `gap` of
+    * inactivity; end = last event + gap (Spark semantics; the DuckDB
+    * oracle reproduces it with an islands query). */
+  def sessionCounts(df: DataFrame, gap: String = "1 hour"): DataFrame =
+    df.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // --------------------------------------------------------------------
+  // Streaming-only plans (watermarked state)
+  // --------------------------------------------------------------------
+
+  /** Streaming tumbling aggregation with watermark: in append mode a
+    * window emits once the watermark passes its end, and events later
+    * than `delay` behind the max seen ts are dropped — bounded state at
+    * any input volume. */
+  def streamingTumblingCounts(stream: DataFrame, every: String,
+                              delay: String): DataFrame =
+    tumblingCounts(stream.withWatermark("ts", delay), every)
+
+  /** Streaming exact dedup by event id with watermarked state eviction
+    * (without the watermark, dedup state grows forever). */
+  def streamingDedup(stream: DataFrame, delay: String): DataFrame =
+    stream.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful operator: per-user running totals via
+    * flatMapGroupsWithState (update mode, processing-time timeout left
+    * to the caller's trigger policy). The state per key is O(1). */
+  def runningUserTotals(stream: Dataset[Ev]): Dataset[UserRunning] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          evs.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(uid, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Events.Ev
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("batch and streaming tumbling aggregations agree") {
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:20:00"), 2, "click", 2.0),
+      Ev(3, ts("2024-01-01 00:40:00"), 1, "view", 3.0),
+      Ev(4, ts("2024-01-01 01:10:00"), 2, "click", 4.0))
+    val batch = Events.tumblingCounts(evs.toDF(), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(batch((ts("2024-01-01 00:00:00"), "click")) === ((2L, 3.0)))
+    assert(batch((ts("2024-01-01 01:00:00"), "click")) === ((1L, 4.0)))
+
+    val mem = MemoryStream[Ev]
+    val q = Events.streamingTumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the allowed delay (append mode)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamingTumblingCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wm_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [00:00, 01:00) gets 2 events
+      mem.addData(Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      mem.addData(Ev(2, ts("2024-01-01 00:50:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the window end -> window finalizes
+      mem.addData(Ev(3, ts("2024-01-01 03:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_stream")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .collect()
+      assert(afterClose.length === 1 && afterClose.head.getLong(3) === 2L)
+      // a straggler for the closed window must be DROPPED, not re-emitted
+      mem.addData(Ev(4, ts("2024-01-01 00:30:00"), 1, "click", 9.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("wm_stream")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .collect()
+      assert(afterLate.length === 1 && afterLate.head.getLong(3) === 2L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops re-deliveries of the same event id") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamingDedup(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val e = Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0)
+      mem.addData(e, e.copy(value = 99.0)) // same id+ts, different payload
+      mem.addData(e)                       // re-delivered in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() === 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 00:00:01"), 7, "click", 1.5))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts("2024-01-01 00:00:02"), 7, "view", 2.5))
+      q.processAllAvailable()
+      val last = spark.table("running_totals")
+        .filter($"user_id" === 7).orderBy($"n_events".desc).collect().head
+      assert(last.getLong(1) === 2L && last.getDouble(2) === 4.0)
+    } finally q.stop()
+  }
+
+  test("session windows: gap splits sessions, end = last + gap") {
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:30:00"), 1, "a", 1.0), // same session (30m gap)
+      Ev(3, ts("2024-01-01 02:00:00"), 1, "a", 1.0), // 90m gap -> new session
+      Ev(4, ts("2024-01-01 00:15:00"), 2, "a", 1.0)).toDF()
+    val out = Events.sessionCounts(evs, "1 hour")
+      .collect().map(r => (r.getLong(2), r.getTimestamp(0)) -> (r.getTimestamp(1), r.getLong(3))).toMap
+    assert(out((1L, ts("2024-01-01 00:00:00"))) === ((ts("2024-01-01 01:30:00"), 2L)))
+    assert(out((1L, ts("2024-01-01 02:00:00"))) === ((ts("2024-01-01 03:00:00"), 1L)))
+    assert(out((2L, ts("2024-01-01 00:15:00"))) === ((ts("2024-01-01 01:15:00"), 1L)))
+  }
+}
