@@ -292,7 +292,23 @@ object SparkEntry {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy(col("event_type"))
-        .agg(round(avg(col("k")), 4).as("avg_k"), count(col("k")).as("n")))
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(col("k")).as("n"))),
+
+    // --- Multimodal: binary payload + typed metadata -> batched
+    // per-partition feature extraction (decode stubbed; SQL-checkable
+    // columns oracle-verified, hash/intensity covered in spec).
+    "q34_media_features" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.mediaTable(Tables.documents(s, dir))
+      graft.ext.Multimodal.mediaFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"),
+          round(col("mean_intensity"), 4).as("mean_intensity"))
+    }),
+
+    // --- Multimodal: metadata-driven frame sampling (pure expressions).
+    "q35_frame_sample" -> ((s, dir) =>
+      graft.ext.Multimodal.frameSample(
+        graft.ext.Multimodal.mediaTable(Tables.documents(s, dir)), nth = 24))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -532,6 +548,22 @@ object SparkEntry {
       """SELECT event_type,
         |  round(avg(CAST(props ->> '$.k' AS INTEGER)), 4) AS avg_k,
         |  count(CAST(props ->> '$.k' AS INTEGER)) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // mean_intensity as codepoint-average is valid because the corpus is
+    // ASCII (verified): UTF-8 bytes == codepoints.
+    "q34_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(((doc_id % 64) + 1) * 16 AS INTEGER) AS width,
+        |  CAST(((doc_id % 48) + 1) * 16 AS INTEGER) AS height,
+        |  round(list_sum(list_transform(regexp_extract_all(text, '[\s\S]'),
+        |        c -> ascii(c))) * 1.0 / greatest(length(text), 1), 4) AS mean_intensity
+        |FROM documents""".stripMargin,
+    "q35_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((n_chars % 240) + 1 AS INTEGER) AS n_frames,
+        |  CAST(unnest(range(0, (n_chars % 240) + 1, 24)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
   )
 }
