@@ -123,16 +123,31 @@ object Dedup {
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket by band hash, pair within buckets. Shuffles
     * (band, hash, id) triples — docs × bands rows, never docs².
+    *
+    * `maxBucketSize` is the skew guard: a bucket with b members emits
+    * b²/2 pairs, so one degenerate bucket (every doc hashing together —
+    * e.g. a tiny shared vocabulary) turns the candidate step quadratic.
+    * Buckets above the cap carry no discriminative signal and are
+    * dropped, exactly like document-frequency pruning in the exact path.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = sigs.select(col("id"), col("sig"))
     val r = expr("size(sig)").cast(LongType) / bands
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int"))))))
       .toDF("id", "band", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val keep = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+          .select("band", "bucket")
+        banded.join(keep, Seq("band", "bucket"), "left_semi")
+      case None => banded
+    }
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val rgt = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -145,9 +160,12 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 3, numHashes: Int = 128,
-                   bands: Int = 32): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, ngram, numHashes)
-    val cand = lshCandidates(sigs, bands)
+                   bands: Int = 32,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    // signatures feed three plan branches (banding + both pair sides);
+    // cache so the shingle+minhash pass runs once, not three times
+    val sigs = minhashSignatures(df, id, text, ngram, numHashes).cache()
+    val cand = lshCandidates(sigs, bands, maxBucketSize)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast(DoubleType) / numHashes
     cand
@@ -216,16 +234,15 @@ object Dedup {
     * buckets make candidate generation linear in rows × tables.
     */
   def cosinePairs(df: DataFrame, id: String, vec: String, tau: Double): DataFrame = {
+    import graft.functions.Vectors
     val v = df.select(col(id).as("id"),
         col(vec).cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("norm", Vectors.norm(col("v")))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b"))
-    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (col("n_a") * col("n_b")))
+      .withColumn("cosine",
+        Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }

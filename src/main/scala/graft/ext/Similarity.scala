@@ -27,11 +27,10 @@ object Similarity {
   private def prep(df: DataFrame, id: String, vec: String,
                    idAs: String, vAs: String, nAs: String): DataFrame =
     df.select(col(id).as(idAs), col(vec).cast("array<double>").as(vAs))
-      .withColumn(nAs, sqrt(aggregate(
-        transform(col(vAs), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn(nAs, graft.functions.Vectors.norm(col(vAs)))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.Vectors.dot(a, b)
 
   /** Exact cosine top-k neighbors for each query vector.
     *

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for dense-vector arithmetic.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)`)
+  * allocates a lambda frame per element and never enters whole-stage
+  * codegen's tight loop — at 12.5M pairs × 64 dims that was ~46 s of the
+  * sf0.1 bench. These expressions generate a primitive double loop
+  * (`doGenCode`) and sit inside the codegen'd join stage: same semantics,
+  * ~an order of magnitude cheaper. This is the one place the built-in
+  * surface genuinely can't express the operation efficiently (SURVEY.md
+  * §7 "custom candidates").
+  *
+  * Null handling: null arrays propagate null (nullSafe*); null ELEMENTS
+  * are not supported (embeddings are dense) — callers must ensure
+  * non-null elements.
+  */
+final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ x² over a dense double array (codegen'd); see [[DotProduct]]. */
+final case class SquaredNorm(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, child)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqnorm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getDouble(i); s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SquaredNorm =
+    copy(child = newChild)
+}
+
+private[functions] object VectorExpressions {
+  def requireDoubleArrays(fn: String, exprs: Expression*): TypeCheckResult = {
+    val bad = exprs.filterNot(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<double> arguments, got " +
+        bad.map(_.dataType.simpleString).mkString(", "))
+  }
+}
+
+/** Column-API surface for the vector expressions. */
+object Vectors {
+  /** Dot product of two `array<double>` columns (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** L2 norm of an `array<double>` column (codegen'd). */
+  def norm(a: Column): Column =
+    sqrt(Bridge.column(SquaredNorm(Bridge.expression(a))))
+
+  /** Cosine similarity of two `array<double>` columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+}
