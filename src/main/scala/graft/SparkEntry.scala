@@ -312,7 +312,27 @@ object SparkEntry {
     // --- Multimodal: metadata-driven frame sampling (pure expressions).
     "q35_frame_sample" -> ((s, dir) =>
       graft.ext.Multimodal.frameSample(
-        graft.ext.Multimodal.mediaTable(Tables.documents(s, dir)), nth = 24))
+        graft.ext.Multimodal.mediaTable(Tables.documents(s, dir)), nth = 24)),
+
+    // --- SQL surface: spark.sql over registered views (same catalog
+    // names as the oracle's).
+    "q36_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(avg(o_totalprice), 4) AS avg_price
+              |FROM orders GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    // --- SQL surface: custom codegen expression callable from SQL via
+    // the function registry (GraftExtensions).
+    "q37_sql_vec" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.GraftExtensions.install(s)
+      s.sql("""SELECT vec_id,
+              |  round(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+              |                CAST(embedding AS ARRAY<DOUBLE>)), 4) AS sq_norm
+              |FROM embeddings""".stripMargin)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -573,6 +593,15 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST((n_chars % 240) + 1 AS INTEGER) AS n_frames,
         |  CAST(unnest(range(0, (n_chars % 240) + 1, 24)) AS INTEGER) AS frame_idx
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q36_sql" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q37_sql_vec" ->
+      """SELECT vec_id,
+        |  round(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[])), 4) AS sq_norm
+        |FROM embeddings""".stripMargin
   )
 }

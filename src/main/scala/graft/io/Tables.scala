@@ -53,6 +53,11 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Register every test table as a temp view so `spark.sql` works over
+    * the same catalog names the oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
   /** CSV ingestion with header + schema inference — the reference's S1
     * operator (`processor.rs:253-261`). The reference infers from the first
     * 100 rows; Spark scans the whole file by default, so `samplingRatio`

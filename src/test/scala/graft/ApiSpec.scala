@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{Sinks, Tables}
+import graft.profile.Profiler
+
+/** API-surface specs: SQL extension functions, JSON sinks, Insights
+  * serialization, CSV ingestion. */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL after install") {
+    GraftExtensions.install(spark)
+    Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT vec_dot(v, v) AS d, vec_sqnorm(v) AS n FROM vecs").collect().head
+    assert(r.getDouble(0) === 14.0 && r.getDouble(1) === 14.0)
+  }
+
+  test("json array sink matches the reference's response shape and cap") {
+    val df = spark.range(0, 500).selectExpr("id", "id * 2 AS dbl")
+    val json = Sinks.jsonArray(df, limit = 100)
+    val parsed = spark.read.json(Seq(json.stripPrefix("[").stripSuffix("]")
+      .split("(?<=\\}),(?=\\{)").toSeq: _*).toDS())
+    assert(parsed.count() === 100) // capped like the reference viz payload
+    assert(parsed.columns.sorted === Array("dbl", "id"))
+  }
+
+  test("json file sink round-trips") {
+    val dir = Files.createTempDirectory("graft-json").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.writeJson(df, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 2)
+    assert(back.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("insights JSON is valid and carries the reference field names") {
+    val df = Seq((1.0, 2.0, "x"), (2.0, 4.0, "y"), (3.0, 6.0, "x")).toDF("v", "w", "c")
+    val json = graft.profile.InsightsJson.render(Profiler.profile(df))
+    val parsed = spark.read.json(Seq(json).toDS())
+    assert(parsed.columns.sorted === Array("column_statistics", "correlations", "data_summary"))
+    val row = parsed.selectExpr("data_summary.row_count",
+      "data_summary.numeric_columns", "column_statistics[0].name",
+      "column_statistics[0].mean").collect().head
+    assert(row.getLong(0) === 3L)
+    assert(row.getSeq[String](1) === Seq("v", "w"))
+    assert(row.getString(2) === "v")
+    assert(row.getString(3) === "2.00") // "%.2f" string at the edge
+    assert(parsed.selectExpr("correlations.`v-w`").collect().head.getString(0)
+      === "1.0000") // perfectly linear fixture
+  }
+
+  test("csv source: header + inference, permissive on malformed rows") {
+    val p = Files.createTempDirectory("graft-csv").resolve("t.csv")
+    Files.writeString(p, "a,b,c\n1,x,2.5\n2,y,3.5\nnot_an_int,z,oops\n")
+    val df = Tables.csv(spark, p.toString)
+    assert(df.columns === Array("a", "b", "c"))
+    assert(df.count() === 3) // malformed row kept as nulls, not a failure
+    val types = df.schema.fields.map(_.dataType.simpleString).toSeq
+    assert(types.head === "string" || types.head === "int") // inference ran
+  }
+}
