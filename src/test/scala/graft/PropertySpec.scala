@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model._
+import graft.model.ColumnOperation._
+import graft.profile.Profiler
+import graft.query.QueryCompiler
+
+/** Property-based invariants (SURVEY.md §5.3). Spark jobs are not cheap,
+  * so properties run with a reduced case count but unconstrained data.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatest bridge in the
+    * offline cache): n samples from fixed seeds. */
+  private def samples[T](g: Gen[T], n: Int = 8): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    samples(g).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(Gen.zip(g1, g2)).foreach { case (a, b) => f(a, b) }
+
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private val rows = Gen.listOfN(40,
+    Gen.zip(Gen.chooseNum(-1000.0, 1000.0), Gen.oneOf("a", "b", "c")))
+
+  test("filter(p) and filter(not p) partition any table") {
+    forAll(rows, Gen.chooseNum(-1000.0, 1000.0)) { (data, threshold) =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("v", "c")
+        val p = QueryCompiler.compile(df, StructuredQuery(QueryIntent.Filter,
+          operations = Seq(Filter("v", CompareOp.Ge, threshold.toString)))).count()
+        val np = QueryCompiler.compile(df, StructuredQuery(QueryIntent.Filter,
+          operations = Seq(Filter("v", CompareOp.Lt, threshold.toString)))).count()
+        assert(p + np === data.size.toLong)
+      }
+    }
+  }
+
+  test("sort is a permutation of the input") {
+    forAll(rows) { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("v", "c")
+        val out = QueryCompiler.compile(df, StructuredQuery(QueryIntent.Sort,
+          operations = Seq(SortBy("v", ascending = true))))
+          .select("v").as[Double].collect().toSeq
+        assert(out === out.sorted)
+        assert(out === data.map(_._1).sorted)
+      }
+    }
+  }
+
+  test("profiler invariants: null bounds, quantile monotonicity, |corr| <= 1") {
+    forAll(Gen.listOfN(30, Gen.zip(Gen.chooseNum(-100.0, 100.0),
+      Gen.option(Gen.chooseNum(-100.0, 100.0))))) { data =>
+      whenever(data.size >= 3) {
+        val df = data.toDF("x", "y")
+        val stats = Profiler.numericStatsDF(df, Seq("x", "y")).collect()
+          .map(r => r.getString(0) -> r).toMap
+        val n = data.size.toLong
+        val yNulls = stats("y").getLong(1)
+        assert(yNulls >= 0L && yNulls <= n)
+        val sx = stats("x")
+        assert(sx.getDouble(6) <= sx.getDouble(7) && sx.getDouble(7) <= sx.getDouble(8))
+        if (data.count(_._2.isDefined) >= 2) {
+          Profiler.correlationsDF(df, Seq("x", "y")).collect()
+            .filterNot(_.isNullAt(1))
+            .foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+        }
+      }
+    }
+  }
+
+  test("dedup exact: survivors count = distinct texts; idempotent") {
+    forAll(Gen.listOfN(25, Gen.oneOf("t1", "t2", "t3", "t4 longer text"))) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val once = graft.ext.Dedup.exactDedup(df, "doc_id", "text")
+        assert(once.count() === texts.distinct.size.toLong)
+        assert(graft.ext.Dedup.exactDedup(once, "doc_id", "text").count()
+          === once.count())
+      }
+    }
+  }
+
+  test("vector algebra: symmetry and Cauchy-Schwarz") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+    forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.functions.Vectors.dot($"a", $"b"),
+        graft.functions.Vectors.dot($"b", $"a"),
+        graft.functions.Vectors.norm($"a"),
+        graft.functions.Vectors.norm($"b")).collect().head
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(math.abs(r.getDouble(0)) <= r.getDouble(2) * r.getDouble(3) + 1e-9)
+    }
+  }
+}
