@@ -168,7 +168,8 @@ object SparkEntry {
     // recall/precision asserted against jaccardPairs in DedupSpec).
     "q17_minhash_pairs" -> ((s, dir) =>
       graft.ext.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          tau = 0.5, ngram = 3, maxBucketSize = Some(1000))
+          tau = 0.5, ngram = 3, numHashes = 64, bands = 16,
+          maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
     // --- Dedup: SimHash fingerprints + banded Hamming pairs (rows-only).

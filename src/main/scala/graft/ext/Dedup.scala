@@ -106,15 +106,23 @@ object Dedup {
   // MinHash + LSH
   // --------------------------------------------------------------------
 
-  /** k minhashes per doc from seeded xxhash64 over shingles — ONE
-    * groupBy with k `min` aggregates (map-side partial), signature is
-    * k×8 bytes regardless of document size.
+  /** k minhashes per doc — ONE groupBy with k `min` aggregates (map-side
+    * partial), signature is k×8 bytes regardless of document size.
+    *
+    * Each shingle is hashed ONCE (xxhash64 over the string); the k hash
+    * functions re-hash that 8-byte base with per-function seeds.
+    * Hashing the string k times was k× the string-scan cost — at 1.5M
+    * shingles × 128 hashes that was the dominant term of the whole
+    * sketch path. (Multiply-add universal mixing would be cheaper still
+    * but ANSI mode rejects wrap-around long arithmetic.)
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         ngram: Int = 3, numHashes: Int = 128): DataFrame = {
     val sh = shinglesDF(df, id, text, ngram)
-    val mins: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val mins: Seq[Column] = (0 until numHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i")
+    }
     sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))

@@ -106,37 +106,45 @@ object TextAnalysis {
   }
 
   /** Detected language per document: trigram-profile vote with a CJK
-    * codepoint-ratio override. Profile table is broadcast; the only
-    * shuffle is the per-doc score aggregation.
+    * codepoint-ratio override.
+    *
+    * Entirely map-side: per-language hit counts are `array_contains`
+    * filters over the row's trigram array against literal profiles
+    * (~25 trigrams × 4 languages), argmax is a sorted struct array.
+    * No explode, no join, no shuffle — at 100 TB this is a projection
+    * over the scan, nothing more. (The first version exploded trigrams
+    * into a broadcast join + per-doc aggregation + window: three
+    * shuffles that this formulation deletes.)
     */
   def languageId(df: DataFrame, id: String, text: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val profiles = TrigramProfiles.toSeq
-      .flatMap { case (lang, tgs) => tgs.map(t => (lang, t)) }
-      .toDF("lang", "trigram")
+    val norm = regexp_replace(regexp_replace(lower(col(text)), "[^\\p{L} ]", " "),
+      " +", " ")
+    val tri = when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
 
-    val scores = charTrigrams(df, id, text)
-      .join(broadcast(profiles), Seq("trigram"))
-      .groupBy(col("id"), col("lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy("id").orderBy(col("hits").desc, col("lang").asc)
-    val best = scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("lang").as("latin_lang"), col("hits"))
+    val langs = TrigramProfiles.keys.toSeq.sorted
+    val hitCols = langs.map { l =>
+      val profile = array(TrigramProfiles(l).map(lit): _*)
+      size(filter(col("__tri"), t => array_contains(profile, t))).as(s"__h_$l")
+    }
+    // ascending sort of (-hits, lang): max hits first, lang asc on ties
+    val ranked = sort_array(array(langs.map(l =>
+      struct((-col(s"__h_$l")).as("nh"), lit(l).as("lang"))): _*)).getItem(0)
 
-    val cjk = df.select(col(id).as("id"),
-      (size(regexp_extract_all(col(text), lit("[\\u4e00-\\u9fff]"), lit(0)))
-        .cast(DoubleType) / greatest(length(col(text)), lit(1)).cast(DoubleType))
-        .as("cjk_ratio"),
-      size(filter(split(col(text), "\\s+"), t => length(t) > 0)).as("n_toks"))
+    val cjkRatio =
+      size(regexp_extract_all(col("__t"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+        .cast(DoubleType) / greatest(length(col("__t")), lit(1)).cast(DoubleType)
+    val nToks = size(filter(split(col("__t"), "\\s+"), t => length(t) > 0))
 
-    cjk.join(best, Seq("id"), "left")
-      .select(col("id").as(id),
-        when(col("cjk_ratio") > 0.05, lit("zh"))
-          .otherwise(coalesce(col("latin_lang"), lit("und"))).as("detected_lang"),
-        round(coalesce(col("hits").cast(DoubleType) / greatest(col("n_toks"), lit(1)),
-          lit(0.0)), 4).as("confidence"))
+    df.select(col(id), col(text).as("__t"), tri.as("__tri"))
+      .select(col(id) +: col("__t") +: hitCols: _*)
+      .select(col(id),
+        when(cjkRatio > 0.05, lit("zh"))
+          .otherwise(when(ranked.getField("nh") === 0, lit("und"))
+            .otherwise(ranked.getField("lang"))).as("detected_lang"),
+        round((-ranked.getField("nh")).cast(DoubleType) /
+          greatest(nToks, lit(1)), 4).as("confidence"))
   }
 
   // --------------------------------------------------------------------
