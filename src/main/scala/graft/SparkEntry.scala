@@ -324,6 +324,17 @@ object SparkEntry {
               |FROM orders GROUP BY o_orderpriority""".stripMargin)
     }),
 
+    // --- Skew tool: salted join, row-identical to the plain join the
+    // oracle runs (salt spreads each hot key over N reducers).
+    "q38_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ext.Joins.saltedJoin(li, ords, "l_orderkey", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
     // --- SQL surface: custom codegen expression callable from SQL via
     // the function registry (GraftExtensions).
     "q37_sql_vec" -> ((s, dir) => {
@@ -603,6 +614,11 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(list_inner_product(CAST(embedding AS DOUBLE[]),
         |                           CAST(embedding AS DOUBLE[])), 4) AS sq_norm
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    "q38_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -64,6 +64,25 @@ object Events {
   def streamingDedup(stream: DataFrame, delay: String): DataFrame =
     stream.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
 
+  /** Stream-stream interval join: pair each left event with right
+    * events of the same user arriving within `within` after it. Both
+    * sides carry watermarks so the join state is bounded (rows older
+    * than watermark + interval are evicted) — without the time bound
+    * and watermarks a stream-stream join would buffer forever.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       delay: String, within: String): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", delay)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+  }
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)

@@ -1,0 +1,57 @@
+package graft.ext
+
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join") {
+    // skewed: 90% of the big side carries key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong % 7, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (6L, "e"), (0L, "f")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = Joins.saltedJoin(big, small, "k", salt = 8)
+    assert(salted.count() === plain.count())
+    val a = plain.groupBy("k", "name").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = salted.groupBy("k", "name").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("salted join spreads a hot key across reducers") {
+    val big = (1 to 2000).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val small = Seq((1L, "only")).toDF("k", "name")
+    // hot key 1 appears with 8 distinct salt values -> 8 shuffle keys
+    val saltKeys = big.withColumn("__salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.struct($"k", $"v")),
+          org.apache.spark.sql.functions.lit(8)))
+      .select("__salt").distinct().count()
+    assert(saltKeys === 8)
+    assert(Joins.saltedJoin(big, small, "k", 8).count() === 2000)
+  }
+
+  test("bucketed tables join without a shuffle (co-located)") {
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lines")
+    val orders = (1L to 200L).map(k => (k, s"p${k % 5}")).toDF("okey", "prio")
+    val lines = (1L to 1000L).map(i => (i % 200 + 1, i.toDouble)).toDF("okey", "qty")
+    orders.write.bucketBy(4, "okey").sortBy("okey").saveAsTable("bkt_orders")
+    lines.write.bucketBy(4, "okey").sortBy("okey").saveAsTable("bkt_lines")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_lines").join(spark.table("bkt_orders"), "okey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}

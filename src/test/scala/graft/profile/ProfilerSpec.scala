@@ -64,6 +64,18 @@ class ProfilerSpec extends SparkSpec {
     assert(ins.correlations.keySet === Set("x-y"))
   }
 
+  test("approx path (exact=false) tracks exact percentiles closely") {
+    val big = spark.range(0, 10000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val exact = Profiler.numericStatsDF(big, Seq("v"), exact = true).collect().head
+    val approx = Profiler.numericStatsDF(big, Seq("v"), exact = false).collect().head
+    // p25/median/p75 within 1% of the exact values on uniform data
+    Seq(6, 7, 8).foreach { i =>
+      assert(math.abs(exact.getDouble(i) - approx.getDouble(i))
+        <= 0.01 * 10000, s"field $i diverged")
+    }
+    assert(exact.getDouble(2) === approx.getDouble(2)) // min is exact in both
+  }
+
   test("profile of a single-row table does not crash (std dev undefined)") {
     val one = Seq((1.0, "z")).toDF("v", "c")
     val ins = Profiler.profile(one)

@@ -98,6 +98,27 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the bound only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = Events.streamStreamJoin(clicks.toDF(), views.toDF(),
+        delay = "10 minutes", within = "5 minutes")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0))
+      views.addData(
+        Ev(10, ts("2024-01-01 00:03:00"), 7, "view", 1.0),  // within 5m -> joins
+        Ev(11, ts("2024-01-01 00:09:00"), 7, "view", 1.0),  // outside -> no
+        Ev(12, ts("2024-01-01 00:03:30"), 8, "view", 1.0))  // other user -> no
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("session windows: gap splits sessions, end = last + gap") {
     val evs = Seq(
       Ev(1, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
