@@ -27,6 +27,7 @@ import graft.model.ColumnOperation._
 object QueryCompiler {
 
   def compile(df: DataFrame, q: StructuredQuery): DataFrame = {
+    validateColumns(df, q)
     val filtered = applyFilters(df, q.operations)
     q.intent match {
       case QueryIntent.Aggregate =>
@@ -44,6 +45,26 @@ object QueryCompiler {
         // Reference caps viz payloads at 100 rows (`:459-461`).
         project(applySorts(filtered, q.operations), q.columns).limit(100)
     }
+  }
+
+  /** Fail fast with ALL unknown columns and the available schema — the
+    * reference surfaces nothing (a bad column becomes a Polars panic
+    * deep in `apply_operations`); an NL-driven surface needs a
+    * recoverable, explicit error.
+    */
+  private def validateColumns(df: DataFrame, q: StructuredQuery): Unit = {
+    val referenced = q.columns ++ q.operations.collect {
+      case Mean(c) => c
+      case Sum(c) => c
+      case Count(c) => c
+      case GroupBy(c) => c
+      case SortBy(c, _) => c
+      case Filter(c, _, _) => c
+    }
+    val missing = referenced.distinct.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"unknown column(s): ${missing.mkString(", ")}; " +
+        s"available: ${df.columns.mkString(", ")}")
   }
 
   /** AND-compose all Filter operations into one predicate

@@ -93,6 +93,15 @@ class QueryCompilerSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet === Set("a", "b", "c"))
   }
 
+  test("unknown columns fail fast with the full list and schema") {
+    val e = intercept[IllegalArgumentException] {
+      QueryCompiler.compile(df, StructuredQuery(QueryIntent.Aggregate,
+        operations = Seq(Mean("nope"), Sum("also_nope"))))
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("also_nope"))
+    assert(e.getMessage.contains("available"))
+  }
+
   test("filter literal comparison is numeric, not lexicographic") {
     // "9" > "10" as strings; as numbers 9 < 10 — typed cast must win.
     val d2 = Seq((9.0), (10.0), (100.0)).toDF("v")
