@@ -159,6 +159,9 @@ object SparkEntry {
     // truth for the sketch path; shared trigrams are sparse so the
     // candidate join is near-linear — unlike unigrams on this corpus's
     // 31-word vocabulary, where every token pairs every doc).
+    // (jaccardPairsPrefix exists as the heavy-df scale path; on THIS
+    // corpus shared shingles are sparse and the plain join measured
+    // faster — 11.5s vs 15.7s at sf0.1 — so the simple form is bound.)
     "q16_jaccard_pairs" -> ((s, dir) =>
       graft.ext.Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           tau = 0.5, ngram = 3)

@@ -102,6 +102,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (the ppjoin-family
+    * optimization from the distributed set-similarity-join literature,
+    * PAPERS.md): order each document's shingles by ascending global
+    * frequency; two sets with J >= tau MUST share a token within each
+    * other's first `n - ceil(tau*n) + 1` tokens, so the candidate join
+    * runs only on those prefixes (rarest tokens first → tiny candidate
+    * lists). Candidates are then verified exactly with a single
+    * `array_intersect` over the full sorted shingle arrays.
+    *
+    * Same results as [[jaccardPairs]] (asserted in DedupSpec), but the
+    * token join touches |prefix| ≈ (1-tau)·n rows per doc instead of n,
+    * and hot (frequent) tokens — the skew source — are precisely the
+    * ones excluded from prefixes.
+    */
+  def jaccardPairsPrefix(df: DataFrame, id: String, text: String, tau: Double,
+                         ngram: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val t =
+      if (ngram <= 1) tokensDF(df, id, text)
+      else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
+    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc shingles ordered (df asc, tok asc); full array kept for
+    // exact verification, prefix exploded for candidate generation
+    val ordered = t.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("id"), transform(col("sorted"), s => s.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+    val prefixes = ordered.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val a = prefixes.select(col("id").as("id_a"), col("tok"))
+    val b = prefixes.select(col("id").as("id_b"), col("tok"))
+    val cand = a.join(b, a("tok") === b("tok") && a("id_a") < b("id_b"))
+      .select("id_a", "id_b").distinct()
+    val setsA = ordered.select(col("id").as("id_a"), col("toks").as("toks_a"),
+      col("n").as("n_a"))
+    val setsB = ordered.select(col("id").as("id_b"), col("toks").as("toks_b"),
+      col("n").as("n_b"))
+    cand.join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // --------------------------------------------------------------------
   // MinHash + LSH
   // --------------------------------------------------------------------

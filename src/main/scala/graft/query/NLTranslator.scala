@@ -34,12 +34,26 @@ object NLTranslator {
         .orElse(numericCols.headOption)
         .getOrElse(schema.fields.head.name)
 
-    if (q.contains("average") || q.contains("mean"))
-      StructuredQuery(QueryIntent.Aggregate, operations = Seq(Mean(target)))
-    else if (q.contains("sum") || q.contains("total"))
-      StructuredQuery(QueryIntent.Aggregate, operations = Seq(Sum(target)))
-    else if (q.contains("count") || q.contains("how many"))
-      StructuredQuery(QueryIntent.Aggregate, operations = Seq(Count(target)))
+    // "<agg> X by Y" / "<agg> X per Y": group on the column mentioned
+    // after by/per, aggregate the other mentioned (or first numeric) one.
+    def grouped(mk: String => ColumnOperation): StructuredQuery = {
+      val byCol = "(?:\\bby\\b|\\bper\\b)\\s+(.*)".r.findFirstMatchIn(q)
+        .flatMap(m => mentionedColumns(m.group(1), schema).headOption)
+      byCol match {
+        case Some(g) =>
+          val measure = mentioned.filterNot(_ == g).headOption
+            .orElse(numericCols.filterNot(_ == g).headOption)
+            .getOrElse(schema.fields.head.name)
+          StructuredQuery(QueryIntent.Aggregate,
+            operations = Seq(GroupBy(g), mk(measure)))
+        case None =>
+          StructuredQuery(QueryIntent.Aggregate, operations = Seq(mk(target)))
+      }
+    }
+
+    if (q.contains("average") || q.contains("mean")) grouped(Mean)
+    else if (q.contains("sum") || q.contains("total")) grouped(Sum)
+    else if (q.contains("count") || q.contains("how many")) grouped(Count)
     else if (q.contains("group"))
       StructuredQuery(QueryIntent.Aggregate,
         operations = mentioned.headOption.map(GroupBy).toSeq)

@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered jaccard equals the full token join") {
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.5, ngram = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    assert(full === pref)
+  }
+
+  test("prefix-filtered jaccard equals full join on the real corpus (3-gram)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.jaccardPairsPrefix(real, "doc_id", "text", 0.5, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === pref)
+    assert(full.nonEmpty) // the corpus plants near-dups; empty would be vacuous
+  }
+
   test("ngram shingles: doc shorter than n becomes one whole-text shingle") {
     val short = Seq((1L, "tiny doc")).toDF("doc_id", "text")
     val sh = Dedup.shinglesDF(short, "doc_id", "text", 3).collect()

@@ -137,4 +137,15 @@ class NLTranslatorSpec extends SparkSpec {
     val q = NLTranslator.translate("average?", schema)
     assert(q.operations === Seq(ColumnOperation.Mean("price")))
   }
+
+  test("'<agg> X by Y' produces a grouped aggregate") {
+    import ColumnOperation._
+    val q = NLTranslator.translate("average price by name", schema)
+    assert(q.operations === Seq(GroupBy("name"), Mean("price")))
+    val q2 = NLTranslator.translate("total quantity per name", schema)
+    assert(q2.operations === Seq(GroupBy("name"), Sum("quantity")))
+    // no group column mentioned after 'by' -> plain scalar aggregate
+    val q3 = NLTranslator.translate("average price by the way", schema)
+    assert(q3.operations === Seq(Mean("price")))
+  }
 }
