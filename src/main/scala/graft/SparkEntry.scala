@@ -318,6 +318,23 @@ object SparkEntry {
       graft.ext.Multimodal.frameSample(
         graft.ext.Multimodal.mediaTable(Tables.documents(s, dir)), nth = 24)),
 
+    // --- End-to-end training-data pipeline: exact dedup -> quality
+    // gate -> per-language corpus stats. The composed plan stays one
+    // DAG: dedup digest shuffle, map-side quality arithmetic, one
+    // final aggregation.
+    "q39_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val surviving = graft.ext.Dedup.exactDedup(docs, "doc_id", "text")
+      val quality = graft.ext.TextAnalysis
+        .qualityScore(surviving, "doc_id", "text")
+        .filter(col("quality_score") >= 0.55)
+        .select("doc_id")
+      surviving.join(quality, Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+    }),
+
     // --- SQL surface: spark.sql over registered views (same catalog
     // names as the oracle's).
     "q36_sql" -> ((s, dir) => {
@@ -622,6 +639,35 @@ object SparkEntry {
       """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q39_pipeline" -> {
+      val stop = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (SELECT documents.* FROM documents JOIN surv USING (doc_id)),
+         |t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    length(text) * 1.0 AS nc,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 AS punct
+         |  FROM d),
+         |u AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |    CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN len(list_filter(toks, x -> list_contains($stop, x))) * 1.0 / len(toks)
+         |      ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    0.4 * least(n_tokens, 100.0) / 100.0
+         |      + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+         |      + 0.3 * least(stopword_ratio * 4.0, 1.0) AS quality_score
+         |  FROM u)
+         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+         |FROM scored WHERE quality_score >= 0.55
+         |GROUP BY lang""".stripMargin
+    }
   )
 }

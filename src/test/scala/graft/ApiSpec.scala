@@ -53,6 +53,21 @@ class ApiSpec extends SparkSpec {
       === "1.0000") // perfectly linear fixture
   }
 
+  test("partitioned parquet lake write: one directory per partition key") {
+    val out = Files.createTempDirectory("graft-lake").toString + "/docs"
+    val df = Seq((1L, "en", "a"), (2L, "fr", "b"), (3L, "en", "c"))
+      .toDF("doc_id", "lang", "text")
+    df.write.partitionBy("lang").mode("overwrite").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === Set("lang=en", "lang=fr"))
+    // partition pruning: a lang filter reads only that directory
+    val scan = spark.read.parquet(out).filter($"lang" === "en")
+    assert(scan.count() === 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || scan.inputFiles.forall(_.contains("lang=en")))
+  }
+
   test("csv source: header + inference, permissive on malformed rows") {
     val p = Files.createTempDirectory("graft-csv").resolve("t.csv")
     Files.writeString(p, "a,b,c\n1,x,2.5\n2,y,3.5\nnot_an_int,z,oops\n")
