@@ -203,6 +203,16 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // --- Similarity: IVF ANN (k-means coarse quantizer + cell probing;
+    // rows-only — recall vs brute force asserted in SimilaritySpec).
+    "q40_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Similarity.ivfCosineTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          nCells = 16, nProbe = 6)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // --- Text: token statistics (whitespace + BPE-ish regex), map-side.
     "q22_token_counts" -> ((s, dir) =>
       graft.ext.TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),

@@ -117,6 +117,61 @@ object Similarity {
       .toDF("id", "table", "bucket")
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query exact-ranks
+    * only the `nProbe` nearest cells' members. The complement of
+    * [[lshCosineTopK]]: IVF adapts to the data distribution (cells =
+    * learned clusters) where LSH is data-oblivious; both reduce
+    * per-query cost from |corpus| to a candidate subset.
+    *
+    * The quantizer trains on the corpus via MLlib KMeans (seeded,
+    * deterministic); assignment is a broadcast of `nCells` centroids —
+    * at 100 TB the centroids stay driver-small while assignment and
+    * ranking remain fully distributed map-side work + one top-k.
+    */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val c = prep(corpus, id, vec, "id", "v", "norm")
+      .withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(c)
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    // assignment = argmin over broadcast centroid literals (euclidean);
+    // expressed as a sorted struct array, no UDF
+    def cellOf(vCol: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+        val lit_c = array(ctr.map(lit): _*)
+        val diff2 = aggregate(zip_with(vCol, lit_c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(diff2.as("d"), lit(i).as("cell"))
+      }
+      sort_array(array(dists: _*))
+    }
+
+    val assigned = c.select(col("id"), col("v"), col("norm"),
+      cellOf(col("v")).getItem(0).getField("cell").as("cell"))
+    val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+      .withColumn("cells", slice(cellOf(col("qv")), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qnorm"),
+        explode(transform(col("cells"), s => s.getField("cell"))).as("cell"))
+
+    val sims = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .select("qid", "id", "cosine")
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** ANN top-k: LSH-bucket join for candidates, exact cosine rank on the
     * candidate set only. Recall grows with `tables`; cost per query is
     * the candidate set size, not the corpus.

@@ -54,6 +54,19 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head._1 === 1L) // e1 is nearly colinear with e0 -> must be found
   }
 
+  test("ivf ANN recall on the real embeddings table vs brute force") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 5L)
+    val exact = Similarity.bruteForceTopK(real, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(real, queries, "vec_id", "embedding", 10,
+        nCells = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.3f")
+    assert(recall >= 0.4, s"recall $recall below floor")
+  }
+
   test("lsh recall on the real embeddings table (sf0.001) vs brute force") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = real.filter($"vec_id" < 5L)
