@@ -143,6 +143,19 @@ object SparkEntry {
     "q14_freq_values" -> ((s, dir) =>
       graft.profile.Profiler.frequentValuesDF(Tables.orders(s, dir), "o_orderpriority")),
 
+    // --- Date-column statistics (the reference only classifies dates).
+    "q41_date_stats" -> ((s, dir) =>
+      graft.profile.Profiler.dateStatsDF(Tables.orders(s, dir), Seq("o_orderdate"))),
+
+    // --- Equi-width histogram (viz payload for numeric columns).
+    "q42_histogram" -> ((s, dir) =>
+      graft.profile.Profiler.histogramDF(Tables.lineitem(s, dir), "l_extendedprice", 10)),
+
+    // --- Corpus vocabulary with counts + doc frequency (BPE vocab prep).
+    "q43_vocab" -> ((s, dir) =>
+      graft.ext.TextAnalysis.vocabularyDF(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 100L)),
+
     // --- U1: rule-based NL translation compiled end-to-end.
     "q10_nl_mean" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -465,6 +478,36 @@ object SparkEntry {
         |ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
     "q15_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q41_date_stats" ->
+      """SELECT 'o_orderdate' AS "column",
+        |  count(*) - count(o_orderdate) AS null_count,
+        |  CAST(min(o_orderdate) AS TIMESTAMP) AS min_ts,
+        |  CAST(max(o_orderdate) AS TIMESTAMP) AS max_ts,
+        |  count(DISTINCT CAST(o_orderdate AS DATE)) AS distinct_days
+        |FROM orders""".stripMargin,
+    "q42_histogram" ->
+      """WITH ext AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |         CAST(max(l_extendedprice) AS DOUBLE) AS mx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 10))
+        |                    AS INTEGER), 9) AS bucket, mn, mx
+        |  FROM lineitem, ext WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket,
+        |  round(mn + bucket * ((mx - mn) / 10), 6) AS lo,
+        |  round(mn + (bucket + 1) * ((mx - mn) / 10), 6) AS hi,
+        |  count(*) AS count
+        |FROM b GROUP BY bucket, mn, mx""".stripMargin,
+    "q43_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       t -> t <> '')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS occurrences,
+        |  count(DISTINCT doc_id) AS doc_freq
+        |FROM toks GROUP BY tok HAVING count(*) >= 100""".stripMargin,
     "q16_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -146,6 +146,21 @@ object TextAnalysis {
           greatest(nToks, lit(1)), 4).as("confidence"))
   }
 
+  /** Corpus vocabulary: per-token total occurrences and document
+    * frequency, thresholded — the input to tokenizer/BPE vocab
+    * construction. One explode + one aggregation (map-side partial);
+    * the threshold prunes the long tail before anything is collected.
+    */
+  def vocabularyDF(df: DataFrame, id: String, text: String,
+                   minCount: Long = 1L): DataFrame =
+    df.select(col(id).as("id"),
+        explode(split(lower(col(text)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("id")).as("doc_freq"))
+      .filter(col("occurrences") >= minCount)
+
   // --------------------------------------------------------------------
   // Document fingerprinting (rolling hash)
   // --------------------------------------------------------------------

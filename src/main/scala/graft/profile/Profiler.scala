@@ -1,6 +1,6 @@
 package graft.profile
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -123,6 +123,57 @@ object Profiler {
         element_at(col(s"${c}__q"), 3).as("percentile_75"))
     }
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** Date/timestamp column statistics in one pass: null count, min/max,
+    * distinct days. The reference classifies date columns but computes
+    * no statistics for them (`processor.rs:289` only buckets); actual
+    * temporal range/coverage is what a profiling user needs.
+    */
+  def dateStatsDF(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.filter(f => isDate(f.dataType)).map(_.name).toSeq
+    require(cols.nonEmpty, "no date/timestamp columns to profile")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        countDistinct(to_date(col(c))).as(s"${c}__days"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("null_count"),
+        col(s"${c}__min").cast("timestamp").as("min_ts"),
+        col(s"${c}__max").cast("timestamp").as("max_ts"),
+        col(s"${c}__days").as("distinct_days"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
+  /** Equi-width histogram of a numeric column: two passes (extent, then
+    * a map-side bucket assignment + one aggregation). Buckets are
+    * [lo, hi) except the last, which closes at max.
+    */
+  def histogramDF(df: DataFrame, column: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val Row(mn: Double, mx: Double) = df
+      .agg(min(col(column)).cast(DoubleType), max(col(column)).cast(DoubleType))
+      .head()
+    val width = if (mx > mn) (mx - mn) / bins else 1.0
+    val bucket = least(
+      floor((col(column).cast(DoubleType) - lit(mn)) / lit(width)).cast("int"),
+      lit(bins - 1))
+    df.filter(col(column).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("count"))
+      .select(col("bucket"),
+        round(lit(mn) + col("bucket") * lit(width), 6).as("lo"),
+        round(lit(mn) + (col("bucket") + 1) * lit(width), 6).as("hi"),
+        col("count"))
   }
 
   /** A5+A6 for ALL columns in one pass: null count + exact distinct

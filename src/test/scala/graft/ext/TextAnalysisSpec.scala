@@ -39,6 +39,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("vocabulary: occurrences vs doc frequency, threshold prunes") {
+    val df = Seq(
+      (1L, "spark spark flink"),
+      (2L, "spark beam")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabularyDF(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("spark") === ((3L, 2L))) // 3 occurrences in 2 docs
+    assert(v("flink") === ((1L, 1L)))
+    val thresholded = TextAnalysis.vocabularyDF(df, "doc_id", "text", minCount = 2)
+      .collect().map(_.getString(0))
+    assert(thresholded === Array("spark"))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

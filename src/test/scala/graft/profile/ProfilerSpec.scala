@@ -76,6 +76,30 @@ class ProfilerSpec extends SparkSpec {
     assert(exact.getDouble(2) === approx.getDouble(2)) // min is exact in both
   }
 
+  test("date stats: range, nulls, distinct days") {
+    val d = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))),
+      (2L, Some(java.sql.Timestamp.valueOf("2024-01-01 23:00:00"))),
+      (3L, Some(java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))),
+      (4L, None)
+    ).toDF("id", "ts")
+    val r = Profiler.dateStatsDF(d, Seq("ts")).collect().head
+    assert(r.getLong(1) === 1L) // nulls
+    assert(r.getTimestamp(2) === java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(r.getTimestamp(3) === java.sql.Timestamp.valueOf("2024-03-05 00:00:00"))
+    assert(r.getLong(4) === 2L) // distinct days
+  }
+
+  test("histogram: counts cover all rows, max lands in last bucket, constant col safe") {
+    val d = (1 to 100).map(_.toDouble).toDF("v")
+    val h = Profiler.histogramDF(d, "v", 10).collect()
+    assert(h.map(_.getLong(3)).sum === 100L)
+    assert(h.map(_.getInt(0)).toSet === (0 to 9).toSet) // max(100) in bucket 9
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val hc = Profiler.histogramDF(const, "v", 4).collect()
+    assert(hc.map(_.getLong(3)).sum === 3L) // no div-by-zero
+  }
+
   test("profile of a single-row table does not crash (std dev undefined)") {
     val one = Seq((1.0, "z")).toDF("v", "c")
     val ins = Profiler.profile(one)
