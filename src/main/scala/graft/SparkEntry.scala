@@ -164,6 +164,26 @@ object SparkEntry {
       r.select(r.columns.map(c => round(col(c), 4).as(c)): _*)
     }),
 
+    // --- distinct / dropDuplicates (declared absent in the reference).
+    "q44_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()),
+
+    // --- ROLLUP: hierarchical subtotals + grand total in one pass.
+    "q45_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // --- pivot: per-linestatus revenue columns.
+    "q46_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_extendedprice")), 2))),
+
     // --- Dedup: exact content-hash survivors (shuffles digests, not docs).
     "q15_exact_dedup" -> ((s, dir) =>
       graft.ext.Dedup.exactSurvivors(Tables.documents(s, dir), "doc_id", "text")),
@@ -478,6 +498,18 @@ object SparkEntry {
         |ORDER BY count DESC, value ASC LIMIT 10""".stripMargin,
     "q15_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q44_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q45_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q46_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS "F",
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q41_date_stats" ->
       """SELECT 'o_orderdate' AS "column",
         |  count(*) - count(o_orderdate) AS null_count,
