@@ -378,6 +378,18 @@ object SparkEntry {
           round(avg(col("n_chars")), 4).as("avg_chars"))
     }),
 
+    // --- As-of join: latest same-user 'error' at or before each
+    // 'click' (union-scan formulation, one shuffle; DuckDB native
+    // ASOF JOIN as oracle).
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "event_id", "ts")
+      graft.ext.Joins.asofJoin(clicks, errors, "user_id", "ts", "ts")
+    }),
+
     // --- SQL surface: spark.sql over registered views (same catalog
     // names as the oracle's).
     "q36_sql" -> ((s, dir) => {
@@ -725,6 +737,13 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q47_asof_join" ->
+      """SELECT l.user_id, l.event_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        |  r.event_id AS event_id_r, CAST(r.ts AS TIMESTAMP) AS ts_r
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |ON l.user_id = r.user_id
+        |  AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)""".stripMargin,
     "q39_pipeline" -> {
       val stop = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH surv AS (

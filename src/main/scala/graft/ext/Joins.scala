@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join strategies for skew and co-location at cluster scale.
@@ -30,5 +31,44 @@ object Joins {
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** As-of (point-in-time) LEFT join: each left row is paired with the
+    * LATEST right row of the same `key` whose `rightTime` <= the left
+    * row's `leftTime` (or nulls if none). The operator Spark lacks
+    * natively and a naive range join makes quadratic.
+    *
+    * Implementation is the union-scan formulation: tag both sides, sort
+    * within key by (time, side — right first at equal timestamps, so
+    * "at or before" includes ties), and carry the right payload forward
+    * with `last(_, ignoreNulls)` over an unbounded-preceding frame.
+    * ONE shuffle + sort over |L|+|R| rows, no row-pair blowup — the
+    * shape that survives a 100 TB event table. Right payload columns
+    * get `suffix`; left and right must not collide after suffixing.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               suffix: String = "_r"): DataFrame = {
+    val lPayload = left.columns.filterNot(_ == key).toSeq
+    val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
+    val rOut = rPayload.map(_ + suffix) :+ (rightTime + suffix)
+
+    val lSide = left.select(
+      Seq(col(key), col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side")) ++
+        lPayload.map(col) ++
+        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c + suffix)) :+
+        lit(null).cast("timestamp").as(rightTime + suffix): _*)
+    val rSide = right.select(
+      Seq(col(key), col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side")) ++
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rPayload.map(c => col(c).as(c + suffix)) :+
+        col(rightTime).cast("timestamp").as(rightTime + suffix): _*)
+
+    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lSide.unionByName(rSide)
+      .select(col(key) +: col("__side") +:
+        lPayload.map(col) ++: rOut.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__side") === 1).drop("__side")
   }
 }

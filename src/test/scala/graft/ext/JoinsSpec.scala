@@ -36,6 +36,29 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.saltedJoin(big, small, "k", 8).count() === 2000)
   }
 
+  test("asof join picks the latest right row at or before each left row") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 00:00:10"), 100.0),
+      (1L, ts("2024-01-01 00:00:20"), 101.0),
+      (2L, ts("2024-01-01 00:00:15"), 50.0)
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 00:00:05"), "early"),  // before any quote -> null
+      (1L, ts("2024-01-01 00:00:10"), "tie"),    // == quote ts -> included
+      (1L, ts("2024-01-01 00:00:25"), "late"),   // latest quote 101
+      (2L, ts("2024-01-01 00:00:30"), "other"),  // other key -> 50
+      (3L, ts("2024-01-01 00:00:30"), "nokey")   // no right rows -> null
+    ).toDF("k", "ts", "tag")
+    val out = Joins.asofJoin(trades, quotes, "k", "ts", "ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("px_r")).map(_.toDouble)).toMap
+    assert(out === Map(
+      "early" -> None, "tie" -> Some(100.0), "late" -> Some(101.0),
+      "other" -> Some(50.0), "nokey" -> None))
+  }
+
   test("bucketed tables join without a shuffle (co-located)") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lines")
