@@ -98,6 +98,30 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close after watermark passes gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.sessionCounts(
+        mem.toDF().withWatermark("ts", "10 minutes"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 7, "a", 1.0),
+        Ev(2, ts("2024-01-01 00:10:00"), 7, "a", 2.0)) // same session
+      q.processAllAvailable()
+      // watermark far past session end (00:40) -> session emits
+      mem.addData(Ev(3, ts("2024-01-01 02:00:00"), 8, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_stream")
+        .filter($"user_id" === 7).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getTimestamp(0) === ts("2024-01-01 00:00:00"))
+      assert(rows.head.getTimestamp(1) === ts("2024-01-01 00:40:00")) // last+gap
+      assert(rows.head.getLong(3) === 2L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the bound only") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Ev]
