@@ -98,6 +98,29 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: a parquet directory drives the same tumbling agg") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/events"
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:20:00"), 2, "click", 2.0),
+      Ev(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0))
+    val batchDF = evs.toDF()
+    batchDF.write.parquet(dir)
+    val expected = Events.tumblingCounts(batchDF, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+
+    val stream = spark.readStream.schema(batchDF.schema).parquet(dir)
+    val q = Events.streamingTumblingCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming session windows close after watermark passes gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
