@@ -378,6 +378,25 @@ object SparkEntry {
           round(avg(col("n_chars")), 4).as("avg_chars"))
     }),
 
+    // --- Range join: events into 2h maintenance windows (every 6h),
+    // binned equi-join + exact refine instead of a nested-loop range join.
+    "q48_range_join" -> ((s, dir) => {
+      val windows = s.range(0, 120).select(
+        col("id").as("window_id"),
+        (lit(1704067200L) + col("id") * 21600).cast("timestamp").as("lo"),
+        (lit(1704067200L) + col("id") * 21600 + 7200).cast("timestamp").as("hi"))
+      graft.ext.Joins.rangeJoinBinned(
+          Tables.events(s, dir), windows, "ts", "lo", "hi", binSeconds = 7200)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // --- CUBE: all grouping-set combinations in one pass.
+    "q49_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))),
+
     // --- As-of join: latest same-user 'error' at or before each
     // 'click' (union-scan formulation, one shuffle; DuckDB native
     // ASOF JOIN as oracle).
@@ -737,6 +756,20 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q48_range_join" ->
+      """WITH w AS (
+        |  SELECT i AS window_id,
+        |    make_timestamp((1704067200 + i * 21600) * 1000000) AS lo,
+        |    make_timestamp((1704067200 + i * 21600 + 7200) * 1000000) AS hi
+        |  FROM range(0, 120) t(i))
+        |SELECT window_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN w
+        |  ON CAST(e.ts AS TIMESTAMP) >= w.lo AND CAST(e.ts AS TIMESTAMP) < w.hi
+        |GROUP BY window_id""".stripMargin,
+    "q49_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q47_asof_join" ->
       """SELECT l.user_id, l.event_id, CAST(l.ts AS TIMESTAMP) AS ts,
         |  r.event_id AS event_id_r, CAST(r.ts AS TIMESTAMP) AS ts_r

@@ -33,6 +33,29 @@ object Joins {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Range (interval) join: points joined to the intervals containing
+    * them (`lo <= point < hi`), made scalable by BINNING — a naive
+    * non-equi join is a broadcast nested loop (points × intervals).
+    * Both sides map to fixed-width time bins (intervals explode to
+    * every bin they overlap), the join becomes an equi-join on the bin,
+    * and the exact range predicate refines the candidates. Bin width
+    * should be on the order of the typical interval length: shorter
+    * explodes intervals into many bins, longer inflates candidates.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol).cast("long") / binSeconds))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol).cast("long") / binSeconds),
+        floor((col(hiCol).cast("long") - 1) / binSeconds))))
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** As-of (point-in-time) LEFT join: each left row is paired with the
     * LATEST right row of the same `key` whose `rightTime` <= the left
     * row's `leftTime` (or nulls if none). The operator Spark lacks

@@ -59,6 +59,26 @@ class JoinsSpec extends SparkSpec {
       "other" -> Some(50.0), "nokey" -> None))
   }
 
+  test("binned range join equals the naive non-equi join") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:30:00")), (2L, ts("2024-01-01 01:30:00")),
+      (3L, ts("2024-01-01 02:00:00")), (4L, ts("2024-01-01 05:59:59")),
+      (5L, ts("2024-01-01 07:00:00"))
+    ).toDF("pid", "t")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (11L, ts("2024-01-01 01:00:00"), ts("2024-01-01 06:00:00")) // overlapping
+    ).toDF("iid", "lo", "hi")
+    val naive = points.join(intervals, $"t" >= $"lo" && $"t" < $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = Joins.rangeJoinBinned(points, intervals, "t", "lo", "hi", 1800)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === naive)
+    assert(naive === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
+  }
+
   test("bucketed tables join without a shuffle (co-located)") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lines")
