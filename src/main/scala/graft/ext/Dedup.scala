@@ -80,7 +80,6 @@ object Dedup {
     val t0 =
       if (ngram <= 1) tokensDF(df, id, text)
       else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
-    val sizes = t0.groupBy("id").agg(count(lit(1)).as("n"))
     val t = maxDocFrequency match {
       case Some(f) =>
         val nDocs = df.count()
@@ -89,6 +88,11 @@ object Dedup {
         t0.join(keep.select("tok"), Seq("tok"), "left_semi")
       case None => t0
     }
+    // sizes from the PRUNED token set: pruning must shrink numerator and
+    // denominator together, or identical docs fall below tau whenever
+    // they contain frequent tokens (pruned similarity = similarity of
+    // the pruned sets, exactly).
+    val sizes = t.groupBy("id").agg(count(lit(1)).as("n"))
     val a = t.select(col("id").as("id_a"), col("tok"))
     val b = t.select(col("id").as("id_b"), col("tok"))
     val inter = a.join(b, a("tok") === b("tok") && a("id_a") < b("id_b"))
@@ -217,10 +221,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 3, numHashes: Int = 128,
                    bands: Int = 32,
-                   maxBucketSize: Option[Int] = None): DataFrame = {
+                   maxBucketSize: Option[Int] = None,
+                   cacheSignatures: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a fractional " +
+        "band width silently skips signature positions")
     // signatures feed three plan branches (banding + both pair sides);
-    // cache so the shingle+minhash pass runs once, not three times
-    val sigs = minhashSignatures(df, id, text, ngram, numHashes).cache()
+    // cache so the shingle+minhash pass runs once, not three times.
+    // The cached table is numHashes×8B per doc and stays pinned for the
+    // session — long-lived sessions that profile many corpora should
+    // pass cacheSignatures=false or unpersist via their own handle.
+    val base = minhashSignatures(df, id, text, ngram, numHashes)
+    val sigs = if (cacheSignatures) base.cache() else base
     val cand = lshCandidates(sigs, bands, maxBucketSize)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast(DoubleType) / numHashes

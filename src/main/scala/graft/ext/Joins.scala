@@ -76,22 +76,31 @@ object Joins {
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val rOut = rPayload.map(_ + suffix) :+ (rightTime + suffix)
 
+    // The right payload travels as ONE nullable struct, not as
+    // independent columns: filling columns independently with
+    // last(ignoreNulls) would stitch values from DIFFERENT right rows
+    // whenever a matched row carries a genuine NULL field.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rPayload.map(c => right.schema(c).copy(name = c + suffix)) :+
+        org.apache.spark.sql.types.StructField(rightTime + suffix,
+          org.apache.spark.sql.types.TimestampType))
+
     val lSide = left.select(
       Seq(col(key), col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side")) ++
-        lPayload.map(col) ++
-        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c + suffix)) :+
-        lit(null).cast("timestamp").as(rightTime + suffix): _*)
+        lPayload.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rSide = right.select(
       Seq(col(key), col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side")) ++
-        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rPayload.map(c => col(c).as(c + suffix)) :+
-        col(rightTime).cast("timestamp").as(rightTime + suffix): _*)
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rPayload.map(c => col(c).as(c + suffix)) :+
+          col(rightTime).cast("timestamp").as(rightTime + suffix): _*).as("__r"): _*)
 
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lSide.unionByName(rSide)
-      .select(col(key) +: col("__side") +:
-        lPayload.map(col) ++: rOut.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    filled.filter(col("__side") === 1).drop("__side")
+      .withColumn("__r_filled", last(col("__r"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(col(key) +: lPayload.map(col) ++:
+        rOut.map(c => col(s"__r_filled.$c").as(c)): _*)
   }
 }

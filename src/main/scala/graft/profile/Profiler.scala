@@ -70,11 +70,11 @@ object Profiler {
     (numeric, date, categorical)
   }
 
-  private def isNumeric(dt: DataType): Boolean = dt match {
-    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-         _: FloatType | _: DoubleType | _: DecimalType => true
-    case _ => false
-  }
+  // single source of truth for the numeric-type decision lives in
+  // QueryCompiler (package-visible); two drifting copies of the same
+  // DataType match is how Decimal/interval decisions get made twice
+  private def isNumeric(dt: DataType): Boolean =
+    graft.query.QueryCompiler.isNumeric(dt)
 
   private def isDate(dt: DataType): Boolean = dt match {
     case _: DateType | _: TimestampType => true
@@ -160,9 +160,17 @@ object Profiler {
     */
   def histogramDF(df: DataFrame, column: String, bins: Int = 10): DataFrame = {
     require(bins > 0, "bins must be positive")
-    val Row(mn: Double, mx: Double) = df
+    val extent = df
       .agg(min(col(column)).cast(DoubleType), max(col(column)).cast(DoubleType))
       .head()
+    if (extent.isNullAt(0)) {
+      // empty input or all-NULL column: an empty histogram, not a crash
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0).as("bucket"), lit(0.0).as("lo"), lit(0.0).as("hi"),
+          lit(0L).as("count"))
+        .limit(0)
+    }
+    val (mn, mx) = (extent.getDouble(0), extent.getDouble(1))
     val width = if (mx > mn) (mx - mn) / bins else 1.0
     val bucket = least(
       floor((col(column).cast(DoubleType) - lit(mn)) / lit(width)).cast("int"),
@@ -174,6 +182,25 @@ object Profiler {
         round(lit(mn) + col("bucket") * lit(width), 6).as("lo"),
         round(lit(mn) + (col("bucket") + 1) * lit(width), 6).as("hi"),
         col("count"))
+  }
+
+  /** A5 + approx-A6 only: null counts + approx_count_distinct, no
+    * Expand — the profile pass for very large inputs (exact=false). */
+  def approxNullUniqueDF(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__approx"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("null_count"),
+        col(s"${c}__approx").as("unique_count"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
   /** A5+A6 for ALL columns in one pass: null count + exact distinct
@@ -237,21 +264,49 @@ object Profiler {
       .orderBy(col("count").desc, col("value").asc)
       .limit(k)
 
+  /** A10 for MANY columns in ONE scan: explode (column, value) pairs,
+    * one aggregation, one window for the per-column top-k. Profiling a
+    * wide table must not cost a scan per categorical column.
+    */
+  def frequentValuesAllDF(df: DataFrame, columns: Seq[String],
+                          k: Int = 10): DataFrame = {
+    require(columns.nonEmpty, "no columns requested")
+    val pairs = df.select(explode(array(columns.map(c =>
+        struct(lit(c).as("column"), col(c).cast(StringType).as("value"))): _*))
+        .as("p"))
+      .select("p.*")
+      .filter(col("value").isNotNull)
+    val counts = pairs.groupBy("column", "value").agg(count(lit(1)).as("count"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("column")
+      .orderBy(col("count").desc, col("value").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("column", "value", "count")
+  }
+
   // --------------------------------------------------------------------
   // Full profile (driver-sized result: one struct per column)
   // --------------------------------------------------------------------
 
-  /** Complete Insights for a table: 3 scans total (stats+uniq, corr,
-    * frequent values batched per categorical column) regardless of
-    * column count. `exact=false` selects sketch-based percentiles and
-    * distinct counts for very large inputs.
+  /** Complete Insights for a table: a fixed number of passes regardless
+    * of column count — stats+distinct (1), numeric stats (1),
+    * correlations (1), frequent values for ALL categorical columns
+    * batched into one explode+agg pass (1), plus a metadata-cheap
+    * count. `exact=false` selects sketch-based percentiles AND
+    * approx distinct counts (multi-column exact distinct forces an
+    * Expand — the thing to avoid at very large scale).
     */
   def profile(df: DataFrame, topK: Int = 10, exact: Boolean = true): Insights = {
     val (numericCols, dateCols, categoricalCols) = classify(df.schema)
     val typeOf = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
 
-    val nu = nullUniqueDF(df).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nu =
+      if (exact)
+        nullUniqueDF(df, includeApprox = false).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      else
+        approxNullUniqueDF(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rowCount = df.count()
 
     val numStats =
@@ -268,10 +323,13 @@ object Profiler {
       else Map.empty[String, (Option[Double], Option[Double], Option[Double],
         Option[Double], Option[Double], Option[Double], Option[Double])]
 
-    val freq = categoricalCols.map { c =>
-      c -> frequentValuesDF(df, c, topK).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toSeq
-    }.toMap
+    val freq: Map[String, Seq[(String, Long)]] =
+      if (categoricalCols.isEmpty) Map.empty
+      else frequentValuesAllDF(df, categoricalCols, topK).collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rows) =>
+          c -> rows.map(r => r.getString(1) -> r.getLong(2)).toSeq
+        }
 
     val stats = df.schema.fields.map { f =>
       val (nulls, uniq) = nu.getOrElse(f.name, (0L, 0L))

@@ -31,7 +31,16 @@ object QueryCompiler {
     val filtered = applyFilters(df, q.operations)
     q.intent match {
       case QueryIntent.Aggregate =>
-        applyAggregate(filtered, q.operations)
+        // sorts on an aggregate refer to its OUTPUT columns (group keys
+        // and agg aliases); silently dropping them would hand the
+        // JSON/NL surface unordered groups with no error
+        val aggregated = applyAggregate(filtered, q.operations)
+        q.operations.collect { case SortBy(c, _) => c }.foreach { c =>
+          require(aggregated.columns.contains(c),
+            s"sort column '$c' is not in the aggregate output " +
+              s"(${aggregated.columns.mkString(", ")})")
+        }
+        applySorts(aggregated, q.operations)
       case QueryIntent.Filter =>
         project(applySorts(filtered, q.operations), q.columns)
       case QueryIntent.Sort =>
@@ -58,7 +67,9 @@ object QueryCompiler {
       case Sum(c) => c
       case Count(c) => c
       case GroupBy(c) => c
-      case SortBy(c, _) => c
+      // under Aggregate intent SortBy refers to aggregate OUTPUT names,
+      // validated against the aggregated frame in compile()
+      case SortBy(c, _) if q.intent != QueryIntent.Aggregate => c
       case Filter(c, _, _) => c
     }
     val missing = referenced.distinct.filterNot(df.columns.contains)

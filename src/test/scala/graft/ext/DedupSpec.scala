@@ -31,6 +31,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("doc-frequency pruning keeps identical docs at jaccard 1.0") {
+    // 'the'/'and' appear in every doc and get pruned; identical docs must
+    // still compare at 1.0 (pruned similarity = similarity of pruned sets)
+    val d = Seq(
+      (1L, "the quick fox and lazy dog"),
+      (2L, "the quick fox and lazy dog"),
+      (3L, "the slow cat and happy bird")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 0.9,
+        maxDocFrequency = Some(0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("prefix-filtered jaccard equals the full token join") {
     val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap

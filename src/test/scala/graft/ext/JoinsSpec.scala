@@ -59,6 +59,21 @@ class JoinsSpec extends SparkSpec {
       "other" -> Some(50.0), "nokey" -> None))
   }
 
+  test("asof join keeps the matched row's genuine NULLs (no cross-row stitching)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 00:00:10"), Some(100.0)),
+      (1L, ts("2024-01-01 00:00:20"), None) // matched row has NULL px
+    ).toDF("k", "ts", "px")
+    val trades = Seq((1L, ts("2024-01-01 00:00:25"), "t")).toDF("k", "ts", "tag")
+    val r = Joins.asofJoin(trades, quotes, "k", "ts", "ts").collect().head
+    // the latest quote (00:00:20) matches; its px is genuinely NULL and
+    // must NOT be backfilled from the older quote's 100.0
+    assert(r.getAs[java.sql.Timestamp]("ts_r") === ts("2024-01-01 00:00:20"))
+    assert(r.getAs[Any]("px_r") === null)
+  }
+
   test("binned range join equals the naive non-equi join") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -44,8 +44,13 @@ class VectorsSpec extends SparkSpec {
     assert(lit2.eval(null) === 11.0)
   }
 
-  test("mismatched lengths use the shorter prefix") {
+  test("mismatched lengths fail loudly (no silent truncation)") {
     val d = Seq((1L, Array(1.0, 2.0, 3.0), Array(10.0))).toDF("id", "a", "b")
-    assert(d.select(Vectors.dot($"a", $"b")).collect().head.getDouble(0) === 10.0)
+    val e = intercept[Exception] {
+      d.select(Vectors.dot($"a", $"b")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("mismatched vector lengths")))
   }
 }

@@ -100,6 +100,32 @@ class ProfilerSpec extends SparkSpec {
     assert(hc.map(_.getLong(3)).sum === 3L) // no div-by-zero
   }
 
+  test("histogram of empty / all-null input returns empty, not a crash") {
+    val empty = spark.emptyDataFrame.selectExpr("CAST(1.0 AS DOUBLE) AS v").limit(0)
+    assert(Profiler.histogramDF(empty, "v", 5).count() === 0)
+    val allNull = Seq.fill(3)(Option.empty[Double]).toDF("v")
+    assert(Profiler.histogramDF(allNull, "v", 5).count() === 0)
+  }
+
+  test("batched frequent values equal the per-column operator") {
+    val d = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"))
+      .toDF("c1", "c2")
+    val batched = Profiler.frequentValuesAllDF(d, Seq("c1", "c2"), 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq("c1", "c2").foreach { c =>
+      val single = Profiler.frequentValuesDF(d, c, 10)
+        .collect().map(r => (c, r.getString(0)) -> r.getLong(1)).toMap
+      single.foreach { case (k, v) => assert(batched(k) === v) }
+    }
+  }
+
+  test("exact=false profile avoids exact distinct and still fills uniqueCount") {
+    val d = Seq((1.0, "a"), (2.0, "b"), (3.0, "a")).toDF("v", "c")
+    val ins = Profiler.profile(d, exact = false)
+    val c = ins.columnStatistics.find(_.name == "c").get
+    assert(c.uniqueCount >= 1L) // approx estimate present (exact would be 2)
+  }
+
   test("profile of a single-row table does not crash (std dev undefined)") {
     val one = Seq((1.0, "z")).toDF("v", "c")
     val ins = Profiler.profile(one)

@@ -93,6 +93,22 @@ class QueryCompilerSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet === Set("a", "b", "c"))
   }
 
+  test("aggregate-intent sorts apply on output columns or fail loudly") {
+    import ColumnOperation._
+    val sorted = QueryCompiler.compile(df,
+      StructuredQuery(QueryIntent.Aggregate,
+        operations = Seq(GroupBy("cat"), Sum("v"),
+          SortBy("sum_v", ascending = false))))
+      .collect().map(_.getString(0))
+    assert(sorted === Array("a", "c", "b")) // 90, 40, 20
+    val e = intercept[IllegalArgumentException] {
+      QueryCompiler.compile(df, StructuredQuery(QueryIntent.Aggregate,
+        operations = Seq(GroupBy("cat"), Sum("v"), SortBy("v", true))))
+        .collect()
+    }
+    assert(e.getMessage.contains("not in the aggregate output"))
+  }
+
   test("unknown columns fail fast with the full list and schema") {
     val e = intercept[IllegalArgumentException] {
       QueryCompiler.compile(df, StructuredQuery(QueryIntent.Aggregate,
