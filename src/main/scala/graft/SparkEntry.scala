@@ -438,7 +438,113 @@ object SparkEntry {
               |  round(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
               |                CAST(embedding AS ARRAY<DOUBLE>)), 4) AS sq_norm
               |FROM embeddings""".stripMargin)
-    })
+    }),
+
+    // --- Semi/anti joins: existence tests without payload duplication
+    // (the build side ships only the key column; no row multiplication).
+    "q50_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ordKeys = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      val withO = cust.join(ordKeys, Seq("c_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .select(lit("with_orders").as("op"), col("c_mktsegment"), col("n"))
+      val without = cust.join(ordKeys, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .select(lit("without_orders").as("op"), col("c_mktsegment"), col("n"))
+      withO.union(without)
+    }),
+
+    // --- Unpivot/melt: wide metric columns -> long (metric, value) rows.
+    "q51_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
+    // --- Per-group cap: at most 3 docs per language by (n_chars desc,
+    // doc_id asc) — the "cap documents per domain" pipeline op.
+    "q52_group_topk" -> ((s, dir) =>
+      graft.ext.Sampling.capPerGroup(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), k = 3)),
+
+    // --- Deterministic argmax/argmin per group via lexicographic struct
+    // extrema (no separate join-back pass).
+    "q53_argmax" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+            .getField("k").as("best_orderkey"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+            .getField("k").as("worst_orderkey"))),
+
+    // --- Distributed label centroids (IVF cell refresh / class
+    // prototypes), exploded to (label, dim, value) for the oracle.
+    "q54_centroids" -> ((s, dir) => {
+      val c = graft.ext.Similarity.labelCentroids(
+        Tables.embeddings(s, dir), "embedding", "label")
+      c.select(col("label"), col("dim"), round(col("value"), 6).as("value"))
+    }),
+
+    // --- GROUPING SETS: disjoint per-flag and per-status rollups plus
+    // the grand total in ONE pass (one Expand, one aggregation).
+    "q55_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              |  round(sum(l_extendedprice), 2) AS sum_price
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // --- Deterministic hash sampling: ~10% of orders by key hash,
+    // reproducible across runs/engines/partitionings (map-side filter).
+    "q56_sample" -> ((s, dir) =>
+      graft.ext.Sampling.hashSample(Tables.orders(s, dir), "o_orderkey", 0.1, "s1")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+
+    // --- Text cleaning: URL/email scrub + whitespace collapse.
+    "q57_clean" -> ((s, dir) =>
+      graft.ext.TextAnalysis.cleanText(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Word bigram statistics (collocations for tokenizer merges).
+    "q58_bigrams" -> ((s, dir) =>
+      graft.ext.TextAnalysis.ngramStats(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, minCount = 25L)),
+
+    // --- Train/test split: disjoint, exhaustive, key-stable.
+    "q59_train_test" -> ((s, dir) =>
+      graft.ext.Sampling.trainTestSplit(Tables.documents(s, dir), "doc_id", 0.2, "s1")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))),
+
+    // --- Incremental exact dedup: a new batch against the accumulated
+    // digest catalog — how dedup actually runs batch-over-batch.
+    "q60_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val seen = graft.ext.Dedup.digestCatalog(docs.filter(col("doc_id") < 250), "text")
+      graft.ext.Dedup.incrementalSurvivors(
+        docs.filter(col("doc_id") >= 250), seen, "doc_id", "text")
+    }),
+
+    // --- Exact quantile bucketing (ntile; quantileBuckets is the
+    // approx-threshold scale path, spec-asserted against this).
+    "q61_ntile" -> ((s, dir) =>
+      graft.ext.Sampling.ntileBuckets(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          "o_totalprice", "o_orderkey", k = 4)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -805,6 +911,107 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
          |FROM scored WHERE quality_score >= 0.55
          |GROUP BY lang""".stripMargin
-    }
+    },
+    "q50_semi_anti" ->
+      """SELECT 'with_orders' AS op, c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'without_orders', c_mktsegment, count(*)
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q51_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  CAST(l_quantity AS DOUBLE) AS value
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(l_discount AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+    "q52_group_topk" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
+    "q53_argmax" ->
+      """SELECT o_orderpriority,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_orderkey,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_orderkey
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q54_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS dim,
+        |  round(avg(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)), 6) AS value
+        |FROM embeddings CROSS JOIN range(0, 64) t(i)
+        |WHERE i < len(embedding)
+        |GROUP BY label, i""".stripMargin,
+    "q55_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q56_sample" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE substr(md5('s1' || CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a'
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q57_clean" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://\S+', ' ', 'g') AS no_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, 'https?://\S+')) AS n_urls,
+        |    len(regexp_extract_all(no_url,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    trim(regexp_replace(regexp_replace(no_url,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM s)
+        |SELECT doc_id, n_urls, n_emails, clean_text,
+        |  length(clean_text) AS clean_chars
+        |FROM c""".stripMargin,
+    "q58_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+        |    THEN [array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM toks)
+        |SELECT ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+        |FROM g GROUP BY ngram HAVING count(*) >= 25""".stripMargin,
+    "q59_train_test" ->
+      """SELECT CASE WHEN substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |         < '3333' THEN 'test' ELSE 'train' END AS split,
+        |  lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q60_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250),
+        |surv AS (
+        |  SELECT md5(text) AS digest, min(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
+        |SELECT doc_id FROM surv
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = surv.digest)""".stripMargin,
+    "q61_ntile" ->
+      """SELECT bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM (SELECT o_totalprice,
+        |        ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+        |      FROM orders)
+        |GROUP BY bucket""".stripMargin
   )
 }

@@ -62,6 +62,25 @@ object Dedup {
   def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
     df.join(exactSurvivors(df, id, text), Seq(id), "left_semi")
 
+  /** Distinct content digests of a corpus — the state a long-running
+    * ingest pipeline carries between batches (one slim column, suitable
+    * for a parquet catalog that grows append-only). */
+  def digestCatalog(df: DataFrame, text: String): DataFrame =
+    df.select(md5(col(text)).as("digest")).distinct()
+
+  /** Incremental exact dedup: survivors of `batch` that are neither
+    * duplicated WITHIN the batch (min id wins) nor already present in
+    * the `seen` digest catalog (anti-join). This is how exact dedup
+    * actually runs at 100 TB — per-arriving-batch against accumulated
+    * state, not as one global pass; both shuffles carry digests only.
+    */
+  def incrementalSurvivors(batch: DataFrame, seen: DataFrame,
+                           id: String, text: String): DataFrame =
+    batch.groupBy(md5(col(text)).as("digest"))
+      .agg(min(col(id)).as(id))
+      .join(seen, Seq("digest"), "left_anti")
+      .select(id)
+
   // --------------------------------------------------------------------
   // N-gram Jaccard (exact verification path)
   // --------------------------------------------------------------------

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus-shaping operators for
+  * training-data pipelines (BASELINE.json extension surface; the
+  * reference has no sampling of any kind).
+  *
+  * All sampling here is HASH-based, not RNG-based: membership is a pure
+  * function of (salt, key), so a sample is reproducible across runs,
+  * engines, partitionings, and retries — the property that matters when
+  * a 100 TB corpus is sampled incrementally (yesterday's sample stays
+  * valid as new files arrive) or audited post-hoc. Spark's native
+  * `df.sample` is per-partition RNG: cheap but irreproducible under
+  * repartitioning and inexpressible in an oracle.
+  *
+  * Every operator is a map-side projection/filter — zero shuffle.
+  */
+object Sampling {
+
+  /** Membership predicate: keep a row iff the first 4 hex digits of
+    * md5(salt ++ key) fall below `fraction` of the 16^4 space. The
+    * 1/65536 granularity is fine for corpus work; md5 is identical in
+    * every engine (the DuckDB oracles run the same formula verbatim).
+    */
+  def sampleExpr(key: Column, fraction: Double, salt: String): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val bound = math.round(fraction * 65536.0).toInt
+    if (bound >= 65536) lit(true)
+    else if (bound <= 0) lit(false)
+    else substring(md5(concat(lit(salt), key.cast("string"))), 1, 4) <
+      lit(f"$bound%04x")
+  }
+
+  /** Deterministic ~`fraction` sample keyed on `keyCol`. Different
+    * `salt`s give independent samples over the same keys. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(sampleExpr(col(keyCol), fraction, salt))
+
+  /** Per-stratum deterministic sampling: each `strataCol` value keeps
+    * its own fraction (absent values keep `defaultFraction`). The
+    * training-data use: downsample over-represented languages/sources
+    * to a target mixture without shuffling anything.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0,
+                           salt: String = "graft"): DataFrame = {
+    val keep = fractions.foldLeft(
+      sampleExpr(col(keyCol), defaultFraction, salt)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum),
+          sampleExpr(col(keyCol), f, salt)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Adds a `split` column ('train' | 'test') by key hash: disjoint,
+    * exhaustive, reproducible — the same key always lands in the same
+    * split even across dataset versions. */
+  def trainTestSplit(df: DataFrame, keyCol: String, testFraction: Double,
+                     salt: String = "graft"): DataFrame =
+    df.withColumn("split",
+      when(sampleExpr(col(keyCol), testFraction, salt), lit("test"))
+        .otherwise(lit("train")))
+
+  /** Keep at most `k` rows per group, chosen by `order` (caller supplies
+    * deterministic tiebreaks). The standard "cap documents per domain"
+    * pipeline op: one shuffle on the group key, rank, filter. At scale,
+    * per-group state is O(1) per row in the window (running row_number),
+    * not a per-group materialization.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String],
+                  order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Exact k-quantile bucket per row (`bucket` ∈ 1..k) via `ntile` over
+    * a GLOBAL order. Correct and oracle-checkable, but the empty
+    * partitionBy serializes the sort into one task — fine for
+    * driver-sized tables, wrong for a 100 TB fact table; use
+    * [[quantileBuckets]] there.
+    */
+  def ntileBuckets(df: DataFrame, valueCol: String, tiebreak: String,
+                   k: Int): DataFrame =
+    df.withColumn("bucket",
+      ntile(k).over(Window.orderBy(col(valueCol).asc, col(tiebreak).asc)))
+
+  /** Scale path for quantile bucketing: thresholds from one
+    * `approx_percentile` pass (t-digest sketch, fully distributed),
+    * broadcast back as literals; assignment is a map-side comparison
+    * chain. Bucket sizes are approximately equal (sketch accuracy), but
+    * NO global sort ever happens — the shape that survives 100 TB.
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
+                      accuracy: Int = 10000): DataFrame = {
+    require(k > 1, "k must be > 1")
+    val probs = (1 until k).map(_.toDouble / k)
+    val thresholds = df.select(
+      percentile_approx(col(valueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("t"))
+      .first().getSeq[Any](0).map(_.toString.toDouble)
+    val bucket = thresholds.zipWithIndex.foldRight(lit(k): Column) {
+      case ((t, i), acc) => when(col(valueCol) <= t, lit(i + 1)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket)
+  }
+}

@@ -93,6 +93,29 @@ object Similarity {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Element-wise mean vector per `label` group, exploded to
+    * (label, dim, value) rows. The distributed centroid computation
+    * underlying IVF cell refresh, class prototypes, and embedding-drift
+    * monitoring: posexplode is map-side, the aggregation partial-combines
+    * per (label, dim), so the shuffle carries at most
+    * labels × dim × partitions rows regardless of corpus size.
+    */
+  def labelCentroids(df: DataFrame, vec: String, label: String): DataFrame =
+    df.filter(col(vec).isNotNull)
+      .select(col(label).as("label"),
+        posexplode(col(vec).cast("array<double>")))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(avg(col("col")).as("value"))
+
+  /** [[labelCentroids]] reassembled to one `array<double>` per label
+    * (for downstream broadcast as quantizer cells). */
+  def labelCentroidVectors(df: DataFrame, vec: String, label: String): DataFrame =
+    labelCentroids(df, vec, label)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("value")))),
+        s => s.getField("value")).as("centroid"))
+
   /** Deterministic random hyperplanes: tables × planes × dim, seeded. */
   private def planes(tables: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new Random(seed)

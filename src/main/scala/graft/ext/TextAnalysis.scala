@@ -72,6 +72,54 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Text cleaning (URL / email scrubbing — pre-training normalization)
+  // --------------------------------------------------------------------
+
+  /** URL and email patterns, expressible identically in Java regex and
+    * RE2 (no backreferences, no lookaround) so the DuckDB oracle runs
+    * the same patterns verbatim. */
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Pre-training text normalization: strip URLs, strip emails (counted
+    * after URL removal so an address inside a URL isn't double-counted),
+    * collapse runs of whitespace, trim. Pure map-side projection — at
+    * 100 TB this is a codegen'd pass over the scan, no shuffle.
+    */
+  def cleanText(df: DataFrame, id: String, text: String): DataFrame = {
+    val noUrl = regexp_replace(col(text), UrlPattern, " ")
+    val noMail = regexp_replace(noUrl, EmailPattern, " ")
+    val clean = trim(regexp_replace(noMail, "\\s+", " "))
+    df.select(
+      col(id),
+      size(regexp_extract_all(col(text), lit(UrlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(noUrl, lit(EmailPattern), lit(0))).as("n_emails"),
+      clean.as("clean_text"),
+      length(clean).as("clean_chars"))
+  }
+
+  /** Word n-gram statistics: per-n-gram total occurrences and document
+    * frequency, thresholded. Generalizes [[vocabularyDF]] (n = 1) to the
+    * collocation statistics used for tokenizer merges and boilerplate
+    * detection. One explode + one partial-aggregated shuffle; `minCount`
+    * prunes the long tail before any result materializes.
+    */
+  def ngramStats(df: DataFrame, id: String, text: String, n: Int,
+                 minCount: Long = 1L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(id).as("id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("id")).as("doc_freq"))
+      .filter(col("occurrences") >= minCount)
+  }
+
+  // --------------------------------------------------------------------
   // Language identification (character n-gram heuristic)
   // --------------------------------------------------------------------
 

@@ -92,6 +92,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("incremental dedup: in-batch dup collapses, seen digests excluded") {
+    val seen = Dedup.digestCatalog(
+      Seq((1L, "already ingested")).toDF("doc_id", "text"), "text")
+    val batch = Seq(
+      (10L, "brand new"),
+      (11L, "brand new"),          // in-batch dup of 10
+      (12L, "already ingested"),   // dup of the catalog
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.incrementalSurvivors(batch, seen, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv === Set(10L, 13L))
+  }
+
+  test("incremental dedup over all batches == one-shot exact dedup") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b1 = docs.filter($"doc_id" < 150)
+    val b2 = docs.filter($"doc_id" >= 150)
+    val fromB1 = Dedup.exactSurvivors(b1, "doc_id", "text")
+    val fromB2 = Dedup.incrementalSurvivors(
+      b2, Dedup.digestCatalog(b1, "text"), "doc_id", "text")
+    val incremental = fromB1.union(fromB2).collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.exactSurvivors(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(incremental === oneShot)
+  }
+
   test("cosine pairs: identical, near, orthogonal vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

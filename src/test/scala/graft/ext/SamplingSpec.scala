@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 10000).toDF("id")
+
+  test("hashSample is deterministic and close to the target fraction") {
+    val a = Sampling.hashSample(ids, "id", 0.1, "s1")
+    val n = a.count()
+    assert(n > 800 && n < 1200, s"10% of 10k sampled $n")
+    // same salt → identical membership; different salt → different sample
+    assert(Sampling.hashSample(ids, "id", 0.1, "s1").count() === n)
+    val other = Sampling.hashSample(ids, "id", 0.1, "s2")
+    assert(a.join(other, Seq("id"), "left_semi").count() < n)
+  }
+
+  test("hashSample membership is stable under repartitioning") {
+    val before = Sampling.hashSample(ids, "id", 0.05, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val after = Sampling.hashSample(ids.repartition(13), "id", 0.05, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(before === after)
+  }
+
+  test("hashSample edge fractions: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.hashSample(ids, "id", 0.0).count() === 0L)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() === 10000L)
+  }
+
+  test("smaller fraction is a subset of larger (nested samples)") {
+    val small = Sampling.hashSample(ids, "id", 0.02, "s1")
+    val large = Sampling.hashSample(ids, "id", 0.2, "s1")
+    assert(small.join(large, Seq("id"), "left_anti").count() === 0L)
+  }
+
+  test("stratifiedHashSample respects per-stratum fractions") {
+    val df = ids.withColumn("lang",
+      when(col("id") % 2 === 0, "en").otherwise("de"))
+    val s = Sampling.stratifiedHashSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.05))
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 2200 && byLang("en") < 2800, byLang)
+    assert(byLang("de") > 150 && byLang("de") < 350, byLang)
+  }
+
+  test("stratifiedHashSample drops strata absent from the map by default") {
+    val df = ids.withColumn("lang",
+      when(col("id") % 2 === 0, "en").otherwise("xx"))
+    val s = Sampling.stratifiedHashSample(df, "id", "lang", Map("en" -> 1.0))
+    assert(s.filter(col("lang") === "xx").count() === 0L)
+    assert(s.filter(col("lang") === "en").count() === 5000L)
+  }
+
+  test("trainTestSplit is disjoint, exhaustive, and key-stable") {
+    val s = Sampling.trainTestSplit(ids, "id", 0.25, "s1")
+    assert(s.count() === 10000L)
+    val test = s.filter(col("split") === "test").count()
+    assert(test > 2200 && test < 2800, s"25% split got $test")
+    // key-stable: membership unchanged when rows are added
+    val grown = Sampling.trainTestSplit(
+      spark.range(0, 20000).toDF("id"), "id", 0.25, "s1")
+    val before = s.filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    val after = grown.filter(col("split") === "test" && col("id") < 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(before === after)
+  }
+
+  test("capPerGroup keeps at most k rows per group, by the given order") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20), ("a", 4L, 30),
+      ("b", 5L, 5)).toDF("g", "id", "score")
+    val capped = Sampling.capPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), k = 2)
+    val a = capped.filter(col("g") === "a").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === Set(2L, 4L)) // the two score-30 rows; id asc breaks the tie
+    assert(capped.filter(col("g") === "b").count() === 1L)
+  }
+
+  test("ntileBuckets: near-equal bucket sizes, ordered ranges") {
+    val df = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    val b = Sampling.ntileBuckets(df, "o_totalprice", "o_orderkey", 4)
+    val sizes = b.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val ranges = b.groupBy("bucket")
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket").collect()
+    ranges.sliding(2).foreach { case Array(a, c) =>
+      assert(a.getDouble(2) <= c.getDouble(1), "bucket ranges must not invert")
+    }
+  }
+
+  test("quantileBuckets (approx scale path) tracks ntile bucket sizes") {
+    val df = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    val n = df.count()
+    val approx = Sampling.quantileBuckets(df, "o_totalprice", 4)
+    val sizes = approx.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    // each bucket within 5% of the ideal quarter
+    sizes.values.foreach(s =>
+      assert(math.abs(s - n / 4.0) < n * 0.05, s"bucket size $s vs ideal ${n / 4}"))
+  }
+
+  test("capPerGroup matches the window formulation on real data") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    val viaOp = Sampling.capPerGroup(docs, Seq("lang"),
+      Seq(col("n_chars").desc, col("doc_id").asc), 3)
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val viaWindow = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(viaOp.except(viaWindow).count() === 0L)
+    assert(viaWindow.except(viaOp).count() === 0L)
+  }
+}

@@ -83,4 +83,30 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@10 = $recall%.3f (${approx.size} returned)")
     assert(recall >= 0.4, s"recall $recall below floor")
   }
+
+  test("labelCentroids: element-wise mean per label, hand-checked") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1),
+      (4L, null.asInstanceOf[Array[Float]], 1)  // nulls excluded
+    ).toDF("vec_id", "embedding", "label")
+    val c = Similarity.labelCentroids(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(c((0, 0)) === 2.0)
+    assert(c((0, 1)) === 4.0)
+    assert(c((1, 0)) === 10.0)
+    assert(c((1, 1)) === 20.0)
+  }
+
+  test("labelCentroidVectors reassembles dims in order") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = Similarity.labelCentroidVectors(real, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val exploded = Similarity.labelCentroids(real, "embedding", "label")
+      .filter($"label" === 0 && $"dim" < 3).orderBy("dim")
+      .collect().map(_.getDouble(2))
+    assert(vecs.values.forall(_.length == 64))
+    assert(vecs(0).take(3).toArray === exploded)
+  }
 }

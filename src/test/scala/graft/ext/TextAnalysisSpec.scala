@@ -66,6 +66,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("cleanText scrubs URLs and emails, collapses whitespace") {
+    val df = Seq(
+      (1L, "see https://example.com/a?b=1 and  mail bob@corp.io  now"),
+      (2L, "no noise here"),
+      (3L, "http://x.y z@w.org https://q.r/s")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((1, 1, "see and mail now")))
+    assert(out(2L) === ((0, 0, "no noise here")))
+    assert(out(3L) === ((2, 1, "")))
+  }
+
+  test("ngramStats counts bigram occurrences and doc frequency") {
+    val df = Seq(
+      (1L, "a b a b c"),   // "a b"×2, "b a"×1, "b c"×1
+      (2L, "a b"),         // "a b"×1
+      (3L, "solo")         // shorter than n → no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramStats(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a b") === ((3L, 2L)))
+    assert(out("b a") === ((1L, 1L)))
+    assert(out("b c") === ((1L, 1L)))
+    assert(out.size === 3)
+  }
+
+  test("ngramStats with n=1 agrees with vocabularyDF") {
+    val df = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val uni = TextAnalysis.ngramStats(df, "doc_id", "text", n = 1, minCount = 10L)
+      .withColumnRenamed("ngram", "tok")
+    val vocab = TextAnalysis.vocabularyDF(df, "doc_id", "text", minCount = 10L)
+    assert(uni.except(vocab).count() === 0L)
+    assert(vocab.except(uni).count() === 0L)
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(

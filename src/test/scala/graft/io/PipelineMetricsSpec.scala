@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("observe collects counters from the same job as the action") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "abc")
+    ).toDF("doc_id", "text")
+    val (observedDf, obs) = PipelineMetrics.observed(df, "ingest",
+      PipelineMetrics.docCounters(col("doc_id"), col("text")))
+    // ONE action drives both the "write" and the metrics
+    val out = java.nio.file.Files.createTempDirectory("obs").toString
+    observedDf.write.mode("overwrite").parquet(out)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("n_empty") === 2L)
+    assert(m("total_chars") === 14L) // 11 + 0 + 3 (null contributes 0)
+    assert(m("avg_chars") === 14.0 / 3) // avg ignores the null
+    assert(m("approx_ids") === 4L)
+  }
+
+  test("observed metrics match a direct aggregation on real documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (observedDf, obs) = PipelineMetrics.observed(docs, "docs",
+      PipelineMetrics.docCounters(col("doc_id"), col("text")))
+    val nRows = observedDf.count()
+    val m = obs.get
+    assert(m("n_rows") === nRows)
+    val direct = docs.agg(
+      sum(coalesce(length(col("text")), lit(0))).as("total_chars")).first().getLong(0)
+    assert(m("total_chars") === direct)
+  }
+}
