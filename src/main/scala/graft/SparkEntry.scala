@@ -544,7 +544,113 @@ object SparkEntry {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("min_price"),
-          round(max(col("o_totalprice")), 2).as("max_price")))
+          round(max(col("o_totalprice")), 2).as("max_price"))),
+
+    // --- LEFT OUTER join: customers keep a row even with zero orders
+    // (count(o_orderkey) counts matches only — 0 for the null side).
+    "q62_left_outer" -> ((s, dir) => {
+      val ords = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      Tables.customer(s, dir)
+        .join(ords, Seq("c_custkey"), "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+    }),
+
+    // --- FULL OUTER join with genuine one-sided keys: per-customer
+    // F-order vs O-order counts (a customer may have only one kind).
+    "q63_full_outer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_f"))
+      val p = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_o"))
+      f.join(p, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+    }),
+
+    // --- Scalar + IN subqueries through the SQL surface (Catalyst
+    // rewrites both to joins; no correlated-loop execution).
+    "q64_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderstatus, count(*) AS n
+              |FROM orders
+              |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+              |  AND o_custkey IN (SELECT c_custkey FROM customer
+              |                    WHERE c_mktsegment = 'BUILDING')
+              |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    // --- Analytic-window completeness: dense_rank / percent_rank /
+    // cume_dist / first over one window definition.
+    "q65_window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("drank", dense_rank().over(w))
+        .withColumn("prank", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .withColumn("top_key", first(col("o_orderkey")).over(w))
+        .filter(col("rn") <= 50)
+    }),
+
+    // --- Temporal functions: year/quarter/month extraction + month
+    // truncation + day arithmetic against a fixed epoch.
+    "q66_date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          max(datediff(col("o_orderdate"), lit("2024-01-01").cast("date")))
+            .as("max_days_from_epoch"))),
+
+    // --- String-function surface incl. edit distance (levenshtein is
+    // defined identically in Spark and DuckDB).
+    "q67_strings" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))),
+
+    // --- C4-style boilerplate: lines shared across >= 3 documents.
+    "q68_boilerplate" -> ((s, dir) =>
+      graft.ext.TextAnalysis.boilerplateLines(
+        Tables.documents(s, dir), "doc_id", "text", minDocFrequency = 3L)),
+
+    // --- Corpus report: per (lang, source) doc/token/char rollup — the
+    // dataset card a training corpus ships with.
+    "q69_corpus_report" -> ((s, dir) => {
+      val toks = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(toks.cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+    }),
+
+    // --- Gopher-style quality gates: auditable per-rule booleans.
+    "q70_quality_rules" -> ((s, dir) =>
+      graft.ext.TextAnalysis.qualityRules(
+        Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 10L, maxTokens = 500L,
+        minAvgTokenLen = 2.0, maxAvgTokenLen = 10.0,
+        maxPunctRatio = 0.05))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1012,6 +1118,90 @@ object SparkEntry {
         |FROM (SELECT o_totalprice,
         |        ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
         |      FROM orders)
-        |GROUP BY bucket""".stripMargin
+        |GROUP BY bucket""".stripMargin,
+    "q62_left_outer" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_cust
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q63_full_outer" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS n_f FROM orders
+        |           WHERE o_orderstatus = 'F' GROUP BY 1),
+        |p AS (SELECT o_custkey, count(*) AS n_o FROM orders
+        |      WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT coalesce(f.o_custkey, p.o_custkey) AS o_custkey,
+        |  coalesce(n_f, 0) AS n_f, coalesce(n_o, 0) AS n_o
+        |FROM f FULL OUTER JOIN p ON f.o_custkey = p.o_custkey""".stripMargin,
+    "q64_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q65_window_analytics" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    dense_rank() OVER w AS drank,
+        |    round(percent_rank() OVER w, 6) AS prank,
+        |    round(cume_dist() OVER w, 6) AS cdist,
+        |    first_value(o_orderkey) OVER w AS top_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 50""".stripMargin,
+    "q66_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+        |  max(datediff('day', DATE '2024-01-01',
+        |      CAST(o_orderdate AS DATE))) AS max_days_from_epoch
+        |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q67_strings" ->
+      """SELECT c_custkey, upper(c_name) AS up,
+        |  substr(c_name, 1, 8) AS prefix, length(c_name) AS len,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS lev
+        |FROM customer WHERE c_custkey < 100""".stripMargin,
+    "q68_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+        |  FROM documents)
+        |SELECT md5(line) AS line_digest, count(DISTINCT doc_id) AS doc_freq
+        |FROM lines WHERE length(line) > 0
+        |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    "q69_corpus_report" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> ''))) AS total_tokens,
+        |  sum(n_chars) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "q70_quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(list_sum(list_transform(list_filter(
+        |         string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |         x -> length(x))) AS DOUBLE) AS tok_chars,
+        |    length(text) * 1.0 AS n_chars,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 AS punct
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS avg_len,
+        |    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  (n_tokens >= 10 AND n_tokens <= 500) AS ok_length,
+        |  (avg_len >= 2.0 AND avg_len <= 10.0) AS ok_token_len,
+        |  (punct_ratio <= 0.05) AS ok_punct,
+        |  ((n_tokens >= 10 AND n_tokens <= 500)
+        |    AND (avg_len >= 2.0 AND avg_len <= 10.0)
+        |    AND (punct_ratio <= 0.05)) AS keep
+        |FROM u""".stripMargin
   )
 }

@@ -112,11 +112,85 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+    // Two-level aggregation instead of count+countDistinct in one agg:
+    // the combined form Expands every row ×2 before the shuffle; here the
+    // per-(ngram, doc) rollup partial-combines map-side and the second
+    // agg is over the (much smaller) distinct pairs.
     df.select(col(id).as("id"), explode(grams).as("ngram"))
+      .groupBy("ngram", "id")
+      .agg(count(lit(1)).as("c"))
       .groupBy("ngram")
-      .agg(count(lit(1)).as("occurrences"),
-        countDistinct(col("id")).as("doc_freq"))
+      .agg(sum(col("c")).as("occurrences"),
+        count(lit(1)).as("doc_freq"))
       .filter(col("occurrences") >= minCount)
+  }
+
+  // --------------------------------------------------------------------
+  // Boilerplate detection (C4-style shared-line removal)
+  // --------------------------------------------------------------------
+
+  /** Lines occurring in at least `minDocFrequency` distinct documents —
+    * the nav/footer/disclaimer text that line-level corpus cleaning
+    * removes (the C4 recipe). Output is (line_digest, doc_freq): the
+    * digest keeps the result narrow; join [[stripBoilerplate]] uses the
+    * same digests. One explode + one digest-keyed aggregation.
+    */
+  def boilerplateLines(df: DataFrame, id: String, text: String,
+                       minDocFrequency: Long): DataFrame =
+    df.select(col(id).as("id"), explode(split(col(text), "\n")).as("line"))
+      .select(col("id"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy(md5(col("line")).as("line_digest"))
+      .agg(countDistinct(col("id")).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFrequency)
+
+  /** Documents with boilerplate lines removed: lines are exploded with
+    * position, anti-joined against the (broadcastable — it is the head
+    * of the line-frequency distribution, not the corpus) boilerplate
+    * set, and reassembled in order. Docs whose every line is
+    * boilerplate survive with empty text.
+    */
+  def stripBoilerplate(df: DataFrame, id: String, text: String,
+                       minDocFrequency: Long): DataFrame = {
+    val bp = boilerplateLines(df, id, text, minDocFrequency)
+    val lines = df
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(length(col("line")) > 0)
+    lines.join(broadcast(bp),
+        md5(lines("line")) === bp("line_digest"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
+  /** Gopher-style per-document quality gates as auditable booleans plus
+    * the conjunction. Pure map-side arithmetic over counts (reusing the
+    * [[qualityScore]] component definitions); the flags — not just a
+    * scalar score — are what a pipeline logs to explain WHY a document
+    * was dropped.
+    */
+  def qualityRules(df: DataFrame, id: String, text: String,
+                   minTokens: Long = 5L, maxTokens: Long = 100000L,
+                   minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
+                   maxPunctRatio: Double = 0.3): DataFrame = {
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val nToks = size(toks).cast(DoubleType)
+    val nChars = length(col(text)).cast(DoubleType)
+    val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast(DoubleType)
+    val tokChars = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast(DoubleType)
+    val avgLen = when(nToks > 0, tokChars / nToks).otherwise(0.0)
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(0.0)
+    df.select(
+        col(id),
+        (nToks >= minTokens && nToks <= maxTokens).as("ok_length"),
+        (avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen).as("ok_token_len"),
+        (punctRatio <= maxPunctRatio).as("ok_punct"))
+      .withColumn("keep",
+        col("ok_length") && col("ok_token_len") && col("ok_punct"))
   }
 
   // --------------------------------------------------------------------
@@ -204,9 +278,13 @@ object TextAnalysis {
     df.select(col(id).as("id"),
         explode(split(lower(col(text)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
+      // two-level agg (see ngramStats): avoids the Expand that
+      // count+countDistinct in one aggregate would force on every row
+      .groupBy("tok", "id")
+      .agg(count(lit(1)).as("c"))
       .groupBy("tok")
-      .agg(count(lit(1)).as("occurrences"),
-        countDistinct(col("id")).as("doc_freq"))
+      .agg(sum(col("c")).as("occurrences"),
+        count(lit(1)).as("doc_freq"))
       .filter(col("occurrences") >= minCount)
 
   // --------------------------------------------------------------------

@@ -103,6 +103,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(vocab.except(uni).count() === 0L)
   }
 
+  test("boilerplate lines found by doc frequency; strip reassembles order") {
+    val df = Seq(
+      (1L, "SHARED HEADER\nunique one\nSHARED FOOTER"),
+      (2L, "SHARED HEADER\nunique two first\nunique two second\nSHARED FOOTER"),
+      (3L, "SHARED HEADER\nunique three\nSHARED FOOTER"),
+      (4L, "SHARED HEADER\nSHARED FOOTER")  // all boilerplate
+    ).toDF("doc_id", "text")
+    val bp = TextAnalysis.boilerplateLines(df, "doc_id", "text", 3L)
+    assert(bp.count() === 2L) // header + footer; unique lines below threshold
+    val stripped = TextAnalysis.stripBoilerplate(df, "doc_id", "text", 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L) === "unique one")
+    assert(stripped(2L) === "unique two first\nunique two second") // order kept
+    assert(stripped(3L) === "unique three")
+    // doc 4 has no surviving lines -> no group row (dropped entirely)
+    assert(!stripped.contains(4L))
+  }
+
+  test("qualityRules: each gate flips independently") {
+    val longDoc = ("word " * 20).trim
+    val df = Seq(
+      (1L, longDoc),                         // passes everything
+      (2L, "too short"),                     // fails ok_length (2 tokens)
+      (3L, ("antidisestablishmentarianism " * 15).trim), // fails avg token len
+      (4L, ("w!!! " * 20).trim)              // fails punct ratio
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(df, "doc_id", "text",
+        minTokens = 5L, maxTokens = 1000L,
+        minAvgTokenLen = 2.0, maxAvgTokenLen = 12.0, maxPunctRatio = 0.3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4))).toMap
+    assert(r(1L) === ((true, true, true, true)))
+    assert(r(2L)._1 === false && r(2L)._4 === false)
+    assert(r(3L)._2 === false && r(3L)._4 === false)
+    assert(r(4L)._3 === false && r(4L)._4 === false)
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(

@@ -178,4 +178,33 @@ class EventsSpec extends SparkSpec {
     assert(out((1L, ts("2024-01-01 02:00:00"))) === ((ts("2024-01-01 03:00:00"), 1L)))
     assert(out((2L, ts("2024-01-01 00:15:00"))) === ((ts("2024-01-01 01:15:00"), 1L)))
   }
+
+  test("foreachBatch incremental dedup: catalog state carries across batches") {
+    // The streaming-ingest shape for exact dedup at scale: each
+    // micro-batch dedups against the accumulated digest catalog, then
+    // appends its own surviving digests to the catalog.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var catalog = Seq.empty[String].toDF("digest")
+    val survived = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val surv = graft.ext.Dedup
+          .incrementalSurvivors(batch, catalog, "doc_id", "text")
+        survived ++= surv.collect().map(_.getLong(0))
+        catalog = catalog
+          .union(graft.ext.Dedup.digestCatalog(
+            batch.join(surv, Seq("doc_id"), "left_semi"), "text"))
+          .distinct().localCheckpoint()
+      }
+      .start()
+    mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    q.processAllAvailable()
+    mem.addData((4L, "beta"), (5L, "gamma"), (6L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    assert(survived.toSet === Set(1L, 2L, 5L))
+  }
 }
