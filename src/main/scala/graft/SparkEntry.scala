@@ -650,7 +650,25 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minTokens = 10L, maxTokens = 500L,
         minAvgTokenLen = 2.0, maxAvgTokenLen = 10.0,
-        maxPunctRatio = 0.05))
+        maxPunctRatio = 0.05)),
+
+    // --- Time-series resample to a 1h grid with forward fill (gap bins
+    // materialized from a distributed spine; no driver collect).
+    "q71_resample" -> ((s, dir) => {
+      val r = graft.streaming.Events.resampleFfill(
+        Tables.events(s, dir), "ts", "event_type", "value", stepSeconds = 3600L)
+      r.select(col("event_type"), col("bin"), col("n_events"),
+        round(col("value_ffill"), 4).as("value_ffill"))
+    }),
+
+    // --- Cross join (deliberately dimension×dimension only): the
+    // region × nation grid with a membership flag.
+    "q72_cross" -> ((s, dir) =>
+      Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+        .crossJoin(Tables.nation(s, dir).select(
+          col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .select(col("r_name"), col("n_name"),
+          (col("n_regionkey") === col("r_regionkey")).as("in_region")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1202,6 +1220,29 @@ object SparkEntry {
         |  ((n_tokens >= 10 AND n_tokens <= 500)
         |    AND (avg_len >= 2.0 AND avg_len <= 10.0)
         |    AND (punct_ratio <= 0.05)) AS keep
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+    "q71_resample" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600)
+        |         AS TIMESTAMP) AS bin,
+        |    count(*) AS n, avg(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(bin) AS mn, max(bin) AS mx FROM b),
+        |spine AS (
+        |  SELECT k.event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM events) k, bounds),
+        |j AS (
+        |  SELECT s.event_type, s.bin, coalesce(b.n, 0) AS n_events, b.v
+        |  FROM spine s LEFT JOIN b
+        |    ON s.event_type = b.event_type AND s.bin = b.bin)
+        |SELECT event_type, bin, n_events,
+        |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bin ROWS UNBOUNDED PRECEDING), 4) AS value_ffill
+        |FROM j""".stripMargin,
+    "q72_cross" ->
+      """SELECT r_name, n_name, n_regionkey = r_regionkey AS in_region
+        |FROM region CROSS JOIN nation""".stripMargin
   )
 }

@@ -96,6 +96,14 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 1,
                    maxDocFrequency: Option[Double] = None): DataFrame = {
+    // Keep the hot candidate-pair stream as NARROW as possible: sizes
+    // are attached by joining back onto the (small) aggregated pair set,
+    // not carried through the explode. The alternative — ride n along on
+    // every token row so no join-back is needed — measured 25.9s vs
+    // 16.0s at sf0.1: candidate rows outnumber surviving pairs by orders
+    // of magnitude, so widening them costs far more than two broadcast-
+    // sized join-backs. (General rule for similarity joins: move payload
+    // AFTER the aggregation, never through it.)
     val t0 =
       if (ngram <= 1) tokensDF(df, id, text)
       else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")

@@ -162,8 +162,15 @@ object Similarity {
 
     val c = prep(corpus, id, vec, "id", "v", "norm")
       .withColumn("features", array_to_vector(col("v")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+    // Cache across the quantizer's training iterations: without it every
+    // KMeans pass re-reads and re-projects the corpus. 10 iterations is
+    // plenty for a COARSE quantizer — cells only need to carve space,
+    // not converge (recall asserted in SimilaritySpec either way).
+    c.persist()
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
     val model = km.fit(c)
+    c.unpersist(blocking = false) // only the fit loop needed the cache
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     // assignment = argmin over broadcast centroid literals (euclidean);

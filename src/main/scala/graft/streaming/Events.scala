@@ -47,6 +47,44 @@ object Events {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Regular-grid resampling with forward fill: per-key series binned to
+    * `stepSeconds`, missing bins materialized from a generated spine,
+    * gaps filled with the last observed value (`last(_, ignoreNulls)`
+    * over an unbounded-preceding frame).
+    *
+    * The spine is built WITHOUT driver collects: global (min, max) bin is
+    * a 1-row aggregate, cross-joined (1 × keys) against the distinct
+    * keys, and `sequence(...)` explodes per key — fully distributed. The
+    * per-key window is the same one shuffle the final ffill needs anyway.
+    * Gap bins report n_events = 0 and carry the filled value.
+    */
+  def resampleFfill(df: DataFrame, tsCol: String, keyCol: String,
+                    valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val binSec = (floor(unix_timestamp(col(tsCol)) / stepSeconds) *
+      stepSeconds).cast("long")
+    val binned = df
+      .select(col(keyCol), binSec.as("bin_sec"), col(valueCol).as("__v"))
+      .groupBy(keyCol, "bin_sec")
+      .agg(count(lit(1)).as("n_events"), avg(col("__v")).as("__avg"))
+    val bounds = binned.agg(min(col("bin_sec")).as("__mn"),
+      max(col("bin_sec")).as("__mx"))
+    val spine = df.select(col(keyCol)).distinct()
+      .crossJoin(bounds)
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), lit(stepSeconds)))
+          .as("bin_sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("bin_sec").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(binned, Seq(keyCol, "bin_sec"), "left_outer")
+      .select(col(keyCol),
+        timestamp_seconds(col("bin_sec")).as("bin"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__avg"), ignoreNulls = true).over(w).as("value_ffill"))
+  }
+
   // --------------------------------------------------------------------
   // Streaming-only plans (watermarked state)
   // --------------------------------------------------------------------

@@ -179,6 +179,30 @@ class EventsSpec extends SparkSpec {
     assert(out((2L, ts("2024-01-01 00:15:00"))) === ((ts("2024-01-01 01:15:00"), 1L)))
   }
 
+  test("resampleFfill materializes gap bins and carries values forward") {
+    val df = Seq(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 10.0),
+      Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 20.0),
+      // 01:00 and 02:00 are gaps for click
+      Ev(3, ts("2024-01-01 03:30:00"), 1, "click", 40.0),
+      Ev(4, ts("2024-01-01 02:15:00"), 1, "view", 7.0)
+    ).toDF()
+    val r = graft.streaming.Events
+      .resampleFfill(df, "ts", "event_type", "value", 3600L)
+      .collect().map(x => (x.getString(0), x.getTimestamp(1)) ->
+        (x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // spine covers global [00:00, 03:00] for BOTH keys
+    assert(r.size === 8)
+    assert(r(("click", ts("2024-01-01 00:00:00"))) === ((2L, Some(15.0))))
+    assert(r(("click", ts("2024-01-01 01:00:00"))) === ((0L, Some(15.0)))) // ffill
+    assert(r(("click", ts("2024-01-01 02:00:00"))) === ((0L, Some(15.0)))) // ffill
+    assert(r(("click", ts("2024-01-01 03:00:00"))) === ((1L, Some(40.0))))
+    // view: nothing observed before 02:00 -> leading bins stay null
+    assert(r(("view", ts("2024-01-01 00:00:00"))) === ((0L, None)))
+    assert(r(("view", ts("2024-01-01 02:00:00"))) === ((1L, Some(7.0))))
+    assert(r(("view", ts("2024-01-01 03:00:00"))) === ((0L, Some(7.0))))
+  }
+
   test("foreachBatch incremental dedup: catalog state carries across batches") {
     // The streaming-ingest shape for exact dedup at scale: each
     // micro-batch dedups against the accumulated digest catalog, then
