@@ -668,7 +668,32 @@ object SparkEntry {
         .crossJoin(Tables.nation(s, dir).select(
           col("n_nationkey"), col("n_name"), col("n_regionkey")))
         .select(col("r_name"), col("n_name"),
-          (col("n_regionkey") === col("r_regionkey")).as("in_region")))
+          (col("n_regionkey") === col("r_regionkey")).as("in_region"))),
+
+    // --- Deterministic grouped MODE: most frequent value with explicit
+    // (count desc, value asc) tie policy — built-in mode() leaves ties
+    // engine-defined, so it can never hash-match an oracle.
+    "q73_mode" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isNotNull) // null ties order differs per engine
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("o_orderstatus")
+        .agg(min(struct((-col("c")).as("nc"), col("o_orderpriority").as("v")))
+            .getField("v").as("mode_priority"),
+          max(col("c")).as("mode_count"))),
+
+    // --- Grouped exact quantiles: per-group median/p25/p75 in one agg
+    // (exact `percentile`; the approx sketch path is Profiler's
+    // exact=false switch).
+    "q74_grouped_quantiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1243,6 +1268,25 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "q72_cross" ->
       """SELECT r_name, n_name, n_regionkey = r_regionkey AS in_region
-        |FROM region CROSS JOIN nation""".stripMargin
+        |FROM region CROSS JOIN nation""".stripMargin,
+    "q73_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, c,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY c DESC, o_orderpriority ASC) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  c AS mode_count
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q74_grouped_quantiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }
