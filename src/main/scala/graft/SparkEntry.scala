@@ -164,6 +164,17 @@ object SparkEntry {
       r.select(r.columns.map(c => round(col(c), 4).as(c)): _*)
     }),
 
+    // --- NL comparison phrases -> typed predicates -> one plan.
+    "q75_nl_filter" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sq = NLTranslator.translate(
+        "average l_extendedprice by l_returnflag where l_quantity greater than 45",
+        li.schema)
+      val r = QueryCompiler.compile(li, sq)
+      r.select(col("l_returnflag"),
+        round(col("mean_l_extendedprice"), 4).as("mean_l_extendedprice"))
+    }),
+
     // --- distinct / dropDuplicates (declared absent in the reference).
     "q44_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -747,6 +758,11 @@ object SparkEntry {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q10_nl_mean" ->
       "SELECT round(avg(l_extendedprice), 4) AS mean_l_extendedprice FROM lineitem",
+    "q75_nl_filter" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_extendedprice), 4) AS mean_l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45
+        |GROUP BY l_returnflag""".stripMargin,
     "q11_numeric_stats" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column",

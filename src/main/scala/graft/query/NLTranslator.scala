@@ -51,20 +51,73 @@ object NLTranslator {
       }
     }
 
-    if (q.contains("average") || q.contains("mean")) grouped(Mean)
-    else if (q.contains("sum") || q.contains("total")) grouped(Sum)
-    else if (q.contains("count") || q.contains("how many")) grouped(Count)
-    else if (q.contains("group"))
-      StructuredQuery(QueryIntent.Aggregate,
-        operations = mentioned.headOption.map(GroupBy).toSeq)
-    else if (q.contains("sort") || q.contains("order by"))
-      StructuredQuery(QueryIntent.Sort,
-        operations = Seq(SortBy(target, ascending = !q.contains("desc"))))
-    else if (q.contains("chart") || q.contains("plot") || q.contains("visuali"))
-      StructuredQuery(QueryIntent.Visualize, columns = mentioned)
-    else
-      StructuredQuery(QueryIntent.Describe, columns = mentioned)
+    val fs = filterPhrases(q, schema)
+    def withFilters(sq: StructuredQuery): StructuredQuery =
+      sq.copy(operations = sq.operations ++ fs)
+
+    withFilters(
+      if (q.contains("average") || q.contains("mean")) grouped(Mean)
+      else if (q.contains("sum") || q.contains("total")) grouped(Sum)
+      else if (q.contains("count") || q.contains("how many")) grouped(Count)
+      else if (q.contains("group"))
+        StructuredQuery(QueryIntent.Aggregate,
+          operations = mentioned.headOption.map(GroupBy).toSeq)
+      else if (q.contains("sort") || q.contains("order by"))
+        StructuredQuery(QueryIntent.Sort,
+          operations = Seq(SortBy(target, ascending = !q.contains("desc"))))
+      else if (q.contains("chart") || q.contains("plot") || q.contains("visuali"))
+        StructuredQuery(QueryIntent.Visualize, columns = mentioned)
+      else if (fs.nonEmpty && mentioned.nonEmpty)
+        StructuredQuery(QueryIntent.Filter, columns = mentioned)
+      else
+        StructuredQuery(QueryIntent.Describe, columns = mentioned))
   }
+
+  /** Comparison phrases, longest first so "greater than or equal to"
+    * wins over "greater than". Deliberately NO bare "is"/"=": too
+    * ambiguous in questions ("what is the average ...").
+    */
+  private val CmpPhrases: Seq[(String, CompareOp)] = Seq(
+    "greater than or equal to" -> CompareOp.Ge,
+    "less than or equal to" -> CompareOp.Le,
+    "not equal to" -> CompareOp.Ne,
+    "greater than" -> CompareOp.Gt,
+    "less than" -> CompareOp.Lt,
+    "more than" -> CompareOp.Gt,
+    "at least" -> CompareOp.Ge,
+    "at most" -> CompareOp.Le,
+    "equal to" -> CompareOp.Eq,
+    "equals" -> CompareOp.Eq,
+    "above" -> CompareOp.Gt,
+    "below" -> CompareOp.Lt,
+    "under" -> CompareOp.Lt)
+
+  /** `<column> <comparison phrase> <value>` occurrences anywhere in the
+    * text, one typed Filter per match ("where l_quantity greater than 45
+    * and l_discount at most 0.05" → two AND-composed predicates —
+    * QueryCompiler applies filters before every intent).
+    */
+  private def filterPhrases(q: String, schema: StructType): Seq[ColumnOperation] =
+    schema.fields.toSeq.flatMap { f =>
+      val names = Seq(f.name.toLowerCase, f.name.toLowerCase.replace('_', ' '))
+        .distinct
+      names.flatMap { n =>
+        // every occurrence: "show price where price at most 0.05" must
+        // match the second mention, not give up on the first
+        Iterator.iterate(q.indexOf(n))(i => q.indexOf(n, i + 1))
+          .takeWhile(_ >= 0).flatMap { idx =>
+            val rest = q.substring(idx + n.length).trim
+            CmpPhrases.collectFirst {
+              case (p, op) if rest.startsWith(p + " ") =>
+                val raw = rest.stripPrefix(p).trim
+                  .split("\\s+").headOption.getOrElse("")
+                val v = raw.replaceAll("[?.,;!]+$", "")
+                  .replaceAll("^['\"]|['\"]$", "")
+                Filter(f.name, op, v)
+            }.filter(_.value.nonEmpty)
+          }.toSeq
+      }.distinct
+    }
 
   /** Columns whose name (or name with separators spaced) occurs in the
     * text, longest first so specific names win over substrings.

@@ -164,4 +164,37 @@ class NLTranslatorSpec extends SparkSpec {
     val q3 = NLTranslator.translate("average price by the way", schema)
     assert(q3.operations === Seq(Mean("price")))
   }
+
+  test("comparison phrases become typed Filter operations") {
+    import graft.model.CompareOp
+    import ColumnOperation._
+    val q = NLTranslator.translate(
+      "average price where quantity greater than 45", schema)
+    assert(q.intent === QueryIntent.Aggregate)
+    assert(q.operations.contains(Filter("quantity", CompareOp.Gt, "45")))
+
+    val q2 = NLTranslator.translate(
+      "show price where price at most 0.05 and quantity at least 3", schema)
+    assert(q2.intent === QueryIntent.Filter)
+    assert(q2.operations.toSet ===
+      Set[ColumnOperation](Filter("price", CompareOp.Le, "0.05"),
+        Filter("quantity", CompareOp.Ge, "3")))
+
+    // longest phrase wins; trailing punctuation/quotes stripped
+    val q3 = NLTranslator.translate(
+      "sort by price where quantity greater than or equal to 7?", schema)
+    assert(q3.operations.contains(Filter("quantity", CompareOp.Ge, "7")))
+    val q4 = NLTranslator.translate("name equals 'bob'", schema)
+    assert(q4.operations.contains(Filter("name", CompareOp.Eq, "bob")))
+  }
+
+  test("NL filter compiles end-to-end through QueryCompiler") {
+    val df = Seq(("a", 1.0, 10.0), ("b", 2.0, 50.0), ("c", 3.0, 60.0))
+      .toDF("name", "price", "quantity")
+    val q = NLTranslator.translate(
+      "show name, price where quantity greater than 45", df.schema)
+    val out = QueryCompiler.compile(df, q)
+    assert(out.columns.toSet === Set("name", "price", "quantity"))
+    assert(out.count() === 2L)
+  }
 }
