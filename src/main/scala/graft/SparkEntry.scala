@@ -694,6 +694,21 @@ object SparkEntry {
             .getField("v").as("mode_priority"),
           max(col("c")).as("mode_count"))),
 
+    // --- Value-RANGE window frame: per-event trailing-hour activity
+    // (frame bounded by the ORDER-BY VALUE, not row offsets — ties and
+    // gaps handled identically in any engine, so it oracles exactly).
+    "q76_trailing_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")).cast("long"))
+        .rangeBetween(-3599L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_trailing_hour", count(lit(1)).over(w))
+        .withColumn("sum_trailing_hour", round(sum(col("value")).over(w), 2))
+        .select("event_id", "user_id", "n_trailing_hour", "sum_trailing_hour")
+    }),
+
     // --- Grouped exact quantiles: per-group median/p25/p75 in one agg
     // (exact `percentile`; the approx sketch path is Profiler's
     // exact=false switch).
@@ -1297,6 +1312,14 @@ object SparkEntry {
         |SELECT o_orderstatus, o_orderpriority AS mode_priority,
         |  c AS mode_count
         |FROM r WHERE rn = 1""".stripMargin,
+    "q76_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_hour,
+        |  round(sum(value) OVER w, 2) AS sum_trailing_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q74_grouped_quantiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -68,6 +68,22 @@ class ApiSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || scan.inputFiles.forall(_.contains("lang=en")))
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // batch 1: (doc_id, text); batch 2 adds a lang column
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang"))
+    val byId = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(byId(1L) === None)       // old rows: evolved column is null
+    assert(byId(2L) === Some("en"))
+  }
+
   test("csv source: header + inference, permissive on malformed rows") {
     val p = Files.createTempDirectory("graft-csv").resolve("t.csv")
     Files.writeString(p, "a,b,c\n1,x,2.5\n2,y,3.5\nnot_an_int,z,oops\n")
