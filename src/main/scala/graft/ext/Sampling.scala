@@ -104,13 +104,18 @@ object Sampling {
                       accuracy: Int = 10000): DataFrame = {
     require(k > 1, "k must be > 1")
     val probs = (1 until k).map(_.toDouble / k)
-    val thresholds = df.select(
+    val row = df.select(
       percentile_approx(col(valueCol),
         array(probs.map(lit): _*), lit(accuracy)).as("t"))
-      .first().getSeq[Any](0).map(_.toString.toDouble)
+      .first()
+    require(!row.isNullAt(0),
+      s"cannot compute quantile thresholds: no non-null '$valueCol' values")
+    val thresholds = row.getSeq[Any](0).map(_.toString.toDouble)
+    // nulls land in bucket 1, matching ntileBuckets (Spark sorts nulls
+    // first ascending); without this they'd fall through to bucket k
     val bucket = thresholds.zipWithIndex.foldRight(lit(k): Column) {
       case ((t, i), acc) => when(col(valueCol) <= t, lit(i + 1)).otherwise(acc)
     }
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket", when(col(valueCol).isNull, lit(1)).otherwise(bucket))
   }
 }

@@ -169,8 +169,11 @@ object Similarity {
     c.persist()
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features")
+    // Deliberately NOT unpersisted here: the assignment scan over c runs
+    // when the caller materializes the result, and evicting now would
+    // force a full recompute of prep. The session's LRU store reclaims
+    // the blocks under pressure.
     val model = km.fit(c)
-    c.unpersist(blocking = false) // only the fit loop needed the cache
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     // assignment = argmin over broadcast centroid literals (euclidean);

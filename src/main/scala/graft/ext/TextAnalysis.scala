@@ -157,12 +157,17 @@ object TextAnalysis {
       .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
       .withColumn("line", trim(col("line")))
       .filter(length(col("line")) > 0)
-    lines.join(broadcast(bp),
+    val kept = lines.join(broadcast(bp),
         md5(lines("line")) === bp("line_digest"), "left_anti")
       .groupBy(col(id))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), "\n").as("clean_text"))
+    // docs whose every line was boilerplate still get a row (empty
+    // text) — dropping them would silently shrink the corpus under an
+    // id-join and break "output ids == input ids"
+    df.select(col(id)).join(kept, Seq(id), "left_outer")
+      .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Gopher-style per-document quality gates as auditable booleans plus

@@ -11,7 +11,8 @@ import graft.model.ColumnOperation._
   * query_translator.rs:156-213`) keyword-matches the intent and always
   * targets the FIRST column of the schema regardless of the question.
   * This version keeps the same deterministic keyword → intent rules but
-  * resolves columns actually mentioned in the text (longest-name-first so
+  * resolves columns actually mentioned in the text (whole-word,
+  * first-mention-first; on overlapping mentions the longer name wins so
   * "total price" prefers `o_totalprice` over `price`), falling back to
   * the first numeric column for numeric intents — a deliberate
   * improvement recorded in SURVEY.md §2.10.
@@ -95,38 +96,53 @@ object NLTranslator {
   /** `<column> <comparison phrase> <value>` occurrences anywhere in the
     * text, one typed Filter per match ("where l_quantity greater than 45
     * and l_discount at most 0.05" → two AND-composed predicates —
-    * QueryCompiler applies filters before every intent).
+    * QueryCompiler applies filters before every intent). Column mentions
+    * are whole-word ("id" never fires inside "paid"), and every
+    * occurrence is checked ("show price where price at most 0.05" must
+    * match the second mention).
     */
   private def filterPhrases(q: String, schema: StructType): Seq[ColumnOperation] =
     schema.fields.toSeq.flatMap { f =>
       val names = Seq(f.name.toLowerCase, f.name.toLowerCase.replace('_', ' '))
         .distinct
       names.flatMap { n =>
-        // every occurrence: "show price where price at most 0.05" must
-        // match the second mention, not give up on the first
-        Iterator.iterate(q.indexOf(n))(i => q.indexOf(n, i + 1))
-          .takeWhile(_ >= 0).flatMap { idx =>
-            val rest = q.substring(idx + n.length).trim
-            CmpPhrases.collectFirst {
-              case (p, op) if rest.startsWith(p + " ") =>
-                val raw = rest.stripPrefix(p).trim
-                  .split("\\s+").headOption.getOrElse("")
-                val v = raw.replaceAll("[?.,;!]+$", "")
-                  .replaceAll("^['\"]|['\"]$", "")
-                Filter(f.name, op, v)
-            }.filter(_.value.nonEmpty)
-          }.toSeq
+        val re = ("(?<![a-z0-9_])" + java.util.regex.Pattern.quote(n) +
+          "(?![a-z0-9_])").r
+        re.findAllMatchIn(q).flatMap { m =>
+          val rest = q.substring(m.end).trim
+          CmpPhrases.collectFirst {
+            case (p, op) if rest.startsWith(p + " ") =>
+              val raw = rest.stripPrefix(p).trim
+                .split("\\s+").headOption.getOrElse("")
+              val v = raw.replaceAll("[?.,;!]+$", "")
+                .replaceAll("^['\"]|['\"]$", "")
+              Filter(f.name, op, v)
+          }.filter(_.value.nonEmpty)
+        }.toSeq
       }.distinct
     }
 
-  /** Columns whose name (or name with separators spaced) occurs in the
-    * text, longest first so specific names win over substrings.
+  /** Position of the first whole-word mention of `name` (or its
+    * spaced variant) in the text; -1 if absent. Word-bounded so "id"
+    * never matches inside "paid". */
+  private def mentionIndex(q: String, name: String): Int = {
+    val forms = Seq(name.toLowerCase, name.toLowerCase.replace('_', ' ')).distinct
+    val hits = forms.flatMap { f =>
+      ("(?<![a-z0-9_])" + java.util.regex.Pattern.quote(f) + "(?![a-z0-9_])").r
+        .findFirstMatchIn(q).map(_.start)
+    }
+    if (hits.isEmpty) -1 else hits.min
+  }
+
+  /** Columns mentioned (whole-word) in the text, ordered by POSITION of
+    * first mention — "sort by price where quantity > 7" must resolve
+    * price, not whichever name is longest — with longer names winning
+    * only at the same position (overlapping mentions).
     */
   private def mentionedColumns(q: String, schema: StructType): Seq[String] =
     schema.fields.map(_.name)
-      .filter { n =>
-        val ln = n.toLowerCase
-        q.contains(ln) || q.contains(ln.replace('_', ' '))
-      }
-      .sortBy(-_.length).toSeq
+      .map(n => (n, mentionIndex(q, n)))
+      .filter(_._2 >= 0)
+      .sortBy { case (n, i) => (i, -n.length) }
+      .map(_._1).toSeq
 }

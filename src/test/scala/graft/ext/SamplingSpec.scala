@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -114,15 +113,18 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(s - n / 4.0) < n * 0.05, s"bucket size $s vs ideal ${n / 4}"))
   }
 
-  test("capPerGroup matches the window formulation on real data") {
+  test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")
     val viaOp = Sampling.capPerGroup(docs, Seq("lang"),
       Seq(col("n_chars").desc, col("doc_id").asc), 3)
-    val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)
-    val viaWindow = docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3).drop("rn")
-    assert(viaOp.except(viaWindow).count() === 0L)
-    assert(viaWindow.except(viaOp).count() === 0L)
+      .collect().map(_.getLong(0)).toSet
+    // independent oracle: plain Scala collections, no Spark windows
+    val expected = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).values.flatMap { grp =>
+        grp.sortBy { case (id, _, n) => (-n, id) }.take(3).map(_._1)
+      }.toSet
+    assert(viaOp === expected)
   }
 }

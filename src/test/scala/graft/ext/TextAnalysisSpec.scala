@@ -117,8 +117,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stripped(1L) === "unique one")
     assert(stripped(2L) === "unique two first\nunique two second") // order kept
     assert(stripped(3L) === "unique three")
-    // doc 4 has no surviving lines -> no group row (dropped entirely)
-    assert(!stripped.contains(4L))
+    // all-boilerplate docs SURVIVE with empty text: output ids == input ids
+    assert(stripped(4L) === "")
+    assert(stripped.keySet === Set(1L, 2L, 3L, 4L))
   }
 
   test("qualityRules: each gate flips independently") {

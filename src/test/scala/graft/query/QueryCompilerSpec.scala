@@ -188,6 +188,30 @@ class NLTranslatorSpec extends SparkSpec {
     assert(q4.operations.contains(Filter("name", CompareOp.Eq, "bob")))
   }
 
+  test("filter columns after 'by' do not hijack grouping or sort targets") {
+    import graft.model.CompareOp
+    import ColumnOperation._
+    // filter column name deliberately LONGER than the group/sort column
+    val sch = Seq(("x", 1.0, 2.0)).toDF("flag", "quantity", "extendedprice").schema
+    val q = NLTranslator.translate(
+      "sum quantity by flag where extendedprice greater than 100", sch)
+    assert(q.operations.contains(GroupBy("flag")))
+    assert(q.operations.contains(Sum("quantity")))
+    assert(q.operations.contains(Filter("extendedprice", CompareOp.Gt, "100")))
+
+    val q2 = NLTranslator.translate(
+      "sort by quantity where extendedprice above 7", sch)
+    assert(q2.operations.contains(SortBy("quantity", ascending = true)))
+
+    // whole-word mentions: "id" inside "paid" must not produce a filter
+    val sch2 = Seq((1L, "a")).toDF("id", "name").schema
+    val q3 = NLTranslator.translate("show name where user paid at least 5", sch2)
+    assert(!q3.operations.exists {
+      case Filter("id", _, _) => true
+      case _ => false
+    })
+  }
+
   test("NL filter compiles end-to-end through QueryCompiler") {
     val df = Seq(("a", 1.0, 10.0), ("b", 2.0, 50.0), ("c", 3.0, 60.0))
       .toDF("name", "price", "quantity")
