@@ -211,6 +211,15 @@ object SparkEntry {
           tau = 0.5, ngram = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // --- Dedup: transitive near-dup CLUSTERS over the exact pairs
+    // (label propagation; DuckDB recursive-CTE closure as oracle).
+    "q77_components" -> ((s, dir) => {
+      val pairs = graft.ext.Dedup.jaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", tau = 0.5, ngram = 3)
+      graft.ext.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- Dedup: MinHash+LSH sketch path (no SQL oracle — rows-only;
     // recall/precision asserted against jaccardPairs in DedupSpec).
     "q17_minhash_pairs" -> ((s, dir) =>
@@ -722,6 +731,29 @@ object SparkEntry {
           count(lit(1)).as("n")))
   )
 
+  /** q16's pair SQL, shared with q77's recursive-closure oracle. */
+  private val JaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+      |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+      |    ELSE [array_to_string(ts, ' ')] END)) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON inter.id_a = sa.doc_id
+      |JOIN sizes sb ON inter.id_b = sb.doc_id
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Column names/aliases MUST match the Spark output exactly.
@@ -857,27 +889,18 @@ object SparkEntry {
         |SELECT tok, count(*) AS occurrences,
         |  count(DISTINCT doc_id) AS doc_freq
         |FROM toks GROUP BY tok HAVING count(*) >= 100""".stripMargin,
-    "q16_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-        |  FROM documents WHERE text IS NOT NULL),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
-        |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
-        |    ELSE [array_to_string(ts, ' ')] END)) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON inter.id_a = sa.doc_id
-        |JOIN sizes sb ON inter.id_b = sb.doc_id
-        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+    "q16_jaccard_pairs" -> JaccardPairsSql,
+    "q77_components" ->
+      s"""WITH RECURSIVE p AS ($JaccardPairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id AS doc_id, min(r) AS component
+         |FROM reach GROUP BY id""".stripMargin,
     "q19_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

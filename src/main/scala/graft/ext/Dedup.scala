@@ -82,6 +82,61 @@ object Dedup {
       .select(id)
 
   // --------------------------------------------------------------------
+  // Near-dup clusters (connected components over candidate pairs)
+  // --------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list
+    * (`idA`/`idB` columns): (id, component) where component = the
+    * minimum id reachable. Pairwise near-dup output is only half the
+    * dedup story — keeping one doc per CLUSTER needs the transitive
+    * closure (A~B, B~C ⇒ {A,B,C} together even if A,C never paired).
+    *
+    * Implementation is min-label propagation with POINTER JUMPING:
+    * each round takes the min over self + neighbors (1 hop through the
+    * edge list), then path-halves by replacing every label with its
+    * label's label — so convergence is O(log diameter) rounds, not
+    * O(diameter) (a 30-node chain converges in ~6 rounds, spec-pinned).
+    * Each round is two joins over the edge/label lists, never a
+    * transitive-closure materialization; `localCheckpoint` truncates the
+    * growing lineage.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIterations: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // min over self + neighbors (one hop)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("__nmin"))
+      val hop = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+      // pointer jump: component <- component's component (labels are
+      // always node ids, so the self-join is total); explicit aliases
+      // keep the self-join unambiguous
+      val next = hop.as("x")
+        .join(hop.as("y"), col("x.component") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.component").as("component"))
+        .localCheckpoint()
+      converged = next.join(labels, Seq("id"))
+        .filter(next("component") =!= labels("component"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  // --------------------------------------------------------------------
   // N-gram Jaccard (exact verification path)
   // --------------------------------------------------------------------
 

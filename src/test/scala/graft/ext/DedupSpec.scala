@@ -119,6 +119,29 @@ class DedupSpec extends SparkSpec {
     assert(incremental === oneShot)
   }
 
+  test("connectedComponents: chains merge transitively, clusters stay apart") {
+    // 1-2-3-4 is a chain (1~4 never paired directly), 10-11 separate,
+    // 20-21-22 a triangle with redundant edges
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val c = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(c) === Seq(1L, 1L, 1L, 1L))
+    assert(c(10L) === 10L && c(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).map(c).toSet === Set(20L))
+    assert(c.size === 9)
+  }
+
+  test("connectedComponents: long path converges within iteration budget") {
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val c = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.toSet === Set(0L), "whole chain must collapse to min id")
+  }
+
   test("cosine pairs: identical, near, orthogonal vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
