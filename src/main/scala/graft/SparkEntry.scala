@@ -213,9 +213,13 @@ object SparkEntry {
 
     // --- Dedup: transitive near-dup CLUSTERS over the exact pairs
     // (label propagation; DuckDB recursive-CTE closure as oracle).
+    // Bounded to a fixed doc subset so the PAIR GENERATION cost — not
+    // the components op — doesn't rescale with sf (q16 already benches
+    // the full pair join).
     "q77_components" -> ((s, dir) => {
       val pairs = graft.ext.Dedup.jaccardPairs(
-        Tables.documents(s, dir), "doc_id", "text", tau = 0.5, ngram = 3)
+        Tables.documents(s, dir).filter(col("doc_id") < 500),
+        "doc_id", "text", tau = 0.5, ngram = 3)
       graft.ext.Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
     }),
@@ -731,12 +735,13 @@ object SparkEntry {
           count(lit(1)).as("n")))
   )
 
-  /** q16's pair SQL, shared with q77's recursive-closure oracle. */
-  private val JaccardPairsSql: String =
-    """WITH toks AS (
+  /** q16's pair SQL, shared with q77's recursive-closure oracle (which
+    * restricts the doc set via `extraWhere`). */
+  private def jaccardPairsSql(extraWhere: String = ""): String =
+    s"""WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-      |  FROM documents WHERE text IS NOT NULL),
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+      |  FROM documents WHERE text IS NOT NULL$extraWhere),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
       |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
@@ -889,9 +894,9 @@ object SparkEntry {
         |SELECT tok, count(*) AS occurrences,
         |  count(DISTINCT doc_id) AS doc_freq
         |FROM toks GROUP BY tok HAVING count(*) >= 100""".stripMargin,
-    "q16_jaccard_pairs" -> JaccardPairsSql,
+    "q16_jaccard_pairs" -> jaccardPairsSql(),
     "q77_components" ->
-      s"""WITH RECURSIVE p AS ($JaccardPairsSql),
+      s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
          |edges AS (SELECT id_a AS a, id_b AS b FROM p
          |          UNION SELECT id_b, id_a FROM p),
          |nodes AS (SELECT a AS id FROM edges),
