@@ -694,6 +694,21 @@ object SparkEntry {
         .select(col("r_name"), col("n_name"),
           (col("n_regionkey") === col("r_regionkey")).as("in_region"))),
 
+    // --- Corpus sharding: per-lang consecutive ~2000-token shards
+    // (how a corpus is cut into training-chunk files, deterministically).
+    "q78_sharding" -> ((s, dir) =>
+      graft.ext.TextAnalysis.shardByTokenBudget(
+          Tables.documents(s, dir), "doc_id", "text", "lang", budgetTokens = 2000L)
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))),
+
+    // --- Join-key skew report: the pre-join diagnostic that picks
+    // between plain shuffle, AQE skew handling, and salting.
+    "q79_skew" -> ((s, dir) => {
+      val r = graft.profile.Profiler.keySkewDF(Tables.lineitem(s, dir), "l_orderkey", 10)
+      r.select(col("key"), col("count"), col("share"))
+    }),
+
     // --- Deterministic grouped MODE: most frequent value with explicit
     // (count desc, value asc) tie policy — built-in mode() leaves ties
     // engine-defined, so it can never hash-match an oracle.
@@ -1328,6 +1343,26 @@ object SparkEntry {
     "q72_cross" ->
       """SELECT r_name, n_name, n_regionkey = r_regionkey AS in_region
         |FROM region CROSS JOIN nation""".stripMargin,
+    "q78_sharding" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS shard
+        |  FROM t)
+        |SELECT lang, shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q79_skew" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS count,
+        |  round(count(*) * 1.0 /
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |    6) AS share
+        |FROM lineitem WHERE l_orderkey IS NOT NULL
+        |GROUP BY 1 ORDER BY count DESC, key ASC LIMIT 10""".stripMargin,
     "q73_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS c

@@ -125,6 +125,30 @@ object TextAnalysis {
       .filter(col("occurrences") >= minCount)
   }
 
+  /** Deterministic corpus sharding by token budget: within each
+    * `partitionCol` group, documents ordered by `id` are assigned to
+    * consecutive shards of ~`budgetTokens` whitespace tokens (a doc may
+    * straddle a boundary — shards are "filled until the running total
+    * passes the budget", the shape used to cut a corpus into
+    * training-chunk files). Shard id = floor(preceding-tokens / budget):
+    * pure window arithmetic, reproducible under any partitioning, and
+    * expressible in the oracle.
+    */
+  def shardByTokenBudget(df: DataFrame, id: String, text: String,
+                         partitionCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCol).orderBy(col(id).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val nToks = size(filter(split(col(text), "\\s+"), t => length(t) > 0))
+      .cast("long")
+    df.select(col(id), col(partitionCol), nToks.as("n_tokens"))
+      .withColumn("shard",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          budgetTokens).cast("long"))
+  }
+
   // --------------------------------------------------------------------
   // Boilerplate detection (C4-style shared-line removal)
   // --------------------------------------------------------------------

@@ -264,6 +264,26 @@ object Profiler {
       .orderBy(col("count").desc, col("value").asc)
       .limit(k)
 
+  /** Join-key skew report: the top-k heaviest keys with their share of
+    * all rows — the number that decides between a plain shuffle join,
+    * AQE skew handling, and salting ([[graft.ext.Joins.saltedJoin]]).
+    * One aggregation plus a 1-row total broadcast-joined back; at scale
+    * this is the diagnostic you run BEFORE the expensive join, on the
+    * same scan.
+    */
+  def keySkewDF(df: DataFrame, column: String, k: Int = 10): DataFrame = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("key"))
+      .agg(count(lit(1)).as("count"))
+    val total = df.filter(col(column).isNotNull)
+      .agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("count"),
+        round(col("count") / col("__total"), 6).as("share"))
+      .orderBy(col("count").desc, col("key").asc)
+      .limit(k)
+  }
+
   /** A10 for MANY columns in ONE scan: explode (column, value) pairs,
     * one aggregation, one window for the per-column top-k. Profiling a
     * wide table must not cost a scan per categorical column.

@@ -102,6 +102,14 @@ object Events {
   def streamingDedup(stream: DataFrame, delay: String): DataFrame =
     stream.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
 
+  /** Dedup by id alone within the watermark window: unlike
+    * [[streamingDedup]], a redelivery with a DIFFERENT timestamp (the
+    * at-least-once case — retries restamp) is still dropped, as long as
+    * it arrives within `delay` of the original. State per id is evicted
+    * once the watermark passes. */
+  def streamingDedupWithinWatermark(stream: DataFrame, delay: String): DataFrame =
+    stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `within` after it. Both
     * sides carry watermarks so the join state is bounded (rows older

@@ -103,6 +103,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(vocab.except(uni).count() === 0L)
   }
 
+  test("shardByTokenBudget: consecutive shards, budget respected at starts") {
+    // 4 docs of 3 tokens each, budget 5: shard = floor(preceding/5)
+    // preceding = 0, 3, 6, 9 -> shards 0, 0, 1, 1
+    val df = Seq(
+      (1L, "a b c", "en"), (2L, "d e f", "en"),
+      (3L, "g h i", "en"), (4L, "j k l", "en"),
+      (10L, "x y", "de")
+    ).toDF("doc_id", "text", "lang")
+    val s = graft.ext.TextAnalysis
+      .shardByTokenBudget(df, "doc_id", "text", "lang", 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(s(1L) === 0L && s(2L) === 0L)
+    assert(s(3L) === 1L && s(4L) === 1L)
+    assert(s(10L) === 0L) // each lang shards independently
+  }
+
   test("boilerplate lines found by doc frequency; strip reassembles order") {
     val df = Seq(
       (1L, "SHARED HEADER\nunique one\nSHARED FOOTER"),

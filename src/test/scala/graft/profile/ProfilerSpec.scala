@@ -126,6 +126,17 @@ class ProfilerSpec extends SparkSpec {
     assert(c.uniqueCount >= 1L) // approx estimate present (exact would be 2)
   }
 
+  test("keySkewDF: shares sum to the hot keys' true fraction") {
+    val df = (Seq.fill(60)("hot") ++ Seq("a", "b", "c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }
+      .toDF("key_col", "v")
+    val top = Profiler.keySkewDF(df, "key_col", 2).collect()
+    assert(top(0).getString(0) === "hot")
+    assert(top(0).getLong(1) === 60L)
+    assert(math.abs(top(0).getDouble(2) - 60.0 / 64.0) < 1e-4)
+    assert(top.length === 2)
+  }
+
   test("profile of a single-row table does not crash (std dev undefined)") {
     val one = Seq((1.0, "z")).toDF("v", "c")
     val ins = Profiler.profile(one)

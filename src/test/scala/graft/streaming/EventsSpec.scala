@@ -81,6 +81,27 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup-within-watermark drops restamped redeliveries too") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamingDedupWithinWatermark(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val e = Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0)
+      mem.addData(e)
+      q.processAllAvailable()
+      // at-least-once redelivery with a NEW timestamp: plain
+      // dropDuplicates("event_id","ts") would keep it; within-watermark
+      // dedup by id drops it
+      mem.addData(e.copy(ts = ts("2024-01-01 00:12:00"), value = 99.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm_stream").count() === 1)
+      val kept = spark.table("dedup_wm_stream").collect().head
+      assert(kept.getDouble(4) === 1.0) // the first delivery won
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
