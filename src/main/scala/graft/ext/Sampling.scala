@@ -111,8 +111,10 @@ object Sampling {
     require(!row.isNullAt(0),
       s"cannot compute quantile thresholds: no non-null '$valueCol' values")
     val thresholds = row.getSeq[Any](0).map(_.toString.toDouble)
-    // nulls land in bucket 1, matching ntileBuckets (Spark sorts nulls
-    // first ascending); without this they'd fall through to bucket k
+    // nulls land in bucket 1 — the same END of the range as ntile's
+    // nulls-first placement, though not identical: ntile SPREADS a large
+    // null block across the leading buckets, this pins them all to 1.
+    // Without this they'd fall through to bucket k.
     val bucket = thresholds.zipWithIndex.foldRight(lit(k): Column) {
       case ((t, i), acc) => when(col(valueCol) <= t, lit(i + 1)).otherwise(acc)
     }

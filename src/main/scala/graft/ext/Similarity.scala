@@ -166,13 +166,14 @@ object Similarity {
     // KMeans pass re-reads and re-projects the corpus. 10 iterations is
     // plenty for a COARSE quantizer — cells only need to carve space,
     // not converge (recall asserted in SimilaritySpec either way).
-    c.persist()
+    // MEMORY_ONLY on purpose: those blocks are LRU-evictable (and simply
+    // recomputed), so repeated calls can't accumulate disk-resident
+    // cache the way the MEMORY_AND_DISK default would — there is no
+    // clean point to unpersist, since the assignment scan of c runs
+    // whenever the caller materializes the result.
+    c.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features")
-    // Deliberately NOT unpersisted here: the assignment scan over c runs
-    // when the caller materializes the result, and evicting now would
-    // force a full recompute of prep. The session's LRU store reclaims
-    // the blocks under pressure.
     val model = km.fit(c)
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 

@@ -141,8 +141,11 @@ object TextAnalysis {
       .partitionBy(partitionCol).orderBy(col(id).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val nToks = size(filter(split(col(text), "\\s+"), t => length(t) > 0))
-      .cast("long")
+    // null text must count as 0 tokens: NULL would silently drop the doc
+    // from the running budget (and legacy sizeOfNull's -1 would SUBTRACT)
+    val nToks = coalesce(
+      size(filter(split(col(text), "\\s+"), t => length(t) > 0)).cast("long"),
+      lit(0L))
     df.select(col(id), col(partitionCol), nToks.as("n_tokens"))
       .withColumn("shard",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /

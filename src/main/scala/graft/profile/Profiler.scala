@@ -267,16 +267,16 @@ object Profiler {
   /** Join-key skew report: the top-k heaviest keys with their share of
     * all rows — the number that decides between a plain shuffle join,
     * AQE skew handling, and salting ([[graft.ext.Joins.saltedJoin]]).
-    * One aggregation plus a 1-row total broadcast-joined back; at scale
-    * this is the diagnostic you run BEFORE the expensive join, on the
-    * same scan.
+    * One aggregation; the total is derived from the aggregated counts
+    * (exchange reuse — NOT a second scan of the source) and broadcast
+    * back. At scale this is the diagnostic you run BEFORE the expensive
+    * join, for one scan's cost.
     */
   def keySkewDF(df: DataFrame, column: String, k: Int = 10): DataFrame = {
     val counts = df.filter(col(column).isNotNull)
       .groupBy(col(column).cast(StringType).as("key"))
       .agg(count(lit(1)).as("count"))
-    val total = df.filter(col(column).isNotNull)
-      .agg(count(lit(1)).as("__total"))
+    val total = counts.agg(sum(col("count")).as("__total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("count"),
         round(col("count") / col("__total"), 6).as("share"))

@@ -11,11 +11,12 @@ import graft.model.ColumnOperation._
   * query_translator.rs:156-213`) keyword-matches the intent and always
   * targets the FIRST column of the schema regardless of the question.
   * This version keeps the same deterministic keyword → intent rules but
-  * resolves columns actually mentioned in the text (whole-word,
-  * first-mention-first; on overlapping mentions the longer name wins so
-  * "total price" prefers `o_totalprice` over `price`), falling back to
-  * the first numeric column for numeric intents — a deliberate
-  * improvement recorded in SURVEY.md §2.10.
+  * resolves columns actually mentioned in the text (whole-word, exact or
+  * underscores-spaced form only, ordered by first mention; when two
+  * names match at the same position — "price_usd above 5" with columns
+  * `price_usd` and `price` — the longer wins), falling back to the first
+  * numeric column for numeric intents — a deliberate improvement
+  * recorded in SURVEY.md §2.10.
   *
   * Pure function of (text, schema): no network, no LLM. The reference's
   * LLM path (`ai.rs:207-336`) is driver-side orchestration, out of the
@@ -97,12 +98,15 @@ object NLTranslator {
     * text, one typed Filter per match ("where l_quantity greater than 45
     * and l_discount at most 0.05" → two AND-composed predicates —
     * QueryCompiler applies filters before every intent). Column mentions
-    * are whole-word ("id" never fires inside "paid"), and every
-    * occurrence is checked ("show price where price at most 0.05" must
-    * match the second mention).
+    * are whole-word ("id" never fires inside "paid"), every occurrence
+    * is checked ("show price where price at most 0.05" must match the
+    * second mention), and a mention CONTAINED in a longer column's
+    * mention is suppressed ("total price above 5" with columns
+    * `total_price` and `price` must filter total_price only).
     */
-  private def filterPhrases(q: String, schema: StructType): Seq[ColumnOperation] =
-    schema.fields.toSeq.flatMap { f =>
+  private def filterPhrases(q: String, schema: StructType): Seq[ColumnOperation] = {
+    // (filter, matched span) candidates for every column mention
+    val cands = schema.fields.toSeq.flatMap { f =>
       val names = Seq(f.name.toLowerCase, f.name.toLowerCase.replace('_', ' '))
         .distinct
       names.flatMap { n =>
@@ -116,11 +120,17 @@ object NLTranslator {
                 .split("\\s+").headOption.getOrElse("")
               val v = raw.replaceAll("[?.,;!]+$", "")
                 .replaceAll("^['\"]|['\"]$", "")
-              Filter(f.name, op, v)
-          }.filter(_.value.nonEmpty)
-        }.toSeq
-      }.distinct
+              (Filter(f.name, op, v), m.start, m.end)
+          }.filter(_._1.value.nonEmpty)
+        }
+      }
     }
+    cands.filterNot { case (flt, s, e) =>
+      cands.exists { case (other, os, oe) =>
+        other.column != flt.column && os <= s && e <= oe && (oe - os) > (e - s)
+      }
+    }.map(_._1).distinct
+  }
 
   /** Position of the first whole-word mention of `name` (or its
     * spaced variant) in the text; -1 if absent. Word-bounded so "id"

@@ -119,6 +119,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(10L) === 0L) // each lang shards independently
   }
 
+  test("shardByTokenBudget: null text counts as zero tokens, doc kept") {
+    val df = Seq(
+      (1L, "a b c", "en"),
+      (2L, null.asInstanceOf[String], "en"),
+      (3L, "d e f", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = graft.ext.TextAnalysis
+      .shardByTokenBudget(df, "doc_id", "text", "lang", 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L)) // null doc not dropped
+    assert(rows(2L)._1 === 0L)              // zero tokens, not NULL/-1
+    // running total: 0, 3, 3 -> shards 0, 0, 0
+    assert(rows.values.map(_._2).toSet === Set(0L))
+  }
+
   test("boilerplate lines found by doc frequency; strip reassembles order") {
     val df = Seq(
       (1L, "SHARED HEADER\nunique one\nSHARED FOOTER"),

@@ -210,6 +210,14 @@ class NLTranslatorSpec extends SparkSpec {
       case Filter("id", _, _) => true
       case _ => false
     })
+
+    // word-level containment: "total price above 5" with columns
+    // total_price AND price must filter total_price only (the nested
+    // 'price' mention is suppressed, not AND-composed)
+    val sch3 = Seq((1.0, 2.0)).toDF("total_price", "price").schema
+    val q4 = NLTranslator.translate("rows where total price above 5", sch3)
+    assert(q4.operations.collect { case f: Filter => f } ===
+      Seq(Filter("total_price", CompareOp.Gt, "5")))
   }
 
   test("NL filter compiles end-to-end through QueryCompiler") {
