@@ -26,4 +26,34 @@ object Sinks {
   /** File sink: newline-delimited JSON, one object per row. */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Compact a parquet directory into ~`targetFileBytes` files at
+    * `dstDir` — the small-files maintenance pass every streaming or
+    * per-batch ingest needs (a 100 TB lake of 1 MB files spends more
+    * time opening footers than reading data). File count is sized from
+    * the ACTUAL on-disk bytes, not row counts; a fresh `dstDir` keeps
+    * the operation atomic-by-rename for the caller (never read and
+    * overwrite the same live path). Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     srcDir: String, dstDir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(srcDir != dstDir, "compact to a fresh directory, then swap")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(srcDir match {
+        case s if s.contains("://") => s
+        case s => "file://" + s
+      }),
+      spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val parts = fs.listStatus(src)
+      .filter(f => f.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcDir).repartition(n)
+      .write.mode("overwrite").parquet(dstDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .count(f => f.getPath.getName.startsWith("part-"))
+    (parts.length, after)
+  }
 }

@@ -68,6 +68,21 @@ class ApiSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || scan.inputFiles.forall(_.contains("lang=en")))
   }
 
+  test("compaction merges a small-files directory, preserving rows") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("frag").toString
+    val dst = src + "_compact"
+    spark.range(0, 10000).toDF("id").repartition(40)
+      .write.mode("overwrite").parquet(src)
+    val (before, after) = Sinks.compactParquet(spark, src, dst,
+      targetFileBytes = 512L * 1024)
+    assert(before === 40)
+    assert(after < before)
+    assert(spark.read.parquet(dst).count() === 10000L)
+    assert(spark.read.parquet(dst).agg(org.apache.spark.sql.functions.sum("id"))
+      .first().getLong(0) === 10000L * 9999 / 2)
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString
