@@ -27,6 +27,23 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Range-partitioned, sorted parquet layout: rows are range-split
+    * across files by `cols` and sorted within each file, so every file
+    * (and row group) carries a TIGHT min/max band for those columns —
+    * the layout that lets a 100 TB scan skip everything outside a range
+    * predicate from parquet footers alone. This is the write-side half
+    * of predicate pushdown; without it min/max stats span the whole
+    * domain per file and prune nothing.
+    */
+  def writeRangeSorted(df: DataFrame, dstDir: String, cols: Seq[String],
+                       partitions: Int): Unit = {
+    require(cols.nonEmpty, "at least one layout column")
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(dstDir)
+  }
+
   /** Compact a parquet directory into ~`targetFileBytes` files at
     * `dstDir` — the small-files maintenance pass every streaming or
     * per-batch ingest needs (a 100 TB lake of 1 MB files spends more

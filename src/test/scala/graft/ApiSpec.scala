@@ -68,6 +68,25 @@ class ApiSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || scan.inputFiles.forall(_.contains("lang=en")))
   }
 
+  test("range-sorted layout gives files disjoint min/max bands") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dst = java.nio.file.Files.createTempDirectory("layout").toString + "/t"
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("id", pmod(hash(col("id")), lit(10000))) // scrambled input
+    Sinks.writeRangeSorted(df, dst, Seq("id"), partitions = 4)
+    // per-file bands must not overlap: that's what makes footer pruning work
+    val bands = spark.read.parquet(dst)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("lo").collect()
+    assert(bands.length === 4)
+    bands.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getInt(2) <= b.getInt(1), "file bands must be disjoint")
+    }
+    assert(spark.read.parquet(dst).count() === 10000L)
+  }
+
   test("compaction merges a small-files directory, preserving rows") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("frag").toString
