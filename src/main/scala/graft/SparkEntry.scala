@@ -1346,8 +1346,8 @@ object SparkEntry {
     "q78_sharding" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
-        |         x -> x <> '')) AS BIGINT) AS n_tokens
+        |    coalesce(CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |         x -> x <> '')) AS BIGINT), 0) AS n_tokens
         |  FROM documents),
         |s AS (
         |  SELECT lang, n_tokens,

@@ -31,9 +31,10 @@ object Multimodal {
   /** Real media ingestion path: Spark's `binaryFile` source reads whole
     * files as (path, modificationTime, length, content) rows — the way
     * raw image/audio/video files enter the lake before any decode.
-    * `pathGlobFilter` prunes by extension at LISTING time (no bytes read
-    * for excluded files); `maxBytesPerFile` guards against a single
-    * outlier exploding an executor.
+    * `pathGlobFilter` prunes by extension at LISTING time (no bytes
+    * read for excluded files). Each file becomes ONE row — bound
+    * outliers with `spark.sql.sources.binaryFile.maxLength` (session
+    * conf; the read fails rather than OOMing an executor).
     */
   def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                       globFilter: Option[String] = None): DataFrame = {

@@ -133,6 +133,11 @@ object TextAnalysis {
     * training-chunk files). Shard id = floor(preceding-tokens / budget):
     * pure window arithmetic, reproducible under any partitioning, and
     * expressible in the oracle.
+    *
+    * SCALE NOTE: the running sum serializes each `partitionCol` group
+    * into one window task. Pick a partition column with enough
+    * cardinality for the cluster (lang × source, not lang) — the shard
+    * ids stay deterministic for any choice; see SCALE.md.
     */
   def shardByTokenBudget(df: DataFrame, id: String, text: String,
                          partitionCol: String, budgetTokens: Long): DataFrame = {

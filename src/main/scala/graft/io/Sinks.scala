@@ -56,21 +56,31 @@ object Sinks {
                      srcDir: String, dstDir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(srcDir != dstDir, "compact to a fresh directory, then swap")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(srcDir match {
-        case s if s.contains("://") => s
-        case s => "file://" + s
-      }),
-      spark.sparkContext.hadoopConfiguration)
-    val src = new org.apache.hadoop.fs.Path(srcDir)
-    val parts = fs.listStatus(src)
-      .filter(f => f.getPath.getName.startsWith("part-"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // Path.getFileSystem per directory: handles URI-hostile characters
+    // (spaces) and src/dst living on DIFFERENT filesystems
+    def partFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, /* recursive = */ false)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) buf += f
+      }
+      buf.result()
+    }
+    val parts = partFiles(srcDir)
+    // a hive-partitioned layout nests part- files under key=value dirs;
+    // blind recursive compaction would ERASE the partitioning — make the
+    // caller compact per partition directory instead
+    require(parts.nonEmpty,
+      s"no part- files directly under $srcDir — for a partitioned " +
+        "layout, compact each partition directory")
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(srcDir).repartition(n)
       .write.mode("overwrite").parquet(dstDir)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
-      .count(f => f.getPath.getName.startsWith("part-"))
-    (parts.length, after)
+    (parts.length, partFiles(dstDir).length)
   }
 }

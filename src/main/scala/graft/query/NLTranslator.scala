@@ -13,10 +13,10 @@ import graft.model.ColumnOperation._
   * This version keeps the same deterministic keyword → intent rules but
   * resolves columns actually mentioned in the text (whole-word, exact or
   * underscores-spaced form only, ordered by first mention; when two
-  * names match at the same position — "price_usd above 5" with columns
-  * `price_usd` and `price` — the longer wins), falling back to the first
-  * numeric column for numeric intents — a deliberate improvement
-  * recorded in SURVEY.md §2.10.
+  * names match at the same position — "price index" matching both
+  * `price_index`'s spaced form and bare `price` — the longer wins),
+  * falling back to the first numeric column for numeric intents — a
+  * deliberate improvement recorded in SURVEY.md §2.10.
   *
   * Pure function of (text, schema): no network, no LLM. The reference's
   * LLM path (`ai.rs:207-336`) is driver-side orchestration, out of the
