@@ -129,6 +129,23 @@ object Events {
       .select("user_id", "l_id", "r_id", "l_ts", "r_ts")
   }
 
+  /** Append the stream to a parquet directory with exactly-once file
+    * delivery: the checkpoint tracks committed batches and the sink's
+    * transaction log marks which files are live, so a crash between
+    * write and commit replays the batch WITHOUT duplicating rows on
+    * restart — readers see each input row once. This is the landing-zone
+    * pattern for a 100 TB/day firehose (compact the output directory
+    * periodically with `Sinks.compactParquet`).
+    */
+  def streamToParquet(df: DataFrame, outDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)

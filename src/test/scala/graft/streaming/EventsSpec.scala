@@ -224,6 +224,32 @@ class EventsSpec extends SparkSpec {
     assert(r(("view", ts("2024-01-01 03:00:00"))) === ((0L, Some(7.0))))
   }
 
+  test("parquet sink: checkpointed restart appends without duplicating rows") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sink").toString
+    val out = s"$base/data"
+    val ckpt = s"$base/ckpt"
+    val mem = MemoryStream[Ev]
+    val q1 = graft.streaming.Events.streamToParquet(mem.toDF(), out, ckpt)
+    mem.addData(Ev(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0))
+    mem.addData(Ev(2, ts("2024-01-01 00:00:02"), 1, "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // restart from the SAME checkpoint: whatever the new source replays,
+    // committed batches must never be double-applied (the exactly-once
+    // property; MemoryStream is not offset-replayable so "new rows
+    // land" is the file-source's job, pinned elsewhere)
+    val mem2 = MemoryStream[Ev]
+    mem2.addData(Ev(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0)) // old
+    mem2.addData(Ev(3, ts("2024-01-01 00:00:03"), 2, "click", 3.0)) // new
+    val q2 = graft.streaming.Events.streamToParquet(mem2.toDF(), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids.length === ids.distinct.length, s"duplicated rows: ${ids.toSeq}")
+  }
+
   test("foreachBatch incremental dedup: catalog state carries across batches") {
     // The streaming-ingest shape for exact dedup at scale: each
     // micro-batch dedups against the accumulated digest catalog, then
