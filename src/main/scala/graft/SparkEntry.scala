@@ -224,6 +224,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // --- The full near-dup dedup story in one plan: pairs -> transitive
+    // clusters -> one best-quality survivor per cluster (unpaired docs
+    // are singleton clusters and survive automatically).
+    "q80_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val pairs = graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text",
+        tau = 0.5, ngram = 3)
+      val comp = graft.ext.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val quality = graft.ext.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      docs.select("doc_id")
+        .join(comp, Seq("doc_id"), "left_outer")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .join(quality, Seq("doc_id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(struct((-col("q")).as("nq"), col("doc_id").as("k")))
+            .getField("k").as("survivor"))
+    }),
+
     // --- Dedup: MinHash+LSH sketch path (no SQL oracle — rows-only;
     // recall/precision asserted against jaccardPairs in DedupSpec).
     "q17_minhash_pairs" -> ((s, dir) =>
@@ -910,6 +931,43 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS doc_freq
         |FROM toks GROUP BY tok HAVING count(*) >= 100""".stripMargin,
     "q16_jaccard_pairs" -> jaccardPairsSql(),
+    "q80_canonical" -> {
+      val stop = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         |    length(text) * 1.0 AS n_chars,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 AS punct
+         |  FROM documents WHERE doc_id < 500),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN len(list_filter(toks, x -> list_contains($stop, x))) * 1.0 / len(toks)
+         |      ELSE 0.0 END AS stopword_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(n_tokens, 100.0) / 100.0
+         |        + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+         |        + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS qs
+         |  FROM u),
+         |dc AS (
+         |  SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.qs
+         |  FROM q LEFT JOIN comp ON q.doc_id = comp.id)
+         |SELECT component, count(*) AS cluster_size,
+         |  (min(struct_pack(nq := -qs, k := doc_id))).k AS survivor
+         |FROM dc GROUP BY component""".stripMargin
+    },
     "q77_components" ->
       s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
          |edges AS (SELECT id_a AS a, id_b AS b FROM p
