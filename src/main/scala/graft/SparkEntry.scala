@@ -795,6 +795,45 @@ object SparkEntry {
       |JOIN sizes sb ON inter.id_b = sb.doc_id
       |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""".stripMargin
 
+  /** Undirected transitive-closure CTEs over a pair CTE named `p`
+    * (id_a, id_b) → a `comp(id, component)` CTE; shared by q77 and q80
+    * so the closure semantics can never diverge between them. Must be
+    * spliced into a `WITH RECURSIVE` list. */
+  private val ClosureCtes: String =
+    """edges AS (SELECT id_a AS a, id_b AS b FROM p
+      |          UNION SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** q23's quality-score formula as CTEs ending in
+    * `q(doc_id, qs)` (qs rounded to 6); shared by q80. */
+  private def qualityCtes(extraWhere: String = ""): String = {
+    val stop = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+       |    length(text) * 1.0 AS n_chars,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 AS punct
+       |  FROM documents$extraWhere),
+       |u AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+       |    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN len(toks) > 0
+       |      THEN len(list_filter(toks, x -> list_contains($stop, x))) * 1.0 / len(toks)
+       |      ELSE 0.0 END AS stopword_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(0.4 * least(n_tokens, 100.0) / 100.0
+       |        + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+       |        + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS qs
+       |  FROM u)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Column names/aliases MUST match the Spark output exactly.
@@ -931,54 +970,20 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS doc_freq
         |FROM toks GROUP BY tok HAVING count(*) >= 100""".stripMargin,
     "q16_jaccard_pairs" -> jaccardPairsSql(),
-    "q80_canonical" -> {
-      val stop = graft.ext.TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    "q80_canonical" ->
       s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM p
-         |          UNION SELECT id_b, id_a FROM p),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
-         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-         |t AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
-         |    length(text) * 1.0 AS n_chars,
-         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 AS punct
-         |  FROM documents WHERE doc_id < 500),
-         |u AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS DOUBLE) AS n_tokens,
-         |    CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
-         |    CASE WHEN len(toks) > 0
-         |      THEN len(list_filter(toks, x -> list_contains($stop, x))) * 1.0 / len(toks)
-         |      ELSE 0.0 END AS stopword_ratio
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id,
-         |    round(0.4 * least(n_tokens, 100.0) / 100.0
-         |        + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
-         |        + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS qs
-         |  FROM u),
+         |$ClosureCtes,
+         |${qualityCtes(" WHERE doc_id < 500")},
          |dc AS (
          |  SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.qs
          |  FROM q LEFT JOIN comp ON q.doc_id = comp.id)
          |SELECT component, count(*) AS cluster_size,
          |  (min(struct_pack(nq := -qs, k := doc_id))).k AS survivor
-         |FROM dc GROUP BY component""".stripMargin
-    },
+         |FROM dc GROUP BY component""".stripMargin,
     "q77_components" ->
       s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM p
-         |          UNION SELECT id_b, id_a FROM p),
-         |nodes AS (SELECT a AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
-         |SELECT id AS doc_id, min(r) AS component
-         |FROM reach GROUP BY id""".stripMargin,
+         |$ClosureCtes
+         |SELECT id AS doc_id, component FROM comp""".stripMargin,
     "q19_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -50,37 +50,52 @@ object Sinks {
     * time opening footers than reading data). File count is sized from
     * the ACTUAL on-disk bytes, not row counts; a fresh `dstDir` keeps
     * the operation atomic-by-rename for the caller (never read and
-    * overwrite the same live path). Returns (filesBefore, filesAfter).
+    * overwrite the same live path). Merging uses `coalesce`, which
+    * concatenates input files without a shuffle and keeps their internal
+    * row order (a range-sorted layout keeps usable min/max bands; for
+    * tight bands re-run [[writeRangeSorted]] instead). Returns
+    * (filesBefore, filesAfter).
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
                      srcDir: String, dstDir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(srcDir != dstDir, "compact to a fresh directory, then swap")
     val conf = spark.sparkContext.hadoopConfiguration
-    // Path.getFileSystem per directory: handles URI-hostile characters
-    // (spaces) and src/dst living on DIFFERENT filesystems
-    def partFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(conf)
-      val it = fs.listFiles(p, /* recursive = */ false)
-      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-")) buf += f
-      }
-      buf.result()
+    val df = spark.read.parquet(srcDir)
+    // size from the READ's own file set (df.inputFiles): on a streaming
+    // sink directory this honors _spark_metadata and ignores orphaned
+    // uncommitted files that a raw listing would count
+    val files = df.inputFiles
+    require(files.nonEmpty, s"nothing to compact under $srcDir")
+    val srcNorm = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(conf).makeQualified(
+        new org.apache.hadoop.fs.Path(srcDir)).toString
+    // nested files mean a hive-partitioned layout; blind compaction
+    // would ERASE the partitioning — compact per partition dir instead
+    files.foreach { f =>
+      val parent = new org.apache.hadoop.fs.Path(f).getParent.toString
+      require(parent == srcNorm,
+        s"$f sits under a partition subdirectory — compact each " +
+          "partition directory separately")
     }
-    val parts = partFiles(srcDir)
-    // a hive-partitioned layout nests part- files under key=value dirs;
-    // blind recursive compaction would ERASE the partitioning — make the
-    // caller compact per partition directory instead
-    require(parts.nonEmpty,
-      s"no part- files directly under $srcDir — for a partitioned " +
-        "layout, compact each partition directory")
-    val totalBytes = parts.map(_.getLen).sum
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(srcDir).repartition(n)
-      .write.mode("overwrite").parquet(dstDir)
-    (parts.length, partFiles(dstDir).length)
+    // coalesce when MERGING (no shuffle; concatenates whole input files,
+    // preserving their internal order); a repartition shuffle is only
+    // needed when splitting files bigger than the target
+    val sized =
+      if (n < df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
+    sized.write.mode("overwrite").parquet(dstDir)
+    val dstP = new org.apache.hadoop.fs.Path(dstDir)
+    val dstFs = dstP.getFileSystem(conf)
+    val it = dstFs.listFiles(dstP, false)
+    var after = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) after += 1
+    }
+    (files.length, after)
   }
 }

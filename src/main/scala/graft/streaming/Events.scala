@@ -131,11 +131,16 @@ object Events {
 
   /** Append the stream to a parquet directory with exactly-once file
     * delivery: the checkpoint tracks committed batches and the sink's
-    * transaction log marks which files are live, so a crash between
-    * write and commit replays the batch WITHOUT duplicating rows on
-    * restart — readers see each input row once. This is the landing-zone
-    * pattern for a 100 TB/day firehose (compact the output directory
-    * periodically with `Sinks.compactParquet`).
+    * `_spark_metadata` transaction log marks which files are live, so a
+    * crash between write and commit replays the batch WITHOUT
+    * duplicating rows on restart — readers see each input row once.
+    *
+    * Do NOT compact this directory in place: readers resolve files
+    * through `_spark_metadata`, so files written by anything other than
+    * this sink are invisible (and deleting the log would resurface
+    * uncommitted orphans). To compact, GRADUATE the landing zone:
+    * `spark.read.parquet(out)` (the read honors the log) and rewrite to
+    * a separate lake directory, e.g. with `Sinks.writeRangeSorted`.
     */
   def streamToParquet(df: DataFrame, outDir: String,
                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

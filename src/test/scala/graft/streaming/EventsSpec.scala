@@ -236,18 +236,16 @@ class EventsSpec extends SparkSpec {
     q1.processAllAvailable()
     q1.stop()
     assert(spark.read.parquet(out).count() === 2)
-    // restart from the SAME checkpoint: whatever the new source replays,
-    // committed batches must never be double-applied (the exactly-once
-    // property; MemoryStream is not offset-replayable so "new rows
-    // land" is the file-source's job, pinned elsewhere)
-    val mem2 = MemoryStream[Ev]
-    mem2.addData(Ev(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0)) // old
-    mem2.addData(Ev(3, ts("2024-01-01 00:00:03"), 2, "click", 3.0)) // new
-    val q2 = graft.streaming.Events.streamToParquet(mem2.toDF(), out, ckpt)
+    // restart the SAME source from the SAME checkpoint with NEW data:
+    // the committed batch must not re-apply (ids 1,2 appear once) AND
+    // the new batch must land (id 3) — a sink that blindly replayed
+    // batch 0, or a restart that processed nothing, both fail this
+    mem.addData(Ev(3, ts("2024-01-01 00:00:03"), 2, "click", 3.0))
+    val q2 = graft.streaming.Events.streamToParquet(mem.toDF(), out, ckpt)
     q2.processAllAvailable()
     q2.stop()
     val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
-    assert(ids.length === ids.distinct.length, s"duplicated rows: ${ids.toSeq}")
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
   test("foreachBatch incremental dedup: catalog state carries across batches") {
