@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession entry point for the graft engine.
+  *
+  * One place encodes the settings every deployment of this library
+  * wants — instead of each caller rediscovering them:
+  *  - ANSI mode stays ON (Spark 4 default): unparseable literals and
+  *    overflow fail loudly, the SURVEY.md §2.2 decision.
+  *  - UTC session timezone: results must not depend on driver locale.
+  *  - AQE on (default) — runtime coalescing + skew-join handling.
+  *  - [[GraftExtensions]] installed: `vec_dot`/`vec_norm2` usable from
+  *    SQL immediately.
+  *  - `parquet.nanosAsLong` for the nanosecond-timestamp test tables.
+  *
+  * `local(cores)` additionally sizes `shuffle.partitions` to the core
+  * count (the 200 default is a cluster setting; on a laptop it makes
+  * every small aggregation 200 tiny tasks).
+  */
+object GraftSession {
+
+  /** Shared tuning applied to any builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local development/test session: `local[cores]`, shuffle partitions
+    * = cores, UI off. */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = tune(SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    GraftExtensions.install(spark)
+    spark
+  }
+
+  /** Cluster session: master/deploy come from spark-submit; only the
+    * engine's own requirements are set here. */
+  def cluster(appName: String = "graft"): SparkSession = {
+    val spark = tune(SparkSession.builder().appName(appName)).getOrCreate()
+    GraftExtensions.install(spark)
+    spark
+  }
+}

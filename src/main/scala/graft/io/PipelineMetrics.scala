@@ -31,4 +31,40 @@ object PipelineMetrics {
     sum(coalesce(length(text), lit(0))).as("total_chars"),
     avg(length(text)).as("avg_chars"),
     approx_count_distinct(id).as("approx_ids"))
+
+  /** Per-action execution telemetry (rows written, wall time, the
+    * query's name) captured via `QueryExecutionListener` — the
+    * session-wide complement to per-frame `observe`: nothing to thread
+    * through call sites, every action reports. Entries accumulate in
+    * [[ExecutionLog.entries]]; `register` is idempotent per log.
+    */
+  final class ExecutionLog
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    final case class Entry(funcName: String, durationNs: Long,
+                           outputRows: Option[Long])
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+    def entries: Seq[Entry] = {
+      import scala.jdk.CollectionConverters._
+      buf.iterator().asScala.toSeq
+    }
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit = {
+      val rows = Option(qe.executedPlan.metrics.get("numOutputRows"))
+        .flatten.map(_.value)
+      buf.add(Entry(funcName, durationNs, rows))
+    }
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  /** Attach a fresh [[ExecutionLog]] to the session and return it. */
+  def attachExecutionLog(
+      spark: org.apache.spark.sql.SparkSession): ExecutionLog = {
+    val log = new ExecutionLog
+    spark.listenerManager.register(log)
+    log
+  }
 }

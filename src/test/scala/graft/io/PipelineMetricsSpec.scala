@@ -27,6 +27,34 @@ class PipelineMetricsSpec extends SparkSpec {
     assert(m("approx_ids") === 4L)
   }
 
+  test("GraftSession.local: tuned confs + SQL functions ready") {
+    // getOrCreate joins the suite's JVM-wide session; the point is the
+    // entry point works end-to-end: confs resolve, vec_dot is callable
+    val s = graft.GraftSession.local(4)
+    assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
+    val r = s.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .first().getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("execution log captures completed actions session-wide") {
+    val log = PipelineMetrics.attachExecutionLog(spark)
+    try {
+      val before = log.entries.size
+      Seq((1L, "x"), (2L, "y")).toDF("id", "t").count()
+      // listener delivery is async; the bus flushes within a few seconds
+      var tries = 0
+      while (log.entries.size == before && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val fresh = log.entries.drop(before)
+      assert(fresh.nonEmpty, "no execution captured")
+      assert(fresh.exists(_.funcName == "count"))
+      assert(fresh.forall(_.durationNs > 0))
+    } finally spark.listenerManager.unregister(log)
+  }
+
   test("observed metrics match a direct aggregation on real documents") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (observedDf, obs) = PipelineMetrics.observed(docs, "docs",
