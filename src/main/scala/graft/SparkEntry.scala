@@ -642,6 +642,7 @@ object SparkEntry {
         .withColumn("prank", round(percent_rank().over(w), 6))
         .withColumn("cdist", round(cume_dist().over(w), 6))
         .withColumn("top_key", first(col("o_orderkey")).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
         .filter(col("rn") <= 50)
     }),
 
@@ -1326,7 +1327,8 @@ object SparkEntry {
         |    dense_rank() OVER w AS drank,
         |    round(percent_rank() OVER w, 6) AS prank,
         |    round(cume_dist() OVER w, 6) AS cdist,
-        |    first_value(o_orderkey) OVER w AS top_key
+        |    first_value(o_orderkey) OVER w AS top_key,
+        |    lead(o_totalprice, 1) OVER w AS next_price
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderpriority
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
