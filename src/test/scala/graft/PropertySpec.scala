@@ -102,4 +102,38 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(r.getDouble(0)) <= r.getDouble(2) * r.getDouble(3) + 1e-9)
     }
   }
+
+  test("connected components are a fixed point and respect edge locality") {
+    forAll(Gen.listOfN(25,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { edges =>
+      val pairs = edges.filter { case (a, b) => a != b }
+      whenever(pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        val labels = graft.ext.Dedup.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // every edge's endpoints share a component
+        pairs.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+        // each component's label is its minimum member (canonical form)
+        labels.groupBy(_._2).foreach { case (comp, members) =>
+          assert(members.keys.min === comp)
+        }
+        // fixed point: re-running ON THE LABELS as pairs changes nothing
+        val again = graft.ext.Dedup.connectedComponents(
+            labels.toSeq.filter(kv => kv._1 != kv._2).toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        again.foreach { case (id, c) => assert(labels(id) === c || id == c) }
+      }
+    }
+  }
+
+  test("hash-sample fractions are monotone: keep-set grows with fraction") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val fractions = Seq(0.01, 0.05, 0.2, 0.6, 1.0)
+    val sets = fractions.map(f =>
+      graft.ext.Sampling.hashSample(ids, "id", f, "law")
+        .collect().map(_.getLong(0)).toSet)
+    sets.sliding(2).foreach { case Seq(small, large) =>
+      assert(small.subsetOf(large), "smaller fraction must nest in larger")
+    }
+  }
 }
