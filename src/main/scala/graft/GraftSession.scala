@@ -26,17 +26,33 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local development/test session: `local[cores]`, shuffle partitions
-    * = cores, UI off. */
-  def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = tune(SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(appName)
-        .config("spark.sql.shuffle.partitions", cores.toString)
-        .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    GraftExtensions.install(spark)
-    spark
-  }
+    * = cores, UI off.
+    *
+    * If the JVM already has a SparkSession, the master/core count CANNOT
+    * change; rather than silently mutating the host application's
+    * session confs (getOrCreate's behavior), this clones a sibling via
+    * `newSession()` — same SparkContext, its OWN SQLConf and function
+    * registry — and applies the graft settings to the clone only.
+    */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(existing) =>
+        val s = existing.newSession()
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.shuffle.partitions", cores.toString)
+        GraftExtensions.install(s)
+        s
+      case None =>
+        val spark = tune(SparkSession.builder()
+            .master(s"local[$cores]")
+            .appName(appName)
+            .config("spark.sql.shuffle.partitions", cores.toString)
+            .config("spark.ui.enabled", "false"))
+          .getOrCreate()
+        GraftExtensions.install(spark)
+        spark
+    }
 
   /** Cluster session: master/deploy come from spark-submit; only the
     * engine's own requirements are set here. */

@@ -35,8 +35,10 @@ object PipelineMetrics {
   /** Per-action execution telemetry (rows written, wall time, the
     * query's name) captured via `QueryExecutionListener` — the
     * session-wide complement to per-frame `observe`: nothing to thread
-    * through call sites, every action reports. Entries accumulate in
-    * [[ExecutionLog.entries]]; `register` is idempotent per log.
+    * through call sites, every action reports. Register each log ONCE
+    * (the listener manager keeps duplicates, which would double-record);
+    * long-running sessions should `drain()` periodically — entries
+    * otherwise accumulate for the listener's lifetime.
     */
   final class ExecutionLog
       extends org.apache.spark.sql.util.QueryExecutionListener {
@@ -48,11 +50,16 @@ object PipelineMetrics {
       import scala.jdk.CollectionConverters._
       buf.iterator().asScala.toSeq
     }
+    /** Snapshot-and-clear, for periodic shipping to a metrics store. */
+    def drain(): Seq[Entry] = {
+      val snap = entries
+      snap.foreach(_ => buf.poll())
+      snap
+    }
     override def onSuccess(funcName: String,
                            qe: org.apache.spark.sql.execution.QueryExecution,
                            durationNs: Long): Unit = {
-      val rows = Option(qe.executedPlan.metrics.get("numOutputRows"))
-        .flatten.map(_.value)
+      val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
       buf.add(Entry(funcName, durationNs, rows))
     }
     override def onFailure(funcName: String,

@@ -61,15 +61,20 @@ object Sinks {
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(srcDir != dstDir, "compact to a fresh directory, then swap")
     val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(srcDir)
+    val srcFs = srcP.getFileSystem(conf)
+    // ONE listing up front: friendly empty-dir error (spark.read would
+    // fail with an obscure schema-inference message) and per-file sizes
+    // without a metadata RPC per file
+    val listed = srcFs.listStatus(srcP).filter(_.isFile)
+      .map(f => f.getPath.toString -> f.getLen).toMap
+    require(listed.nonEmpty, s"nothing to compact under $srcDir")
     val df = spark.read.parquet(srcDir)
-    // size from the READ's own file set (df.inputFiles): on a streaming
-    // sink directory this honors _spark_metadata and ignores orphaned
-    // uncommitted files that a raw listing would count
+    // the READ's own file set (df.inputFiles): on a streaming sink
+    // directory this honors _spark_metadata and excludes orphaned
+    // uncommitted files the raw listing includes
     val files = df.inputFiles
-    require(files.nonEmpty, s"nothing to compact under $srcDir")
-    val srcNorm = new org.apache.hadoop.fs.Path(srcDir)
-      .getFileSystem(conf).makeQualified(
-        new org.apache.hadoop.fs.Path(srcDir)).toString
+    val srcNorm = srcFs.makeQualified(srcP).toString
     // nested files mean a hive-partitioned layout; blind compaction
     // would ERASE the partitioning — compact per partition dir instead
     files.foreach { f =>
@@ -78,24 +83,19 @@ object Sinks {
         s"$f sits under a partition subdirectory — compact each " +
           "partition directory separately")
     }
-    val totalBytes = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    val totalBytes = files.map(f => listed.getOrElse(f, 0L)).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // coalesce when MERGING (no shuffle; concatenates whole input files,
-    // preserving their internal order); a repartition shuffle is only
-    // needed when splitting files bigger than the target
+    // coalesce whenever NOT splitting (no shuffle; concatenates whole
+    // input partitions, preserving their internal order — including the
+    // n == partitions re-compaction no-op); a repartition shuffle only
+    // when files must be split above the current partition count
     val sized =
-      if (n < df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
+      if (n <= df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
     sized.write.mode("overwrite").parquet(dstDir)
     val dstP = new org.apache.hadoop.fs.Path(dstDir)
     val dstFs = dstP.getFileSystem(conf)
-    val it = dstFs.listFiles(dstP, false)
-    var after = 0
-    while (it.hasNext) {
-      if (it.next().getPath.getName.startsWith("part-")) after += 1
-    }
+    val after = dstFs.listStatus(dstP)
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     (files.length, after)
   }
 }

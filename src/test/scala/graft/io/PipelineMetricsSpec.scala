@@ -27,11 +27,14 @@ class PipelineMetricsSpec extends SparkSpec {
     assert(m("approx_ids") === 4L)
   }
 
-  test("GraftSession.local: tuned confs + SQL functions ready") {
-    // getOrCreate joins the suite's JVM-wide session; the point is the
-    // entry point works end-to-end: confs resolve, vec_dot is callable
-    val s = graft.GraftSession.local(4)
+  test("GraftSession.local: tuned sibling session, host session untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val s = graft.GraftSession.local(7) // JVM session exists -> newSession
+    assert(s ne spark)
     assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
+    assert(s.conf.get("spark.sql.shuffle.partitions") === "7")
+    // the suite's session keeps ITS confs — no cross-session mutation
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
     val r = s.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .first().getDouble(0)
