@@ -716,6 +716,16 @@ object SparkEntry {
         .select(col("r_name"), col("n_name"),
           (col("n_regionkey") === col("r_regionkey")).as("in_region"))),
 
+    // --- TRUE greedy sequence packing (never exceeds the budget except
+    // single oversize docs; rows-only — the greedy recurrence is not
+    // SQL-expressible; invariants pinned in TextAnalysisSpec).
+    "q81_packing" -> ((s, dir) =>
+      graft.ext.TextAnalysis.packGreedy(
+          Tables.documents(s, dir), "doc_id", "text", "lang", budgetTokens = 2000L)
+        .groupBy("group", "pack")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))),
+
     // --- Corpus sharding: per-lang consecutive ~2000-token shards
     // (how a corpus is cut into training-chunk files, deterministically).
     "q78_sharding" -> ((s, dir) =>

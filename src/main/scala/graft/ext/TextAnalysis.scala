@@ -157,6 +157,51 @@ object TextAnalysis {
           budgetTokens).cast("long"))
   }
 
+  /** TRUE greedy sequence packing: within each group (docs ordered by
+    * `id`), a pack accumulates documents until adding the next would
+    * exceed `budgetTokens`; then a new pack starts. Unlike
+    * [[shardByTokenBudget]]'s prefix-sum sharding (where a shard can
+    * overflow by one straddling doc), greedy packs NEVER exceed the
+    * budget — except a single document bigger than the budget, which
+    * gets a pack of its own — which is exactly the guarantee needed to
+    * cut corpora into fixed-token training sequences.
+    *
+    * The boundary condition depends on each pack's accumulated
+    * remainder, so this is inherently sequential per group — not window
+    * arithmetic. It runs as one `repartition(group)` +
+    * `sortWithinPartitions(group, id)` + a streaming per-partition scan
+    * with O(1) state; parallelism comes from the groups, the same
+    * contract as [[shardByTokenBudget]] (see SCALE.md).
+    */
+  def packGreedy(df: DataFrame, id: String, text: String,
+                 partitionCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = coalesce(
+      size(filter(split(col(text), "\\s+"), t => length(t) > 0)).cast("long"),
+      lit(0L))
+    df.select(col(partitionCol).cast("string").as("group"),
+        col(id).cast("long").as("id"), toks.as("n_tokens"))
+      .repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        // a partition holds whole groups (hash-partitioned), sorted by
+        // (group, id): reset state at each group change
+        var curGroup: String = null
+        var pack = 0L
+        var used = 0L
+        rows.map { case (g, docId, n) =>
+          if (g != curGroup) { curGroup = g; pack = 0L; used = 0L }
+          if (used > 0 && used + n > budgetTokens) { pack += 1; used = 0L }
+          used += n
+          (g, docId, n, pack)
+        }
+      }
+      .toDF("group", "id", "n_tokens", "pack")
+  }
+
   // --------------------------------------------------------------------
   // Boilerplate detection (C4-style shared-line removal)
   // --------------------------------------------------------------------

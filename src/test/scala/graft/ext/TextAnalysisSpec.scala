@@ -119,6 +119,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(10L) === 0L) // each lang shards independently
   }
 
+  test("packGreedy: budget never exceeded, packs tight, oversize isolated") {
+    val df = Seq(
+      (1L, "a b c", "en"),        // 3
+      (2L, "d e", "en"),          // 2 -> pack 0 full at 5
+      (3L, "f g h i", "en"),      // 4 -> pack 1
+      (4L, "j k", "en"),          // 2 -> 4+2>5 -> pack 2
+      (5L, "w x y z v u t s", "en"), // 8 > budget -> its own pack 3
+      (6L, "m", "en"),            // -> pack 4 (5's pack is over budget)
+      (10L, "p q r", "de")        // groups independent
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextAnalysis.packGreedy(df, "doc_id", "text", "lang", 5L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 1L)
+    assert(out(4L) === 2L)
+    assert(out(5L) === 3L)
+    assert(out(6L) === 4L)
+    assert(out(10L) === 0L)
+  }
+
+  test("packGreedy invariants hold on the real corpus") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = graft.ext.TextAnalysis
+      .packGreedy(docs, "doc_id", "text", "lang", 500L)
+    val perPack = packed.groupBy("group", "pack")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tok"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    perPack.foreach { r =>
+      // over budget only possible for a single oversize doc
+      assert(r.getLong(2) <= 500L || r.getLong(3) === 1L,
+        s"pack ${r.getString(0)}/${r.getLong(1)} overflows with ${r.getLong(3)} docs")
+    }
+    assert(packed.count() === docs.count()) // every doc packed exactly once
+  }
+
   test("shardByTokenBudget: null text counts as zero tokens, doc kept") {
     val df = Seq(
       (1L, "a b c", "en"),
