@@ -716,6 +716,14 @@ object SparkEntry {
         .select(col("r_name"), col("n_name"),
           (col("n_regionkey") === col("r_regionkey")).as("in_region"))),
 
+    // --- BPE merge training (rows-only: the iterative argmax-merge
+    // recurrence is not SQL-expressible; the classic merge sequence is
+    // hand-verified in TextAnalysisSpec). One corpus pass builds the
+    // word-freq table; iterations run at vocab scale.
+    "q82_bpe" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 4)),
+
     // --- TRUE greedy sequence packing (never exceeds the budget except
     // single oversize docs; rows-only — the greedy recurrence is not
     // SQL-expressible; invariants pinned in TextAnalysisSpec).

@@ -276,6 +276,78 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // BPE merge training (tokenizer vocabulary construction)
+  // --------------------------------------------------------------------
+
+  /** Byte-pair-encoding merge training, the classic Sennrich et al.
+    * formulation: start from characters (plus an end-of-word marker),
+    * repeatedly merge the most frequent adjacent symbol pair. Returns
+    * the merge table (rank, left, right, merged, score).
+    *
+    * Scale shape: ONE corpus-scale pass builds the word-frequency
+    * table (explode + count — the same aggregation as [[vocabularyDF]]);
+    * every merge iteration then runs over that aggregated vocab, which
+    * is orders of magnitude smaller than the corpus (pair counting is a
+    * weighted explode + sum; the argmax pulls ONE row to the driver;
+    * ties break lexicographically so training is deterministic). The
+    * in-array pair merge is plain Scala over `Dataset[Vocab]` — at vocab
+    * scale, not corpus scale, exactly where typed code belongs.
+    */
+  def bpeTrain(df: DataFrame, id: String, text: String,
+               numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val EndOfWord = "</w>"
+    var vocab = df
+      .select(explode(filter(split(lower(col(text)), "\\s+"),
+        t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.split("").toSeq :+ EndOfWord, f) }
+      .toDF("symbols", "freq")
+      .as[(Seq[String], Long)]
+      .cache()
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    while (rank < numMerges) {
+      val top = vocab.flatMap { case (syms, f) =>
+          syms.sliding(2).collect { case Seq(a, b) => ((a, b), f) }
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (a, b, n) }
+        // max count; ties by (left, right) ascending — deterministic
+        .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
+        .head(1)
+      if (top.isEmpty) rank = numMerges
+      else {
+        val (l, r, n) = top.head
+        if (n < 2) rank = numMerges // nothing left worth merging
+        else {
+          merges += ((rank, l, r, l + r, n))
+          val next = vocab.map { case (syms, f) =>
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }.cache()
+          next.count() // materialize before dropping the parent cache
+          vocab.unpersist(blocking = false)
+          vocab = next
+          rank += 1
+        }
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.result().toDF("rank", "left", "right", "merged", "score")
+  }
+
+  // --------------------------------------------------------------------
   // Language identification (character n-gram heuristic)
   // --------------------------------------------------------------------
 

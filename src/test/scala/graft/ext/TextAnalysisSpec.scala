@@ -119,6 +119,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(10L) === 0L) // each lang shards independently
   }
 
+  test("bpeTrain reproduces the classic merge sequence, deterministically") {
+    val df = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // pairs (l,o) and (o,w) tie at 5; lexicographic tiebreak -> (l,o)
+    assert(merges(0) === ((0, "l", "o", 5L)))
+    assert(merges(1) === ((1, "lo", "w", 5L)))
+    assert(merges(2) === ((2, "low", "</w>", 3L)))
+  }
+
+  test("bpeTrain stops early when no pair repeats") {
+    val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every adjacent pair occurs once -> nothing worth merging
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 5)
+    assert(merges.count() === 0L)
+  }
+
   test("packGreedy: budget never exceeded, packs tight, oversize isolated") {
     val df = Seq(
       (1L, "a b c", "en"),        // 3
