@@ -347,6 +347,49 @@ object TextAnalysis {
     merges.result().toDF("rank", "left", "right", "merged", "score")
   }
 
+  /** Apply a trained merge table ([[bpeTrain]] output) to encode text:
+    * each word is split to characters + end-of-word, then merges apply
+    * in RANK order (the BPE contract — apply order must match training
+    * order, not greedy-longest). The merge table is driver-small and
+    * travels in the closure; encoding is a map-side `Dataset` transform,
+    * no shuffle at any corpus size. Output: (id, tokens array,
+    * n_bpe_tokens).
+    */
+  def bpeEncode(df: DataFrame, id: String, text: String,
+                merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val EndOfWord = "</w>"
+    val table: Seq[(String, String)] = merges
+      .orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    def encodeWord(w: String): Seq[String] = {
+      var syms: Seq[String] = w.split("").toSeq :+ EndOfWord
+      table.foreach { case (l, r) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+
+    df.select(col(id).cast("long").as("id"), col(text).as("t"))
+      .as[(Long, String)]
+      .map { case (docId, t) =>
+        val toks = Option(t).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+          .flatMap(encodeWord)
+        (docId, toks, toks.length.toLong)
+      }
+      .toDF(id, "tokens", "n_bpe_tokens")
+  }
+
   // --------------------------------------------------------------------
   // Language identification (character n-gram heuristic)
   // --------------------------------------------------------------------

@@ -130,6 +130,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(2) === ((2, "low", "</w>", 3L)))
   }
 
+  test("bpeEncode applies merges in rank order; unseen chars stay atomic") {
+    val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", 3)
+    val enc = TextAnalysis.bpeEncode(
+        Seq((10L, "low lowest zz"), (11L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // merges: l+o, lo+w, low+</w>
+    assert(enc(10L) === Seq(
+      "low</w>",                          // fully merged
+      "low", "e", "s", "t", "</w>",       // prefix merged, tail atomic
+      "z", "z", "</w>"))                  // unseen word -> chars
+    assert(enc(11L) === Seq.empty)        // null text -> no tokens
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every adjacent pair occurs once -> nothing worth merging
