@@ -146,16 +146,20 @@ object TextAnalysis {
       .partitionBy(partitionCol).orderBy(col(id).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    // null text must count as 0 tokens: NULL would silently drop the doc
-    // from the running budget (and legacy sizeOfNull's -1 would SUBTRACT)
-    val nToks = coalesce(
-      size(filter(split(col(text), "\\s+"), t => length(t) > 0)).cast("long"),
-      lit(0L))
-    df.select(col(id), col(partitionCol), nToks.as("n_tokens"))
+    df.select(col(id), col(partitionCol), wsTokenCount(text).as("n_tokens"))
       .withColumn("shard",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           budgetTokens).cast("long"))
   }
+
+  /** Whitespace-token count, null-safe: null text counts as 0 tokens —
+    * NULL would silently drop the doc from any running budget (and
+    * legacy sizeOfNull's -1 would SUBTRACT from it). Shared by
+    * [[shardByTokenBudget]] and [[packGreedy]] so the subtlety lives
+    * once. */
+  private def wsTokenCount(text: String): Column = coalesce(
+    size(filter(split(col(text), "\\s+"), t => length(t) > 0)).cast("long"),
+    lit(0L))
 
   /** TRUE greedy sequence packing: within each group (docs ordered by
     * `id`), a pack accumulates documents until adding the next would
@@ -178,24 +182,29 @@ object TextAnalysis {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = coalesce(
-      size(filter(split(col(text), "\\s+"), t => length(t) > 0)).cast("long"),
-      lit(0L))
     df.select(col(partitionCol).cast("string").as("group"),
-        col(id).cast("long").as("id"), toks.as("n_tokens"))
+        col(id).cast("long").as("id"), wsTokenCount(text).as("n_tokens"))
       .repartition(col("group"))
       .sortWithinPartitions(col("group"), col("id"))
-      .as[(String, Long, Long)]
+      .as[(String, Option[Long], Long)] // Option: null ids pass through
       .mapPartitions { rows =>
         // a partition holds whole groups (hash-partitioned), sorted by
         // (group, id): reset state at each group change
         var curGroup: String = null
         var pack = 0L
         var used = 0L
+        var docsInPack = 0L
         rows.map { case (g, docId, n) =>
-          if (g != curGroup) { curGroup = g; pack = 0L; used = 0L }
-          if (used > 0 && used + n > budgetTokens) { pack += 1; used = 0L }
+          if (g != curGroup) {
+            curGroup = g; pack = 0L; used = 0L; docsInPack = 0L
+          }
+          // split on DOC count, not token count: zero-token docs must
+          // not let a following oversize doc share their pack
+          if (docsInPack > 0 && used + n > budgetTokens) {
+            pack += 1; used = 0L; docsInPack = 0L
+          }
           used += n
+          docsInPack += 1
           (g, docId, n, pack)
         }
       }
@@ -293,18 +302,46 @@ object TextAnalysis {
     * in-array pair merge is plain Scala over `Dataset[Vocab]` — at vocab
     * scale, not corpus scale, exactly where typed code belongs.
     */
+  /** One non-overlapping left-to-right merge pass of the pair (l, r)
+    * over a symbol sequence — THE BPE step, shared by training and
+    * encoding so the two can never diverge. */
+  private def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Word → initial BPE symbols: CODEPOINTS (not UTF-16 chars — split("")
+    * would shear surrogate pairs into invalid half-symbols) plus the
+    * end-of-word marker. */
+  private val EndOfWord = "</w>"
+  private def initialSymbols(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (out += EndOfWord).result()
+  }
+
   def bpeTrain(df: DataFrame, id: String, text: String,
                numMerges: Int): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val EndOfWord = "</w>"
     var vocab = df
       .select(explode(filter(split(lower(col(text)), "\\s+"),
         t => length(t) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.split("").toSeq :+ EndOfWord, f) }
+      .map { case (w, f) => (initialSymbols(w), f) }
       .toDF("symbols", "freq")
       .as[(Seq[String], Long)]
       .cache()
@@ -327,14 +364,7 @@ object TextAnalysis {
         else {
           merges += ((rank, l, r, l + r, n))
           val next = vocab.map { case (syms, f) =>
-            val out = Seq.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                out += (l + r); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), f)
+            (applyMerge(syms, l, r), f)
           }.cache()
           next.count() // materialize before dropping the parent cache
           vocab.unpersist(blocking = false)
@@ -359,33 +389,32 @@ object TextAnalysis {
                 merges: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val EndOfWord = "</w>"
     val table: Seq[(String, String)] = merges
       .orderBy("rank").select("left", "right")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
-    def encodeWord(w: String): Seq[String] = {
-      var syms: Seq[String] = w.split("").toSeq :+ EndOfWord
-      table.foreach { case (l, r) =>
-        val out = Seq.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-            out += (l + r); i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.result()
-      }
-      syms
-    }
-
     df.select(col(id).cast("long").as("id"), col(text).as("t"))
-      .as[(Long, String)]
-      .map { case (docId, t) =>
-        val toks = Option(t).getOrElse("").toLowerCase
-          .split("\\s+").filter(_.nonEmpty).toSeq
-          .flatMap(encodeWord)
-        (docId, toks, toks.length.toLong)
+      .as[(Option[Long], String)] // Option: null ids pass through
+      .mapPartitions { rows =>
+        // per-partition word memo: Zipfian corpora re-encode the same
+        // words constantly; cache makes encoding O(distinct words ×
+        // merges) per partition instead of O(occurrences × merges)
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        def encodeWord(w: String): Seq[String] = memo.getOrElseUpdate(w, {
+          var syms = initialSymbols(w)
+          table.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+          syms
+        })
+        rows.map { case (docId, t) =>
+          // Locale.ROOT: must match Spark lower()'s locale-free fold
+          // used at training time (tr-TR JVMs would otherwise produce
+          // symbols the merge table has never seen)
+          val toks = Option(t).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty).toSeq
+            .flatMap(encodeWord)
+          (docId, toks, toks.length.toLong)
+        }
       }
       .toDF(id, "tokens", "n_bpe_tokens")
   }

@@ -145,6 +145,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(11L) === Seq.empty)        // null text -> no tokens
   }
 
+  test("packGreedy: zero-token doc cannot share a pack with an oversize doc") {
+    val df = Seq(
+      (1L, "", "en"),                       // 0 tokens
+      (2L, "a b c d e f g h", "en"),        // 8 > budget 5 -> OWN pack
+      (3L, "x y", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextAnalysis.packGreedy(df, "doc_id", "text", "lang", 5L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 1L) // oversize isolated even after a 0-token doc
+    assert(out(3L) === 2L)
+  }
+
+  test("bpe handles non-BMP codepoints as whole symbols") {
+    val df = Seq((1L, "x𝄞 x𝄞")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", 1)
+      .collect()
+    assert(merges.length === 1)
+    // the pair is (x, 𝄞) — the surrogate PAIR stays one valid symbol
+    assert(merges.head.getString(2) === "𝄞")
+    assert(merges.head.getString(3) === "x𝄞")
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every adjacent pair occurs once -> nothing worth merging
