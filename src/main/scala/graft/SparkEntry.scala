@@ -258,9 +258,14 @@ object SparkEntry {
       graft.ext.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
 
-    // --- Dedup: embedding-cosine near-dup pairs (exact verification path).
+    // --- Dedup: embedding-cosine near-dup pairs, scale path: sign-LSH
+    // blocking (md5-derived ±1 hyperplanes, replayed exactly by the
+    // oracle in SQL) → exact cosine refine on candidates only. The exact
+    // all-pairs cosinePairs stays as the DedupSpec verification path.
     "q19_cosine_pairs" -> ((s, dir) =>
-      graft.ext.Dedup.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)
+      graft.ext.Dedup.cosinePairsBlocked(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 0.3,
+          tables = 16, nPlanes = 8, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     // --- Similarity: exact cosine top-k (queries broadcast, windowed rank).
@@ -681,13 +686,17 @@ object SparkEntry {
     // --- Corpus report: per (lang, source) doc/token/char rollup — the
     // dataset card a training corpus ships with.
     "q69_corpus_report" -> ((s, dir) => {
-      val toks = size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+      // explicit whitespace class + sum/count avg: bit-stable vs oracle
+      // across regex engines and float accumulation orders
+      val toks = size(filter(split(col("text"), "[ \\t\\n\\f\\r]+"),
+        t => length(t) > 0))
       Tables.documents(s, dir)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(toks.cast("long")).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          round(sum(col("n_chars")) * lit(1.0) / count(lit(1)), 4)
+            .as("avg_chars"))
     }),
 
     // --- Gopher-style quality gates: auditable per-rule booleans.
@@ -1003,14 +1012,40 @@ object SparkEntry {
       s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
          |$ClosureCtes
          |SELECT id AS doc_id, component FROM comp""".stripMargin,
+    // Replays the engine's md5-sign-LSH blocking exactly: same ±1 plane
+    // per (table, plane, dim-index) from md5("t:p:i"), same sign-bit
+    // buckets, same candidate self-join, same exact-cosine refine.
     "q19_cosine_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+      """WITH signs AS (
+        |  SELECT t.t, p.p, i.i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substring(md5(concat(t.t, ':', p.p, ':', i.i)), 1, 1)) - 1)
+        |        % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(16) t(t), range(8) p(p), range(64) i(i)),
+        |comp AS (
+        |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) i(i)),
+        |dots AS (
+        |  SELECT c.vec_id, s.t, s.p, sum(s.s * c.x) AS d
+        |  FROM comp c JOIN signs s ON c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+        |SELECT c.id_a, c.id_b,
+        |  round(list_cosine_similarity(a.ve, b.ve), 6) AS cosine
+        |FROM cand c
+        |JOIN v a ON c.id_a = a.vec_id
+        |JOIN v b ON c.id_b = b.vec_id
+        |WHERE list_cosine_similarity(a.ve, b.ve) >= 0.3""".stripMargin,
     "q20_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -1372,12 +1407,16 @@ object SparkEntry {
         |SELECT md5(line) AS line_digest, count(DISTINCT doc_id) AS doc_freq
         |FROM lines WHERE length(line) > 0
         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+    // Note CAST(sum(...) AS BIGINT): DuckDB promotes integer sums to
+    // HUGEINT, which driver-side dataframe conversion renders as float64
+    // → hash mismatch (r01's only reds). Explicit whitespace class keeps
+    // tokenization identical across regex engines/versions.
     "q69_corpus_report" ->
       """SELECT lang, source, count(*) AS n_docs,
-        |  sum(len(list_filter(string_split_regex(text, '\s+'),
-        |      t -> t <> ''))) AS total_tokens,
-        |  sum(n_chars) AS total_chars,
-        |  round(avg(n_chars), 4) AS avg_chars
+        |  CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      t -> t <> ''))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*), 4) AS avg_chars
         |FROM documents GROUP BY lang, source""".stripMargin,
     "q70_quality_rules" ->
       """WITH t AS (
@@ -1426,18 +1465,21 @@ object SparkEntry {
     "q72_cross" ->
       """SELECT r_name, n_name, n_regionkey = r_regionkey AS in_region
         |FROM region CROSS JOIN nation""".stripMargin,
+    // Integer // division (no float intermediate) + CAST(sum AS BIGINT)
+    // (HUGEINT promotion — see q69 note) keep this bit-stable driver-side.
     "q78_sharding" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    coalesce(CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    coalesce(CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
         |         x -> x <> '')) AS BIGINT), 0) AS n_tokens
         |  FROM documents),
         |s AS (
         |  SELECT lang, n_tokens,
-        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0) AS BIGINT) AS shard
+        |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000 AS shard
         |  FROM t)
-        |SELECT lang, shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+        |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q79_skew" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS count,

@@ -396,4 +396,35 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Near-dup cosine pairs, scale path: sign-LSH blocking → exact cosine
+    * refine on the candidates only. Every join is a hash join on
+    * (table, bucket) or on the id — no nested-loop anywhere (pinned in
+    * PlanAuditSpec), and candidate count is bucket-bounded instead of
+    * O(n²). Because the hyperplanes are [[Similarity.md5SignPlanes]]
+    * (engine-replayable), the candidate set — and therefore the output —
+    * is deterministic and fully oracle-checkable in SQL; recall vs the
+    * exact [[cosinePairs]] is asserted in DedupSpec. At degenerate-bucket
+    * risk (many identical vectors) the same `maxBucketSize`-style cap as
+    * minhash applies — keep buckets bounded before the self-join.
+    */
+  def cosinePairsBlocked(df: DataFrame, id: String, vec: String, tau: Double,
+                         tables: Int = 16, nPlanes: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    import graft.functions.Vectors
+    val buckets = Similarity.signLshBuckets(df, id, vec, tables, nPlanes, dim)
+    val cand = buckets.toDF("id_a", "table", "bucket")
+      .join(buckets.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val v = df.select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+      .withColumn("norm", Vectors.norm(col("v")))
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
+      .withColumn("cosine",
+        Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
 }

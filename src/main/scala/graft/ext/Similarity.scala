@@ -122,11 +122,25 @@ object Similarity {
     Array.fill(tables, nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit bucket ids, one per table: (id, table, bucket). */
-  def lshBuckets(df: DataFrame, id: String, vec: String,
-                 tables: Int = 8, nPlanes: Int = 12, dim: Int = 64,
-                 seed: Long = 42L): DataFrame = {
-    val ps = planes(tables, nPlanes, dim, seed)
+  /** Rademacher ±1 hyperplanes derived from md5("t:p:i") — a valid
+    * sign-random-projection family (Achlioptas sparse projections) whose
+    * construction any engine with md5 can replay: sign = +1 iff the high
+    * nibble of the digest's first byte is even. This is what lets a
+    * DuckDB oracle recompute the exact same buckets in SQL (q19).
+    */
+  def md5SignPlanes(tables: Int, nPlanes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, nPlanes, dim) { (t, p, i) =>
+      val d = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-bit bucket ids over the given hyperplanes: (id, table, bucket). */
+  private def bucketsFromPlanes(df: DataFrame, id: String, vec: String,
+                                ps: Array[Array[Array[Double]]]): DataFrame = {
+    val tables = ps.length
+    val nPlanes = ps(0).length
     val v = col(vec).cast("array<double>")
     val bucketCols: Seq[Column] = (0 until tables).map { t =>
       val bits = (0 until nPlanes).map { p =>
@@ -139,6 +153,17 @@ object Similarity {
       .select(col("id"), posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .toDF("id", "table", "bucket")
   }
+
+  /** Sign-bit bucket ids, one per table: (id, table, bucket). */
+  def lshBuckets(df: DataFrame, id: String, vec: String,
+                 tables: Int = 8, nPlanes: Int = 12, dim: Int = 64,
+                 seed: Long = 42L): DataFrame =
+    bucketsFromPlanes(df, id, vec, planes(tables, nPlanes, dim, seed))
+
+  /** [[lshBuckets]] with the engine-replayable [[md5SignPlanes]] family. */
+  def signLshBuckets(df: DataFrame, id: String, vec: String,
+                     tables: Int = 16, nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    bucketsFromPlanes(df, id, vec, md5SignPlanes(tables, nPlanes, dim))
 
   /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer
     * partitions the corpus into `nCells` cells; each query exact-ranks

@@ -147,9 +147,10 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     df.select(col(id), col(partitionCol), wsTokenCount(text).as("n_tokens"))
-      .withColumn("shard",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
-          budgetTokens).cast("long"))
+      // integral `div` (not float /+floor): bit-stable across engines
+      .withColumn("_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"_cum div ${budgetTokens}L").cast("long"))
+      .drop("_cum")
   }
 
   /** Whitespace-token count, null-safe: null text counts as 0 tokens —
@@ -158,7 +159,8 @@ object TextAnalysis {
     * [[shardByTokenBudget]] and [[packGreedy]] so the subtlety lives
     * once. */
   private def wsTokenCount(text: String): Column = coalesce(
-    size(filter(split(col(text), "\\s+"), t => length(t) > 0)).cast("long"),
+    size(filter(split(col(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0))
+      .cast("long"),
     lit(0L))
 
   /** TRUE greedy sequence packing: within each group (docs ordered by

@@ -64,4 +64,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "split must be a column, not a join")
     assert(exchanges(p) <= 2)
   }
+
+  test("q19 (blocked cosine pairs): hash joins only, no nested loop") {
+    val p = plan("q19_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked cosine must not degrade to a nested loop:\n$p")
+  }
+
+  // Queries where a nested-loop operator is the intended, bounded design
+  // (not an O(n²)-rows scale risk) — each with the reason it is safe:
+  //  - q72_cross: the deliberate region×nation dimension grid (5×25 rows).
+  //  - q20_ann_topk: bruteForceTopK broadcasts the tiny query set with a
+  //    non-equi (id != qid) condition; the corpus streams ONCE map-side —
+  //    linear in corpus size, the documented exact-ranking baseline.
+  //  - q71_resample / q79_skew: a single-row bounds/total aggregate is
+  //    crossJoined (broadcast) onto the stream — one row by construction,
+  //    the standard way to attach a global extent without a collect.
+  private val nestedLoopAllowed =
+    Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew")
+
+  test("no registered query plans a nested-loop join (allowlist excepted)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nestedLoopAllowed)
+      .filter { q =>
+        val p = plan(q)
+        p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop join found in: ${offenders.mkString(", ")}")
+  }
 }

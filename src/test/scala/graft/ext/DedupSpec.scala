@@ -142,6 +142,25 @@ class DedupSpec extends SparkSpec {
     assert(c.values.toSet === Set(0L), "whole chain must collapse to min id")
   }
 
+  test("cosinePairsBlocked: subset of exact pairs, same cosines, real recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding", 0.3,
+        tables = 16, nPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked.nonEmpty, "LSH blocking must surface some pairs")
+    blocked.foreach { case (k, c) =>
+      assert(exact.contains(k), s"blocked pair $k not in exact set")
+      assert(math.abs(exact(k) - c) < 1e-12, s"cosine differs for $k")
+    }
+    // data-oblivious sign-LSH at a low tau=0.3 is a weak filter by
+    // design; the bound documents measured behavior so a regression in
+    // the plane construction is caught
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall collapsed: $recall (${blocked.size}/${exact.size})")
+  }
+
   test("cosine pairs: identical, near, orthogonal vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

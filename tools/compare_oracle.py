@@ -26,12 +26,16 @@ def norm(v):
     return repr(v)
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # comma-separated name substrings, mirrors Verify's 3rd arg
+        subs = only.split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if any(s in k for s in subs)}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -77,4 +81,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
