@@ -585,16 +585,20 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), seen, "doc_id", "text")
     }),
 
-    // --- Exact quantile bucketing (ntile; quantileBuckets is the
-    // approx-threshold scale path, spec-asserted against this).
-    "q61_ntile" -> ((s, dir) =>
-      graft.ext.Sampling.ntileBuckets(
-          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
-          "o_totalprice", "o_orderkey", k = 4)
+    // --- Quantile bucketing via the threshold path: exact interpolated
+    // quantiles (one partial-agg pass, = DuckDB quantile_cont) broadcast
+    // back as a map-side comparison chain — no global one-task sort.
+    // ntileBuckets stays available for bounded inputs; quantileBuckets
+    // (approx sketch) is the unbounded-domain variant, spec-tracked.
+    "q61_quantile_buckets" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val ts = graft.ext.Sampling.exactQuantileThresholds(o, "o_totalprice", 4)
+      graft.ext.Sampling.bucketByThresholds(o, "o_totalprice", ts)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("min_price"),
-          round(max(col("o_totalprice")), 2).as("max_price"))),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
 
     // --- LEFT OUTER join: customers keep a row even with zero orders
     // (count(o_orderkey) counts matches only — 0 for the null side).
@@ -1345,13 +1349,21 @@ object SparkEntry {
         |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
         |SELECT doc_id FROM surv
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = surv.digest)""".stripMargin,
-    "q61_ntile" ->
-      """SELECT bucket, count(*) AS n,
+    "q61_quantile_buckets" ->
+      """WITH t AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS t1,
+        |         round(quantile_cont(o_totalprice, 0.50), 4) AS t2,
+        |         round(quantile_cont(o_totalprice, 0.75), 4) AS t3
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM (SELECT o_totalprice,
-        |        ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
-        |      FROM orders)
+        |        CASE WHEN o_totalprice <= t1 THEN 1
+        |             WHEN o_totalprice <= t2 THEN 2
+        |             WHEN o_totalprice <= t3 THEN 3
+        |             ELSE 4 END AS bucket
+        |      FROM orders, t)
         |GROUP BY bucket""".stripMargin,
     "q62_left_outer" ->
       """SELECT c_mktsegment, count(o_orderkey) AS n_orders,

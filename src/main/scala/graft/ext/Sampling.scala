@@ -110,11 +110,43 @@ object Sampling {
       .first()
     require(!row.isNullAt(0),
       s"cannot compute quantile thresholds: no non-null '$valueCol' values")
-    val thresholds = row.getSeq[Any](0).map(_.toString.toDouble)
-    // nulls land in bucket 1 — the same END of the range as ntile's
-    // nulls-first placement, though not identical: ntile SPREADS a large
-    // null block across the leading buckets, this pins them all to 1.
-    // Without this they'd fall through to bucket k.
+    bucketByThresholds(df, valueCol, row.getSeq[Any](0).map(_.toString.toDouble))
+  }
+
+  /** Exact k-quantile thresholds via linear interpolation at
+    * p*(n-1) — the same definition as DuckDB/Postgres `quantile_cont`,
+    * so an oracle replays them verbatim. Spark's exact `percentile`
+    * aggregate is a genuine partial aggregation (per-partition
+    * value→count maps, merged once) — no global sort, unlike `ntile`;
+    * the final merge holds the DISTINCT values, so use it when the
+    * value domain is bounded (prices, scores) and [[quantileBuckets]]
+    * when it is not. Thresholds are rounded to `roundTo` decimals so
+    * last-ulp interpolation differences between engines cannot flip a
+    * boundary comparison.
+    */
+  def exactQuantileThresholds(df: DataFrame, valueCol: String, k: Int,
+                              roundTo: Int = 4): Seq[Double] = {
+    require(k > 1, "k must be > 1")
+    val probs = (1 until k).map(_.toDouble / k)
+    val row = df.select(
+      percentile(col(valueCol), array(probs.map(lit): _*)).as("t")).first()
+    require(!row.isNullAt(0),
+      s"cannot compute quantile thresholds: no non-null '$valueCol' values")
+    row.getSeq[Any](0).map(v =>
+      BigDecimal(v.toString).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  /** Map-side bucket assignment against broadcast `thresholds`
+    * (ascending): `bucket` = 1 + number of thresholds strictly below the
+    * value; nulls pin to bucket 1 (the same end of the range as ntile's
+    * nulls-first placement — without this they'd fall through to the
+    * last bucket). Zero shuffle.
+    */
+  def bucketByThresholds(df: DataFrame, valueCol: String,
+                         thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val k = thresholds.size + 1
     val bucket = thresholds.zipWithIndex.foldRight(lit(k): Column) {
       case ((t, i), acc) => when(col(valueCol) <= t, lit(i + 1)).otherwise(acc)
     }

@@ -83,6 +83,13 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew")
 
+  test("q61 (quantile buckets): no window operator, one aggregation") {
+    val p = plan("q61_quantile_buckets")
+    assert(!p.contains("Window"),
+      s"bucketing must be a threshold chain, not a global-sort window:\n$p")
+    assert(exchanges(p) <= 2, "threshold assignment is map-side")
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)

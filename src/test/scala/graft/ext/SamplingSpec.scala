@@ -113,6 +113,29 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(s - n / 4.0) < n * 0.05, s"bucket size $s vs ideal ${n / 4}"))
   }
 
+  test("exactQuantileThresholds: interpolated quartiles match a driver-side sort") {
+    val df = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_totalprice")
+    val ts = Sampling.exactQuantileThresholds(df, "o_totalprice", 4)
+    // independent oracle: quantile_cont definition over a plain sorted array
+    val vals = df.select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val expected = Seq(0.25, 0.5, 0.75).map { p =>
+      val pos = p * (vals.length - 1)
+      val lo = pos.toInt
+      val v = vals(lo) + (pos - lo) * (vals(math.min(lo + 1, vals.length - 1)) - vals(lo))
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(ts === expected)
+    // bucketByThresholds: exhaustive, ordered, sizes near quarters
+    val b = Sampling.bucketByThresholds(df, "o_totalprice", ts)
+    val sizes = b.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    assert(sizes.values.sum === vals.length.toLong)
+    sizes.values.foreach(s =>
+      assert(math.abs(s - vals.length / 4.0) <= vals.length * 0.05))
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")

@@ -10,6 +10,7 @@ compares cell-by-cell. Reports per-query PASS/FAIL.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -37,7 +38,11 @@ def main(out_dir, sf_dir, only=None):
         oracle = {k: v for k, v in oracle.items()
                   if any(s in k for s in subs)}
     failures = 0
+    skipped = 0
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            skipped += 1  # filtered Verify run — not a failure
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -76,7 +81,9 @@ def main(out_dir, sf_dir, only=None):
             failures += 1
         else:
             print(f"PASS {name} ({len(got_rows)} rows, cols={got_cols})")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
+    ran = len(oracle) - skipped
+    note = f" ({skipped} not in out_dir, skipped)" if skipped else ""
+    print(f"\n{ran - failures}/{ran} queries pass{note}")
     return 1 if failures else 0
 
 
