@@ -310,13 +310,15 @@ object SparkEntry {
         round(col("quality_score"), 6).as("quality_score"))
     }),
 
-    // --- Text: trigram-profile language ID (rows-only; accuracy asserted
-    // on real multilingual sentences in TextAnalysisSpec).
+    // --- Text: trigram-profile language ID (oracled: the profile vote is
+    // replayed in SQL against the same literal trigram table; accuracy on
+    // real multilingual sentences asserted in TextAnalysisSpec).
     "q24_lang_id" -> ((s, dir) =>
       graft.ext.TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")),
 
-    // --- Text: rolling-hash document fingerprints (rows-only; collision
-    // and order-sensitivity properties in spec).
+    // --- Text: rolling-hash document fingerprints (oracled: md5-derived
+    // token hash is bit-identical cross-engine; collision and
+    // order-sensitivity properties in spec).
     "q25_fingerprint" -> ((s, dir) =>
       graft.ext.TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -1094,6 +1096,56 @@ object SparkEntry {
          |      + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS quality_score
          |FROM u""".stripMargin
     },
+    "q24_lang_id" -> {
+      // replay the vote against the SAME literal profile table the engine
+      // broadcasts — built from TrigramProfiles so the two cannot drift
+      val prof = graft.ext.TextAnalysis.TrigramProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ts) => ts.map(t => s"('$l', '$t')") }
+        .mkString(", ")
+      s"""WITH norm AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(regexp_replace(lower(text), '[^\\p{L} ]', ' ', 'g'),
+         |                   ' +', ' ', 'g') AS t
+         |  FROM documents),
+         |tri AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, length(t) - 2),
+         |                          i -> substr(t, i, 3))) AS trigram
+         |  FROM norm WHERE length(t) >= 3),
+         |prof(lang, trigram) AS (VALUES $prof),
+         |hits AS (
+         |  SELECT tri.doc_id, prof.lang, count(*) AS h
+         |  FROM tri JOIN prof ON tri.trigram = prof.trigram
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, lang, h,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+         |  FROM hits),
+         |feats AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 1.0
+         |      / greatest(length(text), 1) AS cjk,
+         |    len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+         |                    x -> length(x) > 0)) AS ntoks
+         |  FROM norm)
+         |SELECT f.doc_id,
+         |  CASE WHEN f.cjk > 0.05 THEN 'zh'
+         |       WHEN coalesce(b.h, 0) = 0 THEN 'und'
+         |       ELSE b.lang END AS detected_lang,
+         |  round(coalesce(b.h, 0) * 1.0 / greatest(f.ntoks, 1), 4) AS confidence
+         |FROM feats f
+         |LEFT JOIN (SELECT doc_id, lang, h FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin
+    },
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |                    x -> length(x) > 0),
+        |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
+        |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+        |FROM documents""".stripMargin,
     "q26_join_revenue" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

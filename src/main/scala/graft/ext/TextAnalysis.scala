@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Text-analysis operators for training-data pipelines (BASELINE.json
   * extension surface; the reference has no text functions at all —
@@ -484,7 +484,9 @@ object TextAnalysis {
     val cjkRatio =
       size(regexp_extract_all(col("__t"), lit("[\\u4e00-\\u9fff]"), lit(0)))
         .cast(DoubleType) / greatest(length(col("__t")), lit(1)).cast(DoubleType)
-    val nToks = size(filter(split(col("__t"), "\\s+"), t => length(t) > 0))
+    // explicit whitespace class (not \s): identical token boundaries in
+    // every regex engine an oracle might replay this in
+    val nToks = size(filter(split(col("__t"), "[ \\t\\n\\f\\r]+"), t => length(t) > 0))
 
     df.select(col(id), col(text).as("__t"), tri.as("__tri"))
       .select(col(id) +: col("__t") +: hitCols: _*)
@@ -526,13 +528,19 @@ object TextAnalysis {
     * h = Σ tok_i · B^(n−i) mod 2³¹−1, folded left with `aggregate` —
     * same-token-multiset docs with different order get different
     * fingerprints (unlike a set hash). Map-side only, no shuffle.
+    *
+    * The per-token hash is the first 8 hex digits of md5 (not
+    * xxhash64): md5 is bit-identical across engines, so an external
+    * SQL oracle can replay the fingerprint exactly.
     */
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val tokHash = (t: Column) =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast(LongType), lit(FpMod))
     val fp = aggregate(
       toks,
       lit(0L),
-      (acc, t) => pmod(acc * FpBase + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+      (acc, t) => pmod(acc * FpBase + tokHash(t), lit(FpMod)))
     df.select(col(id), fp.as("fingerprint"))
   }
 
