@@ -172,14 +172,21 @@ object Similarity {
     * learned clusters) where LSH is data-oblivious; both reduce
     * per-query cost from |corpus| to a candidate subset.
     *
-    * The quantizer trains on the corpus via MLlib KMeans (seeded,
-    * deterministic); assignment is a broadcast of `nCells` centroids —
-    * at 100 TB the centroids stay driver-small while assignment and
-    * ranking remain fully distributed map-side work + one top-k.
+    * The quantizer trains on a deterministic hash-sample of the corpus
+    * (`trainFraction`) via MLlib KMeans (seeded): a COARSE quantizer
+    * only needs cells that carve the space, and a sample sees the same
+    * distribution at a fraction of the per-iteration cost — at 100 TB
+    * training the quantizer on the full corpus would be 10 scans of
+    * everything. The sample is cached for the iterations and unpersisted
+    * once the centroids are extracted; assignment is a broadcast of
+    * `nCells` centroids, so ranking stays fully distributed map-side
+    * work + one top-k. Falls back to the full corpus when the sample is
+    * too small to seat `nCells` clusters (tiny inputs / tests).
     */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame,
                     id: String, vec: String, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,
+                    trainFraction: Double = 0.25,
                     seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -187,19 +194,20 @@ object Similarity {
 
     val c = prep(corpus, id, vec, "id", "v", "norm")
       .withColumn("features", array_to_vector(col("v")))
-    // Cache across the quantizer's training iterations: without it every
-    // KMeans pass re-reads and re-projects the corpus. 10 iterations is
-    // plenty for a COARSE quantizer — cells only need to carve space,
-    // not converge (recall asserted in SimilaritySpec either way).
-    // MEMORY_ONLY on purpose: those blocks are LRU-evictable (and simply
-    // recomputed), so repeated calls can't accumulate disk-resident
-    // cache the way the MEMORY_AND_DISK default would — there is no
-    // clean point to unpersist, since the assignment scan of c runs
-    // whenever the caller materializes the result.
-    c.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val minTrain = nCells * 4L
+    val trainSet = {
+      val s =
+        if (trainFraction >= 1.0) c
+        else Sampling.hashSample(c, "id", trainFraction)
+      // limit-bounded existence check: one cheap early-exit scan, never
+      // a full count of the corpus
+      if (s.limit(minTrain.toInt).count() >= minTrain) s else c
+    }
+    trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features")
-    val model = km.fit(c)
+    val model = km.fit(trainSet)
+    trainSet.unpersist(blocking = false)
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     // assignment = argmin over broadcast centroid literals (euclidean);
