@@ -739,6 +739,14 @@ object SparkEntry {
       graft.ext.TextAnalysis.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
         numMerges = 4)),
 
+    // --- Boilerplate REMOVAL (q68 surfaces the digests; this is the
+    // clean-text output a pipeline actually ships): lines anti-joined
+    // against the broadcast boilerplate set, reassembled in order; docs
+    // that were all boilerplate survive with empty text.
+    "q83_strip_boilerplate" -> ((s, dir) =>
+      graft.ext.TextAnalysis.stripBoilerplate(
+        Tables.documents(s, dir), "doc_id", "text", minDocFrequency = 3L)),
+
     // --- TRUE greedy sequence packing (never exceeds the budget except
     // single oversize docs; rows-only — the greedy recurrence is not
     // SQL-expressible; invariants pinned in TextAnalysisSpec).
@@ -1578,6 +1586,24 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
         |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |  count(*) AS n
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q83_strip_boilerplate" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, parts
+        |  FROM p),
+        |lines AS (
+        |  SELECT doc_id, pos, trim(parts[pos]) AS line
+        |  FROM l WHERE length(trim(parts[pos])) > 0),
+        |bp AS (
+        |  SELECT md5(line) AS d FROM lines
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM lines WHERE md5(line) NOT IN (SELECT d FROM bp)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
   )
 }
