@@ -208,7 +208,7 @@ object SparkEntry {
     // faster — 11.5s vs 15.7s at sf0.1 — so the simple form is bound.)
     "q16_jaccard_pairs" -> ((s, dir) =>
       graft.ext.Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          tau = 0.5, ngram = 3)
+          tau = 0.5, ngram = 3, maxDocFrequency = None) // oracle-exact
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // --- Dedup: transitive near-dup CLUSTERS over the exact pairs
@@ -219,7 +219,7 @@ object SparkEntry {
     "q77_components" -> ((s, dir) => {
       val pairs = graft.ext.Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 500),
-        "doc_id", "text", tau = 0.5, ngram = 3)
+        "doc_id", "text", tau = 0.5, ngram = 3, maxDocFrequency = None)
       graft.ext.Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
     }),
@@ -230,7 +230,7 @@ object SparkEntry {
     "q80_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val pairs = graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text",
-        tau = 0.5, ngram = 3)
+        tau = 0.5, ngram = 3, maxDocFrequency = None)
       val comp = graft.ext.Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
       val quality = graft.ext.TextAnalysis.qualityScore(docs, "doc_id", "text")

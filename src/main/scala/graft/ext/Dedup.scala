@@ -145,12 +145,17 @@ object Dedup {
     * Classic distributed set-similarity join: explode to (token, id),
     * self-join on token to count intersections, then reconstruct the
     * union via per-doc set sizes. `maxDocFrequency` drops tokens present
-    * in more than that fraction of documents before the join — the skew
-    * guard at scale (default off so the oracle comparison stays exact).
+    * in more than that fraction of documents before the join — tokens in
+    * half the corpus contribute ~n²/4 candidate rows while carrying no
+    * similarity signal, so the guard is ON by default (0.5): the
+    * scale-safe library behavior. Pass `None` for exact textbook Jaccard
+    * (what the oracle-checked queries bind); pruning shrinks numerator
+    * and denominator together, so guarded similarity = similarity of the
+    * pruned sets, exactly.
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 1,
-                   maxDocFrequency: Option[Double] = None): DataFrame = {
+                   maxDocFrequency: Option[Double] = Some(0.5)): DataFrame = {
     // Keep the hot candidate-pair stream as NARROW as possible: sizes
     // are attached by joining back onto the (small) aggregated pair set,
     // not carried through the explode. The alternative — ride n along on
@@ -309,12 +314,15 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes) — a fractional " +
         "band width silently skips signature positions")
     // signatures feed three plan branches (banding + both pair sides);
-    // cache so the shingle+minhash pass runs once, not three times.
-    // The cached table is numHashes×8B per doc and stays pinned for the
-    // session — long-lived sessions that profile many corpora should
-    // pass cacheSignatures=false or unpersist via their own handle.
+    // materialize once so the shingle+minhash pass runs once, not three
+    // times. localCheckpoint, NOT cache(): checkpoint blocks
+    // (numHashes×8B per doc, memory-and-disk) are released by the
+    // ContextCleaner when the result DataFrame is dropped, where a
+    // CacheManager entry stays pinned for the session with no clean
+    // unpersist point — long-lived sessions that profile many corpora
+    // would accumulate it.
     val base = minhashSignatures(df, id, text, ngram, numHashes)
-    val sigs = if (cacheSignatures) base.cache() else base
+    val sigs = if (cacheSignatures) base.localCheckpoint(eager = true) else base
     val cand = lshCandidates(sigs, bands, maxBucketSize)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast(DoubleType) / numHashes

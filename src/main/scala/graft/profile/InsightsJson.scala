@@ -46,8 +46,10 @@ object InsightsJson {
       s""""frequent_values":$freq}"""
   }
 
-  /** Full Insights document (reference `Insights`, `response.rs:74-80`,
-    * minus the LLM `ai_analysis` — driver-side concern). */
+  /** Full Insights document (reference `Insights`, `response.rs:74-80`).
+    * `ai_analysis` is emitted as an explicit null for shape parity: the
+    * field exists in the reference response, but its content is an LLM
+    * call — a driver-side concern the engine deliberately excludes. */
   def render(ins: Insights): String = {
     val ds = ins.dataSummary
     val summary =
@@ -59,6 +61,7 @@ object InsightsJson {
     val cols = ins.columnStatistics.map(colJson).mkString("[", ",", "]")
     val corr = ins.correlations.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${esc(k)}:${esc(f"$v%.4f")}" }.mkString("{", ",", "}")
-    s"""{"data_summary":$summary,"column_statistics":$cols,"correlations":$corr}"""
+    s"""{"data_summary":$summary,"column_statistics":$cols,""" +
+      s""""correlations":$corr,"ai_analysis":null}"""
   }
 }

@@ -41,7 +41,9 @@ class ApiSpec extends SparkSpec {
     val df = Seq((1.0, 2.0, "x"), (2.0, 4.0, "y"), (3.0, 6.0, "x")).toDF("v", "w", "c")
     val json = graft.profile.InsightsJson.render(Profiler.profile(df))
     val parsed = spark.read.json(Seq(json).toDS())
-    assert(parsed.columns.sorted === Array("column_statistics", "correlations", "data_summary"))
+    assert(json.contains(""""ai_analysis":null""")) // reference shape parity
+    assert(parsed.columns.sorted ===
+      Array("ai_analysis", "column_statistics", "correlations", "data_summary"))
     val row = parsed.selectExpr("data_summary.row_count",
       "data_summary.numeric_columns", "column_statistics[0].name",
       "column_statistics[0].mean").collect().head

@@ -30,7 +30,8 @@ object PerfProbe {
       println("pairs=" + ext.Dedup.minhashPairs(docs, "doc_id", "text", 0.5, 3,
         maxBucketSize = Some(1000)).count()) }
     time("q16 jaccardPairs(3gram)") {
-      println("pairs=" + ext.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, 3).count()) }
+      println("pairs=" + ext.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, 3,
+        maxDocFrequency = None).count()) }
     time("q19 cosinePairs codegen") {
       println("pairs=" + ext.Dedup.cosinePairs(io.Tables.embeddings(s, dir),
         "vec_id", "embedding", 0.3).count()) }

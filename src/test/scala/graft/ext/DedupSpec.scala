@@ -23,7 +23,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccard pairs find exact and near duplicates, not unrelated") {
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+        maxDocFrequency = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 2L)) === 1.0)
     // 15 shared of 17 union tokens
@@ -47,7 +48,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard equals the full token join") {
-    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+        maxDocFrequency = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
     val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.5, ngram = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
@@ -56,12 +58,23 @@ class DedupSpec extends SparkSpec {
 
   test("prefix-filtered jaccard equals full join on the real corpus (3-gram)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val full = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3)
+    val full = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3,
+        maxDocFrequency = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pref = Dedup.jaccardPairsPrefix(real, "doc_id", "text", 0.5, ngram = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === pref)
     assert(full.nonEmpty) // the corpus plants near-dups; empty would be vacuous
+  }
+
+  test("default skew guard (df<=0.5) is a no-op on the sparse real corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val guarded = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val exact = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3,
+        maxDocFrequency = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    assert(guarded === exact) // no 3-gram shingle spans half this corpus
   }
 
   test("ngram shingles: doc shorter than n becomes one whole-text shingle") {
