@@ -167,7 +167,7 @@ object Dedup {
     val t0 =
       if (ngram <= 1) tokensDF(df, id, text)
       else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
-    val t = maxDocFrequency match {
+    val tPlan = maxDocFrequency match {
       case Some(f) =>
         val nDocs = df.count()
         val keep = t0.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -175,6 +175,10 @@ object Dedup {
         t0.join(keep.select("tok"), Seq("tok"), "left_semi")
       case None => t0
     }
+    // (id, tok) feeds three branches (sizes + both join sides):
+    // materialize once — scoped blocks, released with the result (see
+    // minhashPairs for the localCheckpoint-vs-cache rationale)
+    val t = tPlan.localCheckpoint(eager = true)
     // sizes from the PRUNED token set: pruning must shrink numerator and
     // denominator together, or identical docs fall below tau whenever
     // they contain frequent tokens (pruned similarity = similarity of
