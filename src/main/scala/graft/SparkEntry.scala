@@ -747,6 +747,22 @@ object SparkEntry {
       graft.ext.TextAnalysis.stripBoilerplate(
         Tables.documents(s, dir), "doc_id", "text", minDocFrequency = 3L)),
 
+    // --- PII scrubbing: typed placeholders + per-kind counts. Pure
+    // map-side regex over the scan (patterns chosen to behave
+    // identically in Java regex and RE2, so the oracle replays exactly).
+    "q84_pii_scrub" -> ((s, dir) =>
+      graft.ext.TextAnalysis.piiScrub(Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Gopher-style repetition filters: duplicate-line fractions +
+    // top word-bigram coverage, the cheap templated-spam signals.
+    "q85_repetition" -> ((s, dir) =>
+      graft.ext.TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          col("top_bigram"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"))),
+
     // --- TRUE greedy sequence packing (never exceeds the budget except
     // single oversize docs; rows-only — the greedy recurrence is not
     // SQL-expressible; invariants pinned in TextAnalysisSpec).
@@ -1604,6 +1620,55 @@ object SparkEntry {
         |  FROM lines WHERE md5(line) NOT IN (SELECT d FROM bp)
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q84_pii_scrub" -> {
+      // same regex constants the engine compiles — no drift possible
+      val em = graft.ext.TextAnalysis.EmailRe
+      val ip = graft.ext.TextAnalysis.Ipv4Re
+      val ph = graft.ext.TextAnalysis.PhoneRe
+      s"""WITH e AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS te
+         |  FROM documents),
+         |i AS (
+         |  SELECT doc_id, text, te,
+         |    regexp_replace(te, '$ip', '<IP>', 'g') AS ti
+         |  FROM e)
+         |SELECT doc_id,
+         |  regexp_replace(ti, '$ph', '<PHONE>', 'g') AS clean_text,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(te, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(ti, '$ph')) AS n_phones
+         |FROM i""".stripMargin
+    },
+    "q85_repetition" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+        |l0 AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line FROM d),
+        |lc AS (SELECT doc_id, line, count(*) AS c
+        |       FROM l0 WHERE length(line) > 0 GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |         (sum(c) - count(*)) * 1.0 / sum(c) AS dup_line_frac,
+        |         sum(CASE WHEN c > 1 THEN (c - 1) * length(line) ELSE 0 END) * 1.0
+        |           / greatest(sum(c * length(line)), 1) AS dup_line_char_frac
+        |       FROM lc GROUP BY 1),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |        x -> length(x) > 0) AS toks FROM d),
+        |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |        FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, bg, c,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+        |       FROM bc)
+        |SELECT d.doc_id,
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  round(coalesce(ls.dup_line_frac, 0), 6) AS dup_line_frac,
+        |  round(coalesce(ls.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+        |  coalesce(tb.bg, '') AS top_bigram,
+        |  round(coalesce(tb.c * length(tb.bg) * 1.0 / greatest(d.n_chars, 1), 0), 6)
+        |    AS top_bigram_frac
+        |FROM d
+        |LEFT JOIN ls USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, bg, c FROM tb WHERE rn = 1) tb USING (doc_id)""".stripMargin
   )
 }

@@ -258,6 +258,86 @@ object TextAnalysis {
       .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  // --------------------------------------------------------------------
+  // PII scrubbing + repetition filters
+  // --------------------------------------------------------------------
+
+  /** Patterns chosen to behave identically under Java regex and RE2
+    * (no lookaround, no lazy quantifiers, explicit char classes) so a
+    * SQL oracle replays the scrub byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9.()\\- ]{6,}[0-9]"
+
+  /** PII redaction: emails, then IPv4 addresses, then phone-shaped digit
+    * runs, each replaced by a typed placeholder, with per-kind match
+    * counts (counted against the PREVIOUS stage's text, so a digit run
+    * inside an already-redacted IP is not double-counted). Pure map-side
+    * projection — at 100 TB this is regex work inside the scan, no
+    * shuffle.
+    */
+  def piiScrub(df: DataFrame, id: String, text: String): DataFrame = {
+    val e = regexp_replace(col(text), EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    val p = regexp_replace(i, PhoneRe, "<PHONE>")
+    df.select(col(id),
+      p.as("clean_text"),
+      size(regexp_extract_all(col(text), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(e, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(i, lit(PhoneRe), lit(0))).as("n_phones"))
+  }
+
+  /** Gopher-style repetition signals per document:
+    *  - `dup_line_frac`    = (lines − distinct lines) / lines
+    *  - `dup_line_char_frac` = chars in repeat OCCURRENCES (copies after
+    *    the first) / total line chars
+    *  - `top_bigram` / `top_bigram_frac` = most frequent word bigram
+    *    (count desc, bigram asc tie-break) and the fraction of document
+    *    characters its occurrences cover.
+    * Line and bigram paths are each one explode + partial-aggregated
+    * rollup keyed by doc id; every input doc keeps a row (empty/short
+    * docs get zeros). These are THE cheap training-data filters for
+    * templated/boilerplate spam — Rae et al. (Gopher) appendix A.
+    */
+  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
+    val lineCounts = df
+      .select(col(id).as("id"), explode(split(col(text), "\n")).as("line"))
+      .select(col("id"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy("id", "line").agg(count(lit(1)).as("c"))
+    val lineStats = lineCounts.groupBy("id").agg(
+      sum("c").as("n_lines"),
+      ((sum("c") - count(lit(1))).cast(DoubleType) / sum("c")).as("dup_line_frac"),
+      (sum(when(col("c") > 1, (col("c") - 1) * length(col("line"))).otherwise(0L))
+        .cast(DoubleType) /
+        greatest(sum(col("c") * length(col("line"))), lit(1L)))
+        .as("dup_line_char_frac"))
+
+    val toks = filter(split(col(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val bgs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = df.select(col(id).as("id"), explode(bgs).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(min(struct((-col("c")).as("nc"), col("bg").as("bg"))).as("top"))
+      .select(col("id"), col("top.bg").as("top_bigram"),
+        (-col("top.nc")).as("top_c"))
+
+    df.select(col(id).as("id"), length(col(text)).as("n_chars"))
+      .join(lineStats, Seq("id"), "left_outer")
+      .join(topBigram, Seq("id"), "left_outer")
+      .select(col("id").as(id),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_c") * length(col("top_bigram"))
+          .cast(DoubleType) / greatest(col("n_chars"), lit(1L)), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Gopher-style per-document quality gates as auditable booleans plus
     * the conjunction. Pure map-side arithmetic over counts (reusing the
     * [[qualityScore]] component definitions); the flags — not just a

@@ -264,6 +264,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L)._3 === false && r(4L)._4 === false)
   }
 
+  test("piiScrub redacts emails, ips, phones; counts per kind") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk or alice@test.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call +1 (555) 123-4567 or 555.867.5309 now"),
+      (4L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4))).toMap
+    assert(r(1L)._1 === "mail <EMAIL> or <EMAIL> today")
+    assert(r(1L)._2 === 2)
+    assert(r(2L)._1 === "server at <IP> and <IP> responded")
+    assert(r(2L)._3 === 2)
+    assert(r(3L)._1 === "call <PHONE> or <PHONE> now")
+    assert(r(3L)._4 === 2)
+    assert(r(4L) === (("no pii here at all", 0, 0, 0)))
+  }
+
+  test("piiScrub does not double-count digits inside a redacted ip") {
+    val df = Seq((1L, "ip 10.20.30.40 only")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(df, "doc_id", "text").collect().head
+    assert(r.getString(1) === "ip <IP> only")
+    assert(r.getInt(3) === 1) // one ip...
+    assert(r.getInt(4) === 0) // ...and no phone carved out of its digits
+  }
+
+  test("repetitionStats: duplicate lines and top bigram, hand-computed") {
+    // 4 non-empty lines, 'aa bb' twice -> dup_line_frac = (4-3)/4;
+    // dup chars = one repeat copy of 'aa bb' (5) over 5+5+2+11=23 chars
+    val doc1 = "aa bb\naa bb\ncc\ndd ee dd ee"
+    val df = Seq((1L, doc1), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getString(4), x.getDouble(5)))
+      .toMap
+    assert(r(1L)._1 === 4L)
+    assert(math.abs(r(1L)._2 - 0.25) < 1e-12)
+    assert(math.abs(r(1L)._3 - 5.0 / 23.0) < 1e-12)
+    // bigrams: 'aa bb'(2, from the two lines), 'bb aa'(1, across \n),
+    // 'bb cc'(1), 'cc dd'(1), 'dd ee'(2), 'ee dd'(1) -> tie 2-2 broken
+    // lexicographically: 'aa bb'; frac = 2*5 / 26 chars
+    assert(r(1L)._4 === "aa bb")
+    assert(math.abs(r(1L)._5 - 10.0 / doc1.length) < 1e-12)
+    // single-token doc: no bigram, no dup lines
+    assert(r(2L) === ((1L, 0.0, 0.0, "", 0.0)))
+    // empty doc keeps a row of zeros
+    assert(r(3L) === ((0L, 0.0, 0.0, "", 0.0)))
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
