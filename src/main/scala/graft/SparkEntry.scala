@@ -245,8 +245,10 @@ object SparkEntry {
             .getField("k").as("survivor"))
     }),
 
-    // --- Dedup: MinHash+LSH sketch path (no SQL oracle — rows-only;
-    // recall/precision asserted against jaccardPairs in DedupSpec).
+    // --- Dedup: MinHash+LSH sketch path. Fully DuckDB-oracled: the
+    // md5-derived affine hash family + verbatim band-value buckets are
+    // replayed in SQL end-to-end (signatures, banding, bucket cap,
+    // candidate pairs, estimate); recall vs jaccardPairs in DedupSpec.
     "q17_minhash_pairs" -> ((s, dir) =>
       graft.ext.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
           tau = 0.5, ngram = 3, numHashes = 64, bands = 16,
@@ -1119,6 +1121,45 @@ object SparkEntry {
          |      + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
          |      + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS quality_score
          |FROM u""".stripMargin
+    },
+    "q17_minhash_pairs" -> {
+      // the engine's exact hash family, regenerated from the same code
+      val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
+        .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+         |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+         |    ELSE [array_to_string(ts, ' ')] END)) AS s
+         |  FROM toks),
+         |params(i, a, c) AS (VALUES $ps),
+         |hv AS (
+         |  SELECT sh.doc_id AS id, p.i,
+         |    min((p.a * (('0x' || substr(md5(sh.s), 1, 8))::BIGINT
+         |                % ${graft.ext.Dedup.MinhashPrime}) + p.c)
+         |        % ${graft.ext.Dedup.MinhashPrime}) AS mh
+         |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
+         |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
+         |banded AS (
+         |  SELECT id, b, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
+         |  FROM sig, range(0, 16) AS t(b)),
+         |ok AS (SELECT b, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM banded x
+         |  JOIN ok ON ok.b = x.b AND ok.bucket = x.bucket
+         |  JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id)
+         |SELECT c.id_a, c.id_b,
+         |  round(len(list_filter(generate_series(1, 64),
+         |        j -> sa.sig[j] = sb.sig[j])) / 64.0, 6) AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON c.id_a = sa.id
+         |JOIN sig sb ON c.id_b = sb.id
+         |WHERE len(list_filter(generate_series(1, 64),
+         |      j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5""".stripMargin
     },
     "q24_lang_id" -> {
       // replay the vote against the SAME literal profile table the engine

@@ -249,22 +249,49 @@ object Dedup {
   // MinHash + LSH
   // --------------------------------------------------------------------
 
+  /** Mersenne-prime modulus (2^31−1) for the affine minhash family.
+    * The base hash and multipliers are both < 2^31, so products stay
+    * inside a signed 64-bit long — Spark ANSI mode and any SQL oracle
+    * evaluate the arithmetic identically — while a·h reaches ~2^62 and
+    * wraps the modulus ~2^31 times. (A first attempt used p = 2^61−1
+    * with small multipliers: a·h never exceeded p, every "hash" was
+    * monotone in the base value, and the estimator silently degenerated
+    * to comparing a single minimum. The wrap is the hash.) */
+  val MinhashPrime: Long = (1L << 31) - 1
+
+  /** Per-function affine parameters (a_i, c_i), md5-derived so ANY
+    * engine regenerates the identical family: from the first 8 md5 hex
+    * digits of "a:i" / "c:i", reduced to a_i ∈ [1, p−1], c_i ∈ [0, p−1].
+    * Same replayability trick as [[Similarity.md5SignPlanes]]. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexPrefix(s: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    (0 until numHashes).map { i =>
+      (hexPrefix(s"a:$i") % (MinhashPrime - 1) + 1, hexPrefix(s"c:$i") % MinhashPrime)
+    }
+  }
+
   /** k minhashes per doc — ONE groupBy with k `min` aggregates (map-side
     * partial), signature is k×8 bytes regardless of document size.
     *
-    * Each shingle is hashed ONCE (xxhash64 over the string); the k hash
-    * functions re-hash that 8-byte base with per-function seeds.
+    * Each shingle is hashed ONCE (48-bit md5 prefix); the k hash
+    * functions are affine mixes `(a_i·h + c_i) mod 2^61−1` of that base.
     * Hashing the string k times was k× the string-scan cost — at 1.5M
     * shingles × 128 hashes that was the dominant term of the whole
-    * sketch path. (Multiply-add universal mixing would be cheaper still
-    * but ANSI mode rejects wrap-around long arithmetic.)
+    * sketch path. The md5 base + integer mixing (vs the earlier
+    * xxhash64) makes every signature value replayable in a SQL oracle
+    * (q17) — md5 and 64-bit integer arithmetic are engine-universal,
+    * xxhash64 seeding is not.
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         ngram: Int = 3, numHashes: Int = 128): DataFrame = {
     val sh = shinglesDF(df, id, text, ngram)
-      .withColumn("h", xxhash64(col("shingle")))
-    val mins: Seq[Column] = (0 until numHashes).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"h$i")
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10)
+        .cast(LongType) % MinhashPrime)
+    val mins: Seq[Column] = minhashParams(numHashes).zipWithIndex.map {
+      case ((a, c), i) => min((col("h") * a + c) % MinhashPrime).as(s"h$i")
     }
     sh.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -285,9 +312,15 @@ object Dedup {
                     maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = sigs.select(col("id"), col("sig"))
     val r = expr("size(sig)").cast(LongType) / bands
+    // bucket key = the band's values verbatim (joined string), not a
+    // hash of them: byte-identical in any engine, so the oracle replays
+    // the exact buckets; the shuffle key grows from 8 to ~r×17 bytes,
+    // which the candidate-stream shuffle absorbs (measured no change)
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int"))))))
+          b => array_join(
+            transform(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int")),
+              x => x.cast("string")), ","))))
       .toDF("id", "band", "bucket")
     val bounded = maxBucketSize match {
       case Some(cap) =>
