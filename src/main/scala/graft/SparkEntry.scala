@@ -278,13 +278,14 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
-    // --- Similarity: LSH-bucketed ANN (rows-only; recall asserted vs
-    // brute force in SimilaritySpec).
+    // --- Similarity: LSH-bucketed ANN over the md5-replayable sign
+    // planes — the oracle regenerates the buckets, so the whole ANN
+    // result is DuckDB-checked; recall vs brute force in SimilaritySpec.
     "q21_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      graft.ext.Similarity.lshCosineTopK(
+      graft.ext.Similarity.signLshCosineTopK(
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
-          tables = 12, nPlanes = 4)
+          tables = 12, nPlanes = 4, dim = 64)
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
@@ -1078,6 +1079,40 @@ object SparkEntry {
         |JOIN v a ON c.id_a = a.vec_id
         |JOIN v b ON c.id_b = b.vec_id
         |WHERE list_cosine_similarity(a.ve, b.ve) >= 0.3""".stripMargin,
+    "q21_lsh_topk" ->
+      """WITH signs AS (
+        |  SELECT t.t, p.p, i.i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substring(md5(concat(t.t, ':', p.p, ':', i.i)), 1, 1)) - 1)
+        |        % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(12) t(t), range(4) p(p), range(64) i(i)),
+        |comp AS (
+        |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) i(i)),
+        |dots AS (
+        |  SELECT c.vec_id, s.t, s.p, sum(s.s * c.x) AS d
+        |  FROM comp c JOIN signs s ON c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+        |  FROM buckets c JOIN (SELECT * FROM buckets WHERE vec_id < 5) q
+        |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |sims AS (
+        |  SELECT cand.qid, cand.id, list_cosine_similarity(a.ve, b.ve) AS cosine
+        |  FROM cand
+        |  JOIN v a ON cand.id = a.vec_id
+        |  JOIN v b ON cand.qid = b.vec_id),
+        |rk AS (SELECT qid, id, cosine,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+        |       FROM sims)
+        |SELECT qid, id, round(cosine, 6) AS cosine, rank FROM rk WHERE rank <= 10""".stripMargin,
     "q20_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),

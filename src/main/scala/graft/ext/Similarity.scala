@@ -246,9 +246,25 @@ object Similarity {
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame,
                     id: String, vec: String, k: Int,
                     tables: Int = 8, nPlanes: Int = 12, dim: Int = 64,
-                    seed: Long = 42L): DataFrame = {
-    val cb = lshBuckets(corpus, id, vec, tables, nPlanes, dim, seed)
-    val qb = lshBuckets(queries, id, vec, tables, nPlanes, dim, seed)
+                    seed: Long = 42L): DataFrame =
+    lshTopKWithPlanes(corpus, queries, id, vec, k,
+      planes(tables, nPlanes, dim, seed))
+
+  /** [[lshCosineTopK]] over the engine-replayable [[md5SignPlanes]]
+    * family — identical ANN shape, but a SQL oracle can regenerate the
+    * buckets and therefore the exact result set (q21). */
+  def signLshCosineTopK(corpus: DataFrame, queries: DataFrame,
+                        id: String, vec: String, k: Int,
+                        tables: Int = 12, nPlanes: Int = 4,
+                        dim: Int = 64): DataFrame =
+    lshTopKWithPlanes(corpus, queries, id, vec, k,
+      md5SignPlanes(tables, nPlanes, dim))
+
+  private def lshTopKWithPlanes(corpus: DataFrame, queries: DataFrame,
+                                id: String, vec: String, k: Int,
+                                ps: Array[Array[Array[Double]]]): DataFrame = {
+    val cb = bucketsFromPlanes(corpus, id, vec, ps)
+    val qb = bucketsFromPlanes(queries, id, vec, ps)
       .toDF("qid", "table", "bucket")
     val candIds = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("id") =!= col("qid"))

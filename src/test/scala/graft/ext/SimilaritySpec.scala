@@ -82,6 +82,13 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     info(f"LSH recall@10 = $recall%.3f (${approx.size} returned)")
     assert(recall >= 0.4, s"recall $recall below floor")
+    // the q21-bound md5-sign-plane family must hold the same floor
+    val signed = Similarity.signLshCosineTopK(real, queries, "vec_id", "embedding", 10,
+        tables = 12, nPlanes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val signRecall = (exact intersect signed).size.toDouble / exact.size
+    info(f"sign-LSH recall@10 = $signRecall%.3f (${signed.size} returned)")
+    assert(signRecall >= 0.4, s"sign-plane recall $signRecall below floor")
   }
 
   test("labelCentroids: element-wise mean per label, hand-checked") {
