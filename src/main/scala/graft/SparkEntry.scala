@@ -256,6 +256,9 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
     // --- Dedup: SimHash fingerprints + banded Hamming pairs (rows-only).
+    // DuckDB-oracled end-to-end: md5-derived hash bits, majority votes,
+    // fingerprint assembly, 16-bit banding and Hamming refine all replay
+    // in SQL.
     "q18_simhash_pairs" -> ((s, dir) =>
       graft.ext.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
@@ -1048,6 +1051,37 @@ object SparkEntry {
     // Replays the engine's md5-sign-LSH blocking exactly: same ±1 plane
     // per (table, plane, dim-index) from md5("t:p:i"), same sign-bit
     // buckets, same candidate self-join, same exact-cosine refine.
+    "q18_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+        |        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi
+        |      FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j.j,
+        |    sum(CASE WHEN ((CASE WHEN j.j < 32 THEN lo >> j.j
+        |                         ELSE hi >> (j.j - 32) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(64) j(j) GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN
+        |          (CASE WHEN j = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << j END)
+        |        ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, b.b, ((simhash >> (b.b * 16)) & 65535) AS bucket
+        |  FROM fp, range(4) b(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "q19_cosine_pairs" ->
       """WITH signs AS (
         |  SELECT t.t, p.p, i.i,

@@ -378,15 +378,23 @@ object Dedup {
   /** 64-bit simhash fingerprint per document: majority vote per bit over
     * token hashes (each occurrence votes, weight 1). One groupBy with 64
     * sum aggregates; fingerprint assembly is a plain projection.
+    *
+    * The 64 token-hash bits come from the first 16 md5 hex digits,
+    * parsed as two 32-bit halves (a single 16-digit parse would
+    * overflow a signed long) — md5 is what lets a SQL oracle replay
+    * every fingerprint bit (q18); xxhash64 seeding is engine-private.
     */
   def simhashDF(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id).as("id"),
         explode(split(lower(col(text)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("lo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("hi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j")
+      val bit =
+        if (j < 32) shiftright(col("lo"), j)
+        else shiftright(col("hi"), j - 32)
+      sum(when(bit.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
     val fp = (0 until 64).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
