@@ -20,10 +20,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Shared tuning applied to any builder. */
+  /** Shared tuning applied to any builder. zstd parquet output: at a
+    * 100 TB lake the scan is IO-bound, so zstd's materially better
+    * ratio at near-snappy speed means fewer bytes read AND stored —
+    * Spark 4 bundles the codec, nothing to install. */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
 
   /** Local development/test session: `local[cores]`, shuffle partitions
     * = cores, UI off.
@@ -40,6 +44,7 @@ object GraftSession {
         val s = existing.newSession()
         s.conf.set("spark.sql.session.timeZone", "UTC")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.conf.set("spark.sql.parquet.compression.codec", "zstd")
         s.conf.set("spark.sql.shuffle.partitions", cores.toString)
         GraftExtensions.install(s)
         s

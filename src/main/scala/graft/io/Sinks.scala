@@ -98,4 +98,31 @@ object Sinks {
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     (files.length, after)
   }
+
+  /** [[compactParquet]] over a hive-partitioned layout: each
+    * `key=value` partition directory compacts independently into the
+    * same directory name under `dstDir`, so the partitioning (and
+    * partition pruning) survives — exactly the per-partition loop
+    * [[compactParquet]]'s nested-file guard demands. Partitions are
+    * independent units of work; a production driver can fan them out,
+    * and a failure in one leaves the others' output intact. Returns
+    * partitionDirName -> (filesBefore, filesAfter).
+    */
+  def compactPartitionedParquet(spark: org.apache.spark.sql.SparkSession,
+                                srcDir: String, dstDir: String,
+                                targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, (Int, Int)] = {
+    require(srcDir != dstDir, "compact to a fresh directory, then swap")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcP.getFileSystem(conf)
+    val parts = fs.listStatus(srcP)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    require(parts.nonEmpty,
+      s"no key=value partition directories under $srcDir — use compactParquet")
+    parts.map { p =>
+      p -> compactParquet(spark, s"$srcDir/$p", s"$dstDir/$p", targetFileBytes)
+    }.toMap
+  }
 }

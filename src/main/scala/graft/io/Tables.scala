@@ -79,4 +79,25 @@ object Tables {
           .csv(path)
     }
   }
+
+  /** Reference-parity inference: schema from the FIRST `rows` data rows
+    * only, then frozen for the full scan (`processor.rs:255-258` infers
+    * from 100 rows — a column numeric for those rows stays numeric, and
+    * later non-conforming cells null out under PERMISSIVE instead of
+    * widening the column to string the way whole-file inference would).
+    * The row window is one bounded read; "first" follows file listing
+    * order, which matches the reference's single-file uploads. Use
+    * [[csv]] with `samplingRatio` when sampling the whole file is the
+    * better trade.
+    */
+  def csvInferFirstRows(spark: SparkSession, path: String,
+                        rows: Int = 100): DataFrame = {
+    require(rows > 0, "need at least one row to infer from")
+    val head = spark.read.textFile(path).limit(rows + 1) // +1: header line
+    val inferred = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(head).schema
+    csv(spark, path, schema = Some(inferred))
+  }
 }

@@ -129,4 +129,44 @@ class ApiSpec extends SparkSpec {
     val types = df.schema.fields.map(_.dataType.simpleString).toSeq
     assert(types.head === "string" || types.head === "int") // inference ran
   }
+
+  test("csvInferFirstRows freezes the reference's 100-row window semantics") {
+    val p = Files.createTempDirectory("graft-csv100").resolve("t.csv")
+    // numeric for the first rows, textual later: the reference's window
+    // keeps the column numeric; whole-file inference widens to string
+    Files.writeString(p,
+      "a,b\n" + (1 to 5).map(i => s"$i,x$i").mkString("\n") + "\nnot_a_number,y\n")
+    val windowed = Tables.csvInferFirstRows(spark, p.toString, rows = 5)
+    assert(windowed.schema("a").dataType.simpleString === "int")
+    assert(windowed.count() === 6)
+    // the non-conforming late cell nulls out under PERMISSIVE
+    assert(windowed.filter(windowed("a").isNull).count() === 1)
+    val whole = Tables.csv(spark, p.toString)
+    assert(whole.schema("a").dataType.simpleString === "string")
+  }
+
+  test("partitioned compaction: per-dir merge keeps layout and rows") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("pfrag").toString
+    val dst = src + "_compact"
+    spark.range(0, 6000).toDF("id")
+      .withColumn("lang",
+        org.apache.spark.sql.functions.expr("CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' ELSE 'de' END"))
+      .repartition(10)
+      .write.partitionBy("lang").mode("overwrite").parquet(src)
+    val report = Sinks.compactPartitionedParquet(spark, src, dst,
+      targetFileBytes = 512L * 1024)
+    assert(report.keySet === Set("lang=en", "lang=fr", "lang=de"))
+    report.values.foreach { case (before, after) => assert(after <= before) }
+    val back = spark.read.parquet(dst)
+    assert(back.count() === 6000L)
+    // partition column survives as a directory-derived column
+    assert(back.select("lang").distinct().as[String].collect().toSet
+      === Set("en", "fr", "de"))
+  }
+
+  test("GraftSession clone carries the zstd parquet codec") {
+    val s = GraftSession.local(4)
+    assert(s.conf.get("spark.sql.parquet.compression.codec") === "zstd")
+  }
 }
