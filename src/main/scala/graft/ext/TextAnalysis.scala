@@ -398,18 +398,18 @@ object TextAnalysis {
     out.result()
   }
 
-  /** Word → initial BPE symbols: CODEPOINTS (not UTF-16 chars — split("")
-    * would shear surrogate pairs into invalid half-symbols) plus the
-    * end-of-word marker. */
+  /** Word → initial BPE symbols: extended GRAPHEME CLUSTERS (`\X`),
+    * not UTF-16 chars (split("") shears surrogate pairs into invalid
+    * half-symbols) and not raw codepoints either — a combining accent
+    * ("e" + U+0301) or an emoji ZWJ family must stay one symbol, or
+    * merges produce tokens that split user-perceived characters. Plus
+    * the end-of-word marker. */
   private val EndOfWord = "</w>"
+  private val GraphemePattern = java.util.regex.Pattern.compile("\\X")
   private def initialSymbols(w: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      out += new String(Character.toChars(cp))
-      i += Character.charCount(cp)
-    }
+    val m = GraphemePattern.matcher(w)
+    while (m.find()) out += m.group()
     (out += EndOfWord).result()
   }
 

@@ -168,6 +168,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges.head.getString(3) === "x𝄞")
   }
 
+  test("bpe keeps grapheme clusters whole (combining mark, zwj emoji)") {
+    // "e" + combining acute must be ONE symbol, not (e, U+0301)
+    val accented = "cafe\u0301 cafe\u0301" // decomposed: e + combining acute
+    val df = Seq((1L, accented)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", 1).collect()
+    assert(merges.nonEmpty)
+    // no merge operand may be a bare combining mark
+    merges.foreach { m =>
+      assert(m.getString(1) !== "́")
+      assert(m.getString(2) !== "́")
+    }
+    // a ZWJ emoji family encodes as (family, </w>) — one symbol + marker
+    val fam = "👨‍👩‍👧"
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, fam)).toDF("doc_id", "text"), "doc_id", "text",
+      TextAnalysis.bpeTrain(df, "doc_id", "text", 1))
+      .selectExpr("tokens").collect().head.getSeq[String](0)
+    assert(enc === Seq(fam, "</w>"))
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every adjacent pair occurs once -> nothing worth merging
