@@ -27,20 +27,24 @@ object Dedup {
   /** Distinct lowercase whitespace tokens: (id, tok). */
   def tokensDF(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id).as("id"),
-        explode(array_distinct(split(lower(col(text)), "\\s+"))).as("tok"))
+        explode(array_distinct(split(lower(col(text)), "[ \\t\\n\\f\\r]+"))).as("tok"))
       .filter(length(col("tok")) > 0)
 
   /** Word n-gram shingles, distinct per doc: (id, shingle).
     * Documents shorter than n words contribute their whole text as one
-    * shingle so they can still be compared.
+    * shingle so they can still be compared. NULL-text docs contribute
+    * nothing (they cannot be meaningfully near-dup'd; this also matches
+    * the oracles' `WHERE text IS NOT NULL` — without the filter they'd
+    * get an empty-string shingle and pair with each other).
     */
   def shinglesDF(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val nonNull = df.filter(col(text).isNotNull)
     val sh = when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
-    df.select(col(id).as("id"), explode(array_distinct(sh)).as("shingle"))
+    nonNull.select(col(id).as("id"), explode(array_distinct(sh)).as("shingle"))
   }
 
   // --------------------------------------------------------------------
@@ -176,9 +180,12 @@ object Dedup {
       case None => t0
     }
     // (id, tok) feeds three branches (sizes + both join sides):
-    // materialize once — scoped blocks, released with the result (see
-    // minhashPairs for the localCheckpoint-vs-cache rationale)
-    val t = tPlan.localCheckpoint(eager = true)
+    // checkpoint so it computes once — LAZY (eager would run the full
+    // explode at DataFrame-construction time, e.g. in a plan audit);
+    // the first action materializes it, the other branches reuse it,
+    // and the blocks release with the result (see minhashPairs for the
+    // localCheckpoint-vs-cache rationale)
+    val t = tPlan.localCheckpoint(eager = false)
     // sizes from the PRUNED token set: pruning must shrink numerator and
     // denominator together, or identical docs fall below tau whenever
     // they contain frequent tokens (pruned similarity = similarity of
@@ -276,8 +283,9 @@ object Dedup {
   /** k minhashes per doc — ONE groupBy with k `min` aggregates (map-side
     * partial), signature is k×8 bytes regardless of document size.
     *
-    * Each shingle is hashed ONCE (48-bit md5 prefix); the k hash
-    * functions are affine mixes `(a_i·h + c_i) mod 2^61−1` of that base.
+    * Each shingle is hashed ONCE (32-bit md5 prefix reduced mod
+    * [[MinhashPrime]] = 2^31−1); the k hash functions are affine mixes
+    * `(a_i·h + c_i) mod 2^31−1` of that base.
     * Hashing the string k times was k× the string-scan cost — at 1.5M
     * shingles × 128 hashes that was the dominant term of the whole
     * sketch path. The md5 base + integer mixing (vs the earlier
@@ -346,20 +354,21 @@ object Dedup {
                    ngram: Int = 3, numHashes: Int = 128,
                    bands: Int = 32,
                    maxBucketSize: Option[Int] = None,
-                   cacheSignatures: Boolean = true): DataFrame = {
+                   materializeSignatures: Boolean = true): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a fractional " +
         "band width silently skips signature positions")
     // signatures feed three plan branches (banding + both pair sides);
-    // materialize once so the shingle+minhash pass runs once, not three
-    // times. localCheckpoint, NOT cache(): checkpoint blocks
-    // (numHashes×8B per doc, memory-and-disk) are released by the
-    // ContextCleaner when the result DataFrame is dropped, where a
-    // CacheManager entry stays pinned for the session with no clean
-    // unpersist point — long-lived sessions that profile many corpora
-    // would accumulate it.
+    // checkpoint so the shingle+minhash pass runs once, not three
+    // times — LAZY, so merely building the plan costs nothing.
+    // localCheckpoint, NOT cache(): checkpoint blocks (numHashes×8B per
+    // doc, memory-and-disk) are released by the ContextCleaner when the
+    // result DataFrame is dropped, where a CacheManager entry stays
+    // pinned for the session with no clean unpersist point — long-lived
+    // sessions that profile many corpora would accumulate it.
     val base = minhashSignatures(df, id, text, ngram, numHashes)
-    val sigs = if (cacheSignatures) base.localCheckpoint(eager = true) else base
+    val sigs =
+      if (materializeSignatures) base.localCheckpoint(eager = false) else base
     val cand = lshCandidates(sigs, bands, maxBucketSize)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast(DoubleType) / numHashes
@@ -386,7 +395,7 @@ object Dedup {
     */
   def simhashDF(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id).as("id"),
-        explode(split(lower(col(text)), "\\s+")).as("tok"))
+        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .withColumn("lo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
       .withColumn("hi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))

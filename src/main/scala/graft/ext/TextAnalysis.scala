@@ -21,7 +21,7 @@ object TextAnalysis {
     * non-space symbols — the shape (not the vocab) of byte-pair
     * pretokenization, expressible identically in Java regex and RE2.
     */
-  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"
 
   /** Per-document token statistics: whitespace tokens, BPE-ish tokens,
     * characters. One map-side projection, no shuffle.
@@ -29,7 +29,7 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, id: String, text: String): DataFrame =
     df.select(
       col(id),
-      size(filter(split(col(text), "\\s+"), t => length(t) > 0)).as("n_ws_tokens"),
+      size(filter(split(col(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col(text)), lit(BpeishPattern), lit(0)))
         .as("n_bpe_tokens"),
       length(col(text)).as("n_chars"))
@@ -50,10 +50,10 @@ object TextAnalysis {
     * score = 0.4·length + 0.3·(1−min(punct·5,1)) + 0.3·min(stop·4,1)
     */
   def qualityScore(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val nToks = size(toks).cast(DoubleType)
     val nChars = length(col(text)).cast(DoubleType)
-    val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
       .cast(DoubleType)
     val stopArr = array(Stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
@@ -89,7 +89,7 @@ object TextAnalysis {
   def cleanText(df: DataFrame, id: String, text: String): DataFrame = {
     val noUrl = regexp_replace(col(text), UrlPattern, " ")
     val noMail = regexp_replace(noUrl, EmailPattern, " ")
-    val clean = trim(regexp_replace(noMail, "\\s+", " "))
+    val clean = trim(regexp_replace(noMail, "[ \\t\\n\\f\\r]+", " "))
     df.select(
       col(id),
       size(regexp_extract_all(col(text), lit(UrlPattern), lit(0))).as("n_urls"),
@@ -107,7 +107,7 @@ object TextAnalysis {
   def ngramStats(df: DataFrame, id: String, text: String, n: Int,
                  minCount: Long = 1L): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -348,10 +348,10 @@ object TextAnalysis {
                    minTokens: Long = 5L, maxTokens: Long = 100000L,
                    minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
                    maxPunctRatio: Double = 0.3): DataFrame = {
-    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val nToks = size(toks).cast(DoubleType)
     val nChars = length(col(text)).cast(DoubleType)
-    val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
       .cast(DoubleType)
     val tokChars = aggregate(transform(toks, t => length(t)), lit(0),
       (acc, x) => acc + x).cast(DoubleType)
@@ -419,7 +419,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = df
-      .select(explode(filter(split(lower(col(text)), "\\s+"),
+      .select(explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
         t => length(t) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
@@ -493,7 +493,7 @@ object TextAnalysis {
           // symbols the merge table has never seen)
           val toks = Option(t).getOrElse("")
             .toLowerCase(java.util.Locale.ROOT)
-            .split("\\s+").filter(_.nonEmpty).toSeq
+            .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).toSeq
             .flatMap(encodeWord)
           (docId, toks, toks.length.toLong)
         }
@@ -586,7 +586,7 @@ object TextAnalysis {
   def vocabularyDF(df: DataFrame, id: String, text: String,
                    minCount: Long = 1L): DataFrame =
     df.select(col(id).as("id"),
-        explode(split(lower(col(text)), "\\s+")).as("tok"))
+        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("tok"))
       .filter(length(col("tok")) > 0)
       // two-level agg (see ngramStats): avoids the Expand that
       // count+countDistinct in one aggregate would force on every row

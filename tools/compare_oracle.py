@@ -41,7 +41,13 @@ def main(out_dir, sf_dir, only=None):
     skipped = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            skipped += 1  # filtered Verify run — not a failure
+            if only:
+                skipped += 1  # filtered Verify run — not a failure
+                continue
+            # UNfiltered run: a missing dump means the query CRASHED in
+            # Verify — that must fail the gate, not silently skip
+            print(f"FAIL {name}: no output directory (query failed in Verify?)")
+            failures += 1
             continue
         try:
             got = con.sql(
