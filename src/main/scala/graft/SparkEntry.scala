@@ -753,6 +753,18 @@ object SparkEntry {
       graft.ext.TextAnalysis.stripBoilerplate(
         Tables.documents(s, dir), "doc_id", "text", minDocFrequency = 3L)),
 
+    // --- Benchmark decontamination: distinct 5-gram overlap of each
+    // corpus doc (doc_id >= 100) against the "benchmark" slice
+    // (doc_id < 100) — the eval-leakage audit a training pipeline runs
+    // before every corpus release. Benchmark digests broadcast; the
+    // corpus never shuffles.
+    "q86_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Dedup.contaminationStats(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+        "doc_id", "text", ngram = 5, minOverlap = 1L)
+    }),
+
     // --- PII scrubbing: typed placeholders + per-kind counts. Pure
     // map-side regex over the scan (patterns chosen to behave
     // identically in Java regex and RE2, so the oracle replays exactly).
@@ -1731,6 +1743,35 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q86_decontaminate" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND doc_id >= 100),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 5
+        |    THEN [array_to_string(ts[i:i+4], ' ') FOR i IN range(1, len(ts) - 3)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM ctoks),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(ts) >= 5
+        |    THEN [array_to_string(ts[i:i+4], ' ') FOR i IN range(1, len(ts) - 3)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM btoks),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS n
+        |  FROM csh c JOIN bsh b ON c.s = b.s
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(h.n, 0) AS n_shared_ngrams,
+        |  coalesce(h.n, 0) >= 1 AS contaminated
+        |FROM documents d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 100""".stripMargin,
     "q84_pii_scrub" -> {
       // same regex constants the engine compiles — no drift possible
       val em = graft.ext.TextAnalysis.EmailRe

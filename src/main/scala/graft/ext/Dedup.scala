@@ -381,6 +381,56 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // Benchmark decontamination
+  // --------------------------------------------------------------------
+
+  /** Per-document contamination stats against a benchmark/eval set:
+    * how many of the doc's distinct word `ngram`-shingles also appear
+    * anywhere in `benchmark`, and the ≥ `minOverlap` flag — the
+    * standard pre-training hygiene pass that keeps eval data out of
+    * the training corpus (GPT-3/PaLM-style n-gram decontamination).
+    *
+    * Scale shape: shingles are digested to md5 so only (digest, id)
+    * pairs move; the benchmark's distinct digest set is BROADCAST —
+    * eval suites are MBs while the corpus is the 100 TB side, so the
+    * corpus never shuffles at all (left-semi against the broadcast,
+    * one partial-agg count, one broadcast join-back). Every corpus doc
+    * keeps a row (zeros when clean).
+    */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+                         id: String, text: String,
+                         ngram: Int = 8, minOverlap: Long = 1L): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    val c = shinglesDF(corpus, id, text, ngram)
+      .select(col("id"), md5(col("shingle")).as("d"))
+    val b = shinglesDF(benchmark, id, text, ngram)
+      .select(md5(col("shingle")).as("d")).distinct()
+    // shinglesDF is distinct per doc, so the count is distinct shared
+    // shingles without a second dedup
+    val hits = c.join(broadcast(b), Seq("d"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
+    // no broadcast hint on the join-back: hits is usually tiny (the
+    // contaminated slice) and AQE will broadcast it, but it is
+    // corpus-bounded in the worst case — a forced hint could OOM
+    corpus.select(col(id).as("id"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as(id),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) >= minOverlap)
+          .as("contaminated"))
+  }
+
+  /** The corpus with contaminated documents removed — the actual
+    * decontamination filter ([[contaminationStats]] is the audit view). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    id: String, text: String,
+                    ngram: Int = 8, minOverlap: Long = 1L): DataFrame =
+    corpus.join(
+      contaminationStats(corpus, benchmark, id, text, ngram, minOverlap)
+        .filter(!col("contaminated")).select(col(id)),
+      Seq(id), "left_semi")
+
+  // --------------------------------------------------------------------
   // SimHash
   // --------------------------------------------------------------------
 

@@ -67,6 +67,26 @@ class DedupSpec extends SparkSpec {
     assert(full.nonEmpty) // the corpus plants near-dups; empty would be vacuous
   }
 
+  test("contaminationStats counts benchmark n-gram overlap; decontaminate filters") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog indeed"),
+      (2L, "completely unrelated text about sparks and engines here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val stats = Dedup.contaminationStats(corpus, bench, "doc_id", "text",
+        ngram = 5, minOverlap = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // doc 1 contains the benchmark's full 9-word run -> 5 distinct 5-grams
+    assert(stats(1L) === ((5L, true)))
+    assert(stats(2L) === ((0L, false)))
+    assert(stats(3L) === ((0L, false))) // null text: clean, still a row
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", 5, 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("default skew guard (df<=0.5) is a no-op on the sparse real corpus") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val guarded = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3)
