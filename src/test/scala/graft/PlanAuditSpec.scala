@@ -90,6 +90,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 2, "threshold assignment is map-side")
   }
 
+  test("q84 (pii scrub): pure projection, zero exchanges") {
+    assert(exchanges(plan("q84_pii_scrub")) === 0,
+      "pii redaction is regex work inside the scan")
+  }
+
+  test("q86 (decontamination): benchmark side broadcasts, corpus never shuffles on content") {
+    val p = plan("q86_decontaminate")
+    // both joins (digest semi + id join-back) must be broadcasts; the
+    // only plain exchanges are the benchmark's own distinct and the
+    // per-doc count agg — the corpus shingle stream itself never
+    // shuffles (a SortMergeJoin would mean it did)
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"both joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shingles must not shuffle into a sort-merge join:\n$p")
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)
