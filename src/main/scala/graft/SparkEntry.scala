@@ -791,6 +791,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"))),
 
+    // --- Mixture sampling: a reproducible ~3000-token per-lang subset
+    // (md5-ordered fill — how a target language mixture is drawn from
+    // an over-represented corpus without shuffling anything but ids).
+    "q87_token_budget_sample" -> ((s, dir) =>
+      graft.ext.TextAnalysis.sampleByTokenBudget(
+        Tables.documents(s, dir), "doc_id", "text", "lang",
+        budgetTokens = 3000L)),
+
     // --- Corpus sharding: per-lang consecutive ~2000-token shards
     // (how a corpus is cut into training-chunk files, deterministically).
     "q78_sharding" -> ((s, dir) =>
@@ -1691,6 +1699,19 @@ object SparkEntry {
         |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q87_token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    coalesce(CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0)) AS BIGINT), 0) AS n_tokens,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id
+        |       ROWS UNBOUNDED PRECEDING) - n_tokens) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens FROM c WHERE cum < 3000""".stripMargin,
     "q79_skew" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS count,
         |  round(count(*) * 1.0 /

@@ -163,6 +163,30 @@ object TextAnalysis {
       .cast("long"),
     lit(0L))
 
+  /** Deterministic per-group token-budget sampling — the MIXTURE
+    * builder: from each `groupCol` (language, source), keep a
+    * reproducible pseudo-random subset of documents totalling
+    * ~`budgetTokens` whitespace tokens ("fill until the running total
+    * passes the budget", like [[shardByTokenBudget]] — the straddling
+    * doc is kept). Order within a group is md5(salt:id): uniform,
+    * engine-replayable, and stable under any physical partitioning —
+    * rerunning yields the same sample, changing the salt redraws it.
+    * Same per-group window serialization note as sharding (SCALE.md):
+    * at cluster scale pick groups with enough cardinality.
+    */
+  def sampleByTokenBudget(df: DataFrame, id: String, text: String,
+                          groupCol: String, budgetTokens: Long,
+                          salt: String = "graft"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val order = md5(concat_ws(":", lit(salt), col(id).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(order.asc, col(id).asc)
+    df.select(col(id), col(groupCol), wsTokenCount(text).as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("_cum") < budgetTokens)
+      .select(col(id), col(groupCol), col("n_tokens"))
+  }
+
   /** TRUE greedy sequence packing: within each group (docs ordered by
     * `id`), a pack accumulates documents until adding the next would
     * exceed `budgetTokens`; then a new pack starts. Unlike

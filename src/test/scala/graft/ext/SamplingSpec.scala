@@ -136,6 +136,31 @@ class SamplingSpec extends SparkSpec {
       assert(math.abs(s - vals.length / 4.0) <= vals.length * 0.05))
   }
 
+  test("sampleByTokenBudget: budget honored per group, deterministic, salt redraws") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = TextAnalysis.sampleByTokenBudget(docs, "doc_id", "text", "lang", 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s2 = TextAnalysis.sampleByTokenBudget(docs, "doc_id", "text", "lang", 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.sortBy(_._1) === s2.sortBy(_._1)) // reproducible draw
+    // per-group totals land in [min(budget, group total), budget + max
+    // doc) — the fill keeps the straddling doc, never more
+    val all = TextAnalysis.sampleByTokenBudget(docs, "doc_id", "text", "lang",
+        Long.MaxValue)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val groupAll = all.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val perGroup = s1.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val maxDoc = s1.map(_._3).max
+    perGroup.foreach { case (g, tot) =>
+      assert(tot >= math.min(2000L, groupAll(g)), s"group $g under-filled: $tot")
+      assert(tot < 2000L + maxDoc, s"group $g overshoots: $tot")
+    }
+    val redrawn = TextAnalysis.sampleByTokenBudget(docs, "doc_id", "text", "lang",
+        2000L, salt = "other")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(redrawn !== s1.map(_._1).toSet) // a new salt is a new draw
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")
