@@ -1786,12 +1786,13 @@ object SparkEntry {
         |hits AS (
         |  SELECT c.doc_id, count(*) AS n
         |  FROM csh c JOIN bsh b ON c.s = b.s
+        |  WHERE length(c.s) > 0
         |  GROUP BY 1)
         |SELECT d.doc_id,
         |  coalesce(h.n, 0) AS n_shared_ngrams,
         |  coalesce(h.n, 0) >= 1 AS contaminated
         |FROM documents d
-        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |LEFT JOIN hits h ON d.doc_id IS NOT DISTINCT FROM h.doc_id
         |WHERE d.doc_id >= 100""".stripMargin,
     "q84_pii_scrub" -> {
       // same regex constants the engine compiles — no drift possible

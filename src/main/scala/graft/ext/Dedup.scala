@@ -397,23 +397,39 @@ object Dedup {
     * one partial-agg count, one broadcast join-back). Every corpus doc
     * keeps a row (zeros when clean).
     */
+  /** Shared-shingle counts per corpus doc id, ≥1 rows only. Empty
+    * shingles (the short-doc branch's output for ZERO-token texts) are
+    * excluded on both sides — a blank benchmark doc must not flag every
+    * blank corpus doc as eval leakage. */
+  private def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                                id: String, text: String,
+                                ngram: Int): DataFrame = {
+    val c = shinglesDF(corpus, id, text, ngram)
+      .filter(length(col("shingle")) > 0)
+      .select(col("id"), md5(col("shingle")).as("d"))
+    val b = shinglesDF(benchmark, id, text, ngram)
+      .filter(length(col("shingle")) > 0)
+      .select(md5(col("shingle")).as("d")).distinct()
+    // shinglesDF is distinct per doc, so the count is distinct shared
+    // shingles without a second dedup
+    c.join(broadcast(b), Seq("d"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
                          id: String, text: String,
                          ngram: Int = 8, minOverlap: Long = 1L): DataFrame = {
     require(ngram >= 1, "ngram must be >= 1")
-    val c = shinglesDF(corpus, id, text, ngram)
-      .select(col("id"), md5(col("shingle")).as("d"))
-    val b = shinglesDF(benchmark, id, text, ngram)
-      .select(md5(col("shingle")).as("d")).distinct()
-    // shinglesDF is distinct per doc, so the count is distinct shared
-    // shingles without a second dedup
-    val hits = c.join(broadcast(b), Seq("d"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
+    val hits = contaminationHits(corpus, benchmark, id, text, ngram)
     // no broadcast hint on the join-back: hits is usually tiny (the
     // contaminated slice) and AQE will broadcast it, but it is
-    // corpus-bounded in the worst case — a forced hint could OOM
+    // corpus-bounded in the worst case — a forced hint could OOM.
+    // NULL-SAFE join key: a null-id doc's hits aggregate under id NULL,
+    // and an equi-join would orphan them — reporting contaminated
+    // null-id docs as clean.
     corpus.select(col(id).as("id"))
-      .join(hits, Seq("id"), "left_outer")
+      .join(hits.withColumnRenamed("id", "__hid"),
+        col("id") <=> col("__hid"), "left_outer")
       .select(col("id").as(id),
         coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
         (coalesce(col("n_shared_ngrams"), lit(0L)) >= minOverlap)
@@ -421,14 +437,19 @@ object Dedup {
   }
 
   /** The corpus with contaminated documents removed — the actual
-    * decontamination filter ([[contaminationStats]] is the audit view). */
+    * decontamination filter ([[contaminationStats]] is the audit view).
+    * One anti-join against the over-threshold hit set (null-safe, so a
+    * contaminated null-id doc is removed and a clean one KEPT — an
+    * equi-semi-join would silently drop every null-id row). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     id: String, text: String,
-                    ngram: Int = 8, minOverlap: Long = 1L): DataFrame =
-    corpus.join(
-      contaminationStats(corpus, benchmark, id, text, ngram, minOverlap)
-        .filter(!col("contaminated")).select(col(id)),
-      Seq(id), "left_semi")
+                    ngram: Int = 8, minOverlap: Long = 1L): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    val dirty = contaminationHits(corpus, benchmark, id, text, ngram)
+      .filter(col("n_shared_ngrams") >= minOverlap)
+      .withColumnRenamed("id", "__hid")
+    corpus.join(dirty, corpus(id) <=> dirty("__hid"), "left_anti")
+  }
 
   // --------------------------------------------------------------------
   // SimHash

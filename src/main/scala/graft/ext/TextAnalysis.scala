@@ -178,9 +178,18 @@ object TextAnalysis {
                           groupCol: String, budgetTokens: Long,
                           salt: String = "graft"): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val order = md5(concat_ws(":", lit(salt), col(id).cast("string")))
+    // concat (null-propagating), not concat_ws: a null id must get a
+    // null sort key in EVERY engine; nulls_last matches SQL defaults
+    // (Spark alone sorts nulls first ascending)
+    val order = md5(concat(lit(s"$salt:"), col(id).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(order.asc, col(id).asc)
+      .partitionBy(groupCol)
+      .orderBy(order.asc_nulls_last, col(id).asc_nulls_last)
+      // explicit ROWS frame: the default RANGE frame makes PEERS (rows
+      // tied on the sort key, e.g. duplicate ids) share one cumulative
+      // value, inflating every peer's "preceding" total
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.select(col(id), col(groupCol), wsTokenCount(text).as("n_tokens"))
       .withColumn("_cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .filter(col("_cum") < budgetTokens)

@@ -100,11 +100,12 @@ class PlanAuditSpec extends SparkSpec {
     // both joins (digest semi + id join-back) must be broadcasts; the
     // only plain exchanges are the benchmark's own distinct and the
     // per-doc count agg — the corpus shingle stream itself never
-    // shuffles (a SortMergeJoin would mean it did)
-    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+    // shuffles. Formatted explain prints each operator TWICE (tree line
+    // + numbered detail block), so two joins => count 4.
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
       s"both joins must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus shingles must not shuffle into a sort-merge join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shingles must not shuffle into a shuffled join:\n$p")
   }
 
   test("no registered query plans a nested-loop join (allowlist excepted)") {

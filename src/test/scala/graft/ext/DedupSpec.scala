@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("contamination handles null ids and blank docs correctly") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "   ") // blank benchmark doc must not poison blank corpus docs
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (Some(1L), "clean text entirely unrelated to anything benchmarked here"),
+      (None, "the quick brown fox jumps over the lazy dog"), // null id, dirty
+      (Some(3L), "") // blank corpus doc: clean
+    ).toDF("doc_id", "text")
+    val stats = Dedup.contaminationStats(corpus, bench, "doc_id", "text", 5, 1L)
+      .collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        (r.getLong(1), r.getBoolean(2))).toMap
+    assert(stats(Some(1L)) === ((0L, false)))
+    assert(stats(None)._2 === true) // null-id leakage must be REPORTED
+    assert(stats(Some(3L)) === ((0L, false)))
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", 5, 1L)
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
+    assert(kept === Set(Some(1L), Some(3L))) // clean null-id WOULD be kept; dirty one dropped
+  }
+
   test("default skew guard (df<=0.5) is a no-op on the sparse real corpus") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val guarded = Dedup.jaccardPairs(real, "doc_id", "text", 0.5, ngram = 3)

@@ -161,6 +161,18 @@ class SamplingSpec extends SparkSpec {
     assert(redrawn !== s1.map(_._1).toSet) // a new salt is a new draw
   }
 
+  test("sampleByTokenBudget: duplicate ids get true ROWS prefixes, not peer sums") {
+    // two rows share id 7 (same sort key): with the default RANGE frame
+    // both would see the peer-group total and the small row would be
+    // dropped; the explicit ROWS frame keeps a true running prefix
+    val df = Seq((7L, "a", "en"), (7L, ("w " * 3000).trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.sampleByTokenBudget(df, "doc_id", "text", "lang", 2000L)
+      .collect().map(_.getLong(2)).sorted
+    assert(out.length === 2, s"both peer rows must be kept, got ${out.toSeq}")
+    assert(out === Array(1L, 3000L))
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")
