@@ -753,6 +753,16 @@ object SparkEntry {
       graft.ext.TextAnalysis.stripBoilerplate(
         Tables.documents(s, dir), "doc_id", "text", minDocFrequency = 3L)),
 
+    // --- Multimodal: REAL header parsing — payloads carry genuine
+    // PNG/GIF headers (built with unhex expressions), the JVM parser
+    // reads dims back from the BYTES, and the oracle checks them
+    // against the metadata formulas computed independently. Audio rows
+    // are unparseable on purpose (the null path).
+    "q88_image_dims" -> ((s, dir) =>
+      graft.ext.Multimodal.imageHeaderDims(
+        graft.ext.Multimodal.mediaTableHeadered(Tables.documents(s, dir)))
+        .toDF()),
+
     // --- Benchmark decontamination: distinct 5-gram overlap of each
     // corpus doc (doc_id >= 100) against the "benchmark" slice
     // (doc_id < 100) — the eval-leakage audit a training pipeline runs
@@ -1764,6 +1774,15 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q88_image_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 2 THEN 'gif' END AS format,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST((doc_id % 64 + 1) * 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN CAST((doc_id % 48 + 1) * 16 AS INT) END AS height
+        |FROM documents""".stripMargin,
     "q86_decontaminate" ->
       """WITH ctoks AS (
         |  SELECT doc_id,

@@ -95,6 +95,102 @@ object Multimodal {
     }
   }
 
+  /** REAL image-header parsing — no codec library required, just byte
+    * inspection: PNG IHDR (big-endian dims at offset 16), JPEG SOFn
+    * marker scan, GIF logical-screen descriptor (little-endian), BMP
+    * info header. Returns None for unrecognized or truncated payloads.
+    * This is exactly how dimension metadata is extracted at 100 TB —
+    * a few header bytes inspected per blob, never a decode.
+    */
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 24 &&
+      b.startsWith(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 &&
+      (b.startsWith("GIF87a".getBytes("US-ASCII")) ||
+        b.startsWith("GIF89a".getBytes("US-ASCII"))))
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      Some(("bmp", le32(18), math.abs(le32(22)))) // height<0 = top-down rows
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn (C0..CF minus the
+      // non-frame C4/C8/CC); height then width sit 5/7 bytes into it
+      var i = 2
+      var res: Option[(String, Int, Int)] = None
+      while (res.isEmpty && i + 3 < b.length) {
+        if (u8(i) != 0xff) i += 1 // skip fill/entropy bytes
+        else {
+          val m = u8(i + 1)
+          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no payload
+          else if (m == 0xff) i += 1
+          else {
+            val len = be16(i + 2)
+            if (len < 2) i = b.length // corrupt length: stop
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 < b.length) res = Some(("jpeg", be16(i + 7), be16(i + 5)))
+              i = b.length
+            } else i += 2 + len
+          }
+        }
+      }
+      res
+    } else None
+  }
+
+  final case class ImageDims(media_id: Long, format: Option[String],
+                             width: Option[Int], height: Option[Int])
+
+  /** Header-parsed dimensions per media row: (media_id, format, width,
+    * height), nulls when the payload is not a recognized image. Batched
+    * map-side pass like [[mediaFeatures]] — no shuffle.
+    */
+  def imageHeaderDims(media: DataFrame, id: String = "media_id",
+                      content: String = "content"): Dataset[ImageDims] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (mid, bytes) =>
+        parseImageHeader(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some((f, w, h)) => ImageDims(mid, Some(f), Some(w), Some(h))
+          case None => ImageDims(mid, None, None, None)
+        }
+      })
+  }
+
+  /** [[mediaTable]] variant whose payloads carry REAL file headers,
+    * built with pure expressions (`unhex` + big/little-endian hex
+    * assembly): image rows are PNG-framed, video rows GIF-framed, audio
+    * rows stay raw text bytes (unparseable — the null path). The
+    * header dims equal the meta dims, so a parser's output is
+    * independently checkable against the metadata formulas (q88).
+    */
+  def mediaTableHeadered(docs: DataFrame): DataFrame = {
+    val m = mediaTable(docs)
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val be32 = (c: org.apache.spark.sql.Column) => unhex(lpad(hex(c), 8, "0"))
+    val le16 = (c: org.apache.spark.sql.Column) => {
+      val hx = lpad(hex(c), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    m.withColumn("content",
+      when(col("kind") === "image",
+        concat(
+          unhex(lit("89504E470D0A1A0A0000000D49484452")), // PNG sig + IHDR len/tag
+          be32(w), be32(h),
+          unhex(lit("080600000000000000")), // bit depth/color/crc filler
+          col("content")))
+        .when(col("kind") === "video",
+          concat(lit("GIF89a").cast("binary"), le16(w), le16(h), col("content")))
+        .otherwise(col("content")))
+  }
+
   /** Resize plan: a metadata-level transform (the payload op is the
     * stubbed codec's job; scheduling-wise the operation is the same
     * map-side batch). Keeps aspect metadata consistent.

@@ -63,6 +63,52 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.getInt(2)).sorted === Array(0, 2, 4))
   }
 
+  test("parseImageHeader reads real PNG/JPEG/GIF/BMP headers, rejects junk") {
+    // PNG: sig + IHDR, 640x480 big-endian
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseImageHeader(png) === Some(("png", 640, 480)))
+    // JPEG: SOI, APP0 segment (skipped), SOF0 with height 480 width 640
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x01, 0xe0, 0x02, 0x80, 3, 0, 0, 0)
+      .map(_.toByte)
+    assert(Multimodal.parseImageHeader(jpeg) === Some(("jpeg", 640, 480)))
+    // GIF: little-endian 320x200
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xc8, 0x00, 0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseImageHeader(gif) === Some(("gif", 320, 200)))
+    // BMP: 'BM', width at 18 LE, NEGATIVE height (top-down) at 22
+    val bmp = Array.fill[Byte](26)(0)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x20; bmp(19) = 0x03                  // 800
+    bmp(22) = 0xa8.toByte; bmp(23) = 0xfd.toByte    // -600 LE
+    bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
+    assert(Multimodal.parseImageHeader(bmp) === Some(("bmp", 800, 600)))
+    // junk / truncated payloads
+    assert(Multimodal.parseImageHeader("not an image".getBytes) === None)
+    assert(Multimodal.parseImageHeader(png.take(12)) === None)
+    assert(Multimodal.parseImageHeader(Array[Int](0xff, 0xd8, 0xff).map(_.toByte)) === None)
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray) === None)
+  }
+
+  test("headered media table round-trips dims through actual bytes") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dims = Multimodal.imageHeaderDims(Multimodal.mediaTableHeadered(docs))
+      .collect()
+    val byKind = dims.groupBy(_.media_id % 3)
+    // image (id%3==0) -> png with the meta formulas; video (2) -> gif;
+    // audio (1) -> unparseable
+    byKind(0L).foreach { d =>
+      assert(d.format === Some("png"))
+      assert(d.width === Some(((d.media_id % 64 + 1) * 16).toInt))
+      assert(d.height === Some(((d.media_id % 48 + 1) * 16).toInt))
+    }
+    byKind(2L).foreach(d => assert(d.format === Some("gif")))
+    byKind(1L).foreach(d => assert(d.format === None && d.width === None))
+  }
+
   test("binaryFile ingest reads payload bytes; glob prunes at listing") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jpg"),
