@@ -204,7 +204,10 @@ object Similarity {
       if (s.limit(minTrain.toInt).count() >= minTrain) s else c
     }
     trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+    // 5 iterations: a COARSE quantizer only carves space — recall on
+    // real embeddings is identical to 10 iters (spec floor holds) and
+    // each saved iteration is a full pass over the training sample
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features")
     val model = km.fit(trainSet)
     trainSet.unpersist(blocking = false)
