@@ -108,46 +108,60 @@ object Multimodal {
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-    if (b.length >= 24 &&
-      b.startsWith(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
-      Some(("png", be32(16), be32(20)))
-    else if (b.length >= 10 &&
-      (b.startsWith("GIF87a".getBytes("US-ASCII")) ||
-        b.startsWith("GIF89a".getBytes("US-ASCII"))))
-      Some(("gif", le16(6), le16(8)))
-    else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
-      Some(("bmp", le32(18), math.abs(le32(22)))) // height<0 = top-down rows
-    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // JPEG: walk marker segments to the first SOFn (C0..CF minus the
-      // non-frame C4/C8/CC); height then width sit 5/7 bytes into it
-      var i = 2
-      var res: Option[(String, Int, Int)] = None
-      while (res.isEmpty && i + 3 < b.length) {
-        if (u8(i) != 0xff) i += 1 // skip fill/entropy bytes
-        else {
-          val m = u8(i + 1)
-          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no payload
-          else if (m == 0xff) i += 1
+    val parsed: Option[(String, Int, Int)] =
+      if (b.length >= 24 &&
+        b.startsWith(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)))
+        Some(("png", be32(16), be32(20)))
+      else if (b.length >= 10 &&
+        (b.startsWith("GIF87a".getBytes("US-ASCII")) ||
+          b.startsWith("GIF89a".getBytes("US-ASCII"))))
+        Some(("gif", le16(6), le16(8)))
+      else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
+        Set(40, 52, 56, 108, 124).contains(le32(14))) {
+        // biSize check matters: 'BM' alone is 2 ASCII bytes that real
+        // TEXT can start with — without it prose like "BMW..." parses
+        // as an image with garbage dims
+        val h = le32(22) // negative = top-down row order
+        Some(("bmp", le32(18), if (h == Int.MinValue) -1 else math.abs(h)))
+      } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG: walk marker segments to the first SOFn (C0..CF minus the
+        // non-frame C4/C8/CC); height then width sit 5/7 bytes into it
+        var i = 2
+        var res: Option[(String, Int, Int)] = None
+        while (res.isEmpty && i + 3 < b.length) {
+          if (u8(i) != 0xff) i += 1 // skip fill/entropy bytes
           else {
-            val len = be16(i + 2)
-            if (len < 2) i = b.length // corrupt length: stop
-            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-              if (i + 8 < b.length) res = Some(("jpeg", be16(i + 7), be16(i + 5)))
-              i = b.length
-            } else i += 2 + len
+            val m = u8(i + 1)
+            if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no payload
+            else if (m == 0xff) i += 1
+            else {
+              val len = be16(i + 2)
+              if (len < 2) i = b.length // corrupt length: stop
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                // the SOF payload must DECLARE room for precision+dims
+                // (len >= 8) and the buffer must hold them — otherwise
+                // the reads would land in the next segment's bytes
+                if (len >= 8 && i + 8 < b.length)
+                  res = Some(("jpeg", be16(i + 7), be16(i + 5)))
+                i = b.length
+              } else i += 2 + len
+            }
           }
         }
-      }
-      res
-    } else None
+        res
+      } else None
+    // dimensions must be positive in every format (PNG dims are signed
+    // be32 on the wire; corrupt headers can encode <= 0)
+    parsed.filter { case (_, w, h) => w > 0 && h > 0 }
   }
 
   final case class ImageDims(media_id: Long, format: Option[String],
                              width: Option[Int], height: Option[Int])
 
   /** Header-parsed dimensions per media row: (media_id, format, width,
-    * height), nulls when the payload is not a recognized image. Batched
-    * map-side pass like [[mediaFeatures]] — no shuffle.
+    * height), nulls when the payload is not a recognized image.
+    * Map-side pass, no shuffle; header parsing needs no per-batch codec
+    * init, so a plain typed map suffices (contrast [[mediaFeatures]]).
     */
   def imageHeaderDims(media: DataFrame, id: String = "media_id",
                       content: String = "content"): Dataset[ImageDims] = {
@@ -155,12 +169,12 @@ object Multimodal {
     import spark.implicits._
     media.select(col(id).cast("long"), col(content))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (mid, bytes) =>
+      .map { case (mid, bytes) =>
         parseImageHeader(Option(bytes).getOrElse(Array.emptyByteArray)) match {
           case Some((f, w, h)) => ImageDims(mid, Some(f), Some(w), Some(h))
           case None => ImageDims(mid, None, None, None)
         }
-      })
+      }
   }
 
   /** [[mediaTable]] variant whose payloads carry REAL file headers,

@@ -79,18 +79,32 @@ class MultimodalSpec extends SparkSpec {
     val gif = "GIF89a".getBytes("US-ASCII") ++
       Array[Int](0x40, 0x01, 0xc8, 0x00, 0, 0, 0, 0).map(_.toByte)
     assert(Multimodal.parseImageHeader(gif) === Some(("gif", 320, 200)))
-    // BMP: 'BM', width at 18 LE, NEGATIVE height (top-down) at 22
+    // BMP: 'BM', biSize 40 at 14, width at 18 LE, NEGATIVE height
+    // (top-down) at 22
     val bmp = Array.fill[Byte](26)(0)
     bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40
     bmp(18) = 0x20; bmp(19) = 0x03                  // 800
     bmp(22) = 0xa8.toByte; bmp(23) = 0xfd.toByte    // -600 LE
     bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
     assert(Multimodal.parseImageHeader(bmp) === Some(("bmp", 800, 600)))
-    // junk / truncated payloads
+    // junk / truncated / corrupt payloads
     assert(Multimodal.parseImageHeader("not an image".getBytes) === None)
     assert(Multimodal.parseImageHeader(png.take(12)) === None)
     assert(Multimodal.parseImageHeader(Array[Int](0xff, 0xd8, 0xff).map(_.toByte)) === None)
     assert(Multimodal.parseImageHeader(Array.emptyByteArray) === None)
+    // TEXT that merely starts with 'BM' must not classify as an image
+    assert(Multimodal.parseImageHeader(
+      "BMW sales rose sharply this quarter everywhere".getBytes) === None)
+    // JPEG whose SOF declares too-short a segment: reject, don't read
+    // the next segment's bytes as dimensions
+    val badSof = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02,
+      0xff, 0xfe, 0x00, 0x10, 1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte)
+    assert(Multimodal.parseImageHeader(badSof) === None)
+    // PNG with zero width: corrupt, not a 0-pixel image
+    val zeroPng = png.clone()
+    zeroPng(16) = 0; zeroPng(17) = 0; zeroPng(18) = 0; zeroPng(19) = 0
+    assert(Multimodal.parseImageHeader(zeroPng) === None)
   }
 
   test("headered media table round-trips dims through actual bytes") {
