@@ -255,6 +255,21 @@ object SparkEntry {
           maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
+    // --- Dedup: INCREMENTAL minhash — the arriving batch (doc_id >=
+    // 250) checked against itself and the signature catalog of
+    // everything already ingested (doc_id < 250). Same hash family as
+    // q17, so the oracle replays both sides exactly.
+    "q89_incremental_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val catalog = graft.ext.Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", 3, 64)
+      val batch = graft.ext.Dedup.minhashSignatures(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 3, 64)
+      graft.ext.Dedup.incrementalMinhashPairs(batch, catalog,
+          tau = 0.5, bands = 16, maxBucketSize = Some(1000))
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
+
     // --- Dedup: SimHash fingerprints + banded Hamming pairs (rows-only).
     // DuckDB-oracled end-to-end: md5-derived hash bits, majority votes,
     // fingerprint assembly, 16-bit banding and Hamming refine all replay
@@ -867,6 +882,51 @@ object SparkEntry {
 
   /** q16's pair SQL, shared with q77's recursive-closure oracle (which
     * restricts the doc set via `extraWhere`). */
+  /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
+    * the engine's exact md5-derived affine family, verbatim-value band
+    * buckets, 1000-cap, agreement estimate). `extraWhere` appends to
+    * the final pair filter — q89 restricts to pairs touching the batch.
+    */
+  private def minhashPairsOracleSql(extraWhere: String = ""): String = {
+    // the engine's exact hash family, regenerated from the same code
+    val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
+      .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+       |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+       |    ELSE [array_to_string(ts, ' ')] END)) AS s
+       |  FROM toks),
+       |params(i, a, c) AS (VALUES $ps),
+       |hv AS (
+       |  SELECT sh.doc_id AS id, p.i,
+       |    min((p.a * (('0x' || substr(md5(sh.s), 1, 8))::BIGINT
+       |                % ${graft.ext.Dedup.MinhashPrime}) + p.c)
+       |        % ${graft.ext.Dedup.MinhashPrime}) AS mh
+       |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
+       |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
+       |banded AS (
+       |  SELECT id, b, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
+       |  FROM sig, range(0, 16) AS t(b)),
+       |ok AS (SELECT b, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x
+       |  JOIN ok ON ok.b = x.b AND ok.bucket = x.bucket
+       |  JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id)
+       |SELECT c.id_a, c.id_b,
+       |  round(len(list_filter(generate_series(1, 64),
+       |        j -> sa.sig[j] = sb.sig[j])) / 64.0, 6) AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON c.id_a = sa.id
+       |JOIN sig sb ON c.id_b = sb.id
+       |WHERE len(list_filter(generate_series(1, 64),
+       |      j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5$extraWhere""".stripMargin
+  }
+
   private def jaccardPairsSql(extraWhere: String = ""): String =
     s"""WITH toks AS (
       |  SELECT doc_id,
@@ -1221,45 +1281,11 @@ object SparkEntry {
          |      + 0.3 * least(stopword_ratio * 4.0, 1.0), 6) AS quality_score
          |FROM u""".stripMargin
     },
-    "q17_minhash_pairs" -> {
-      // the engine's exact hash family, regenerated from the same code
-      val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
-        .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
-         |  FROM documents WHERE text IS NOT NULL),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
-         |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
-         |    ELSE [array_to_string(ts, ' ')] END)) AS s
-         |  FROM toks),
-         |params(i, a, c) AS (VALUES $ps),
-         |hv AS (
-         |  SELECT sh.doc_id AS id, p.i,
-         |    min((p.a * (('0x' || substr(md5(sh.s), 1, 8))::BIGINT
-         |                % ${graft.ext.Dedup.MinhashPrime}) + p.c)
-         |        % ${graft.ext.Dedup.MinhashPrime}) AS mh
-         |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
-         |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
-         |banded AS (
-         |  SELECT id, b, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
-         |  FROM sig, range(0, 16) AS t(b)),
-         |ok AS (SELECT b, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-         |  FROM banded x
-         |  JOIN ok ON ok.b = x.b AND ok.bucket = x.bucket
-         |  JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id)
-         |SELECT c.id_a, c.id_b,
-         |  round(len(list_filter(generate_series(1, 64),
-         |        j -> sa.sig[j] = sb.sig[j])) / 64.0, 6) AS est_jaccard
-         |FROM cand c
-         |JOIN sig sa ON c.id_a = sa.id
-         |JOIN sig sb ON c.id_b = sb.id
-         |WHERE len(list_filter(generate_series(1, 64),
-         |      j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5""".stripMargin
-    },
+    "q17_minhash_pairs" -> minhashPairsOracleSql(),
+    "q89_incremental_minhash" ->
+      // identical sketch replay; id_b is the LARGER pair member, so
+      // "touches the batch (>=250)" is exactly id_b >= 250
+      minhashPairsOracleSql(" AND c.id_b >= 250"),
     "q24_lang_id" -> {
       // replay the vote against the SAME literal profile table the engine
       // broadcasts — built from TrigramProfiles so the two cannot drift

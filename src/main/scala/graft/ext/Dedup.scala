@@ -318,18 +318,11 @@ object Dedup {
     */
   def lshCandidates(sigs: DataFrame, bands: Int,
                     maxBucketSize: Option[Int] = None): DataFrame = {
-    val sig = sigs.select(col("id"), col("sig"))
-    val r = expr("size(sig)").cast(LongType) / bands
     // bucket key = the band's values verbatim (joined string), not a
     // hash of them: byte-identical in any engine, so the oracle replays
     // the exact buckets; the shuffle key grows from 8 to ~r×17 bytes,
     // which the candidate-stream shuffle absorbs (measured no change)
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => array_join(
-            transform(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int")),
-              x => x.cast("string")), ","))))
-      .toDF("id", "band", "bucket")
+    val banded = lshCandidateInput(sigs.select(col("id"), col("sig")), bands)
     val bounded = maxBucketSize match {
       case Some(cap) =>
         val keep = banded.groupBy("band", "bucket")
@@ -343,6 +336,68 @@ object Dedup {
     l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental near-dup detection: pairs (est Jaccard >= tau) where
+    * at least one side is in the arriving batch — checked against both
+    * the batch itself and the signature CATALOG carried from previous
+    * batches ([[minhashSignatures]] output, the state a production
+    * ingest persists; k longs per doc, append-only). The 100 TB shape:
+    * per-batch work is batch×bands band rows joined against the
+    * catalog's, never a global re-pairing; pairs already inside the
+    * catalog are NOT re-emitted (they were reported when their batch
+    * arrived). At scale, persist the catalog's banded form alongside to
+    * skip re-banding it per batch.
+    */
+  def incrementalMinhashPairs(batchSigs: DataFrame, catalogSigs: DataFrame,
+                              tau: Double, bands: Int = 32,
+                              maxBucketSize: Option[Int] = None): DataFrame = {
+    val all = catalogSigs.select(col("id"), col("sig"), lit(false).as("isBatch"))
+      .union(batchSigs.select(col("id"), col("sig"), lit(true).as("isBatch")))
+      .localCheckpoint(eager = false)
+    val banded0 = lshCandidateInput(all, bands)
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val keep = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+          .select("band", "bucket")
+        banded0.join(keep, Seq("band", "bucket"), "left_semi")
+      case None => banded0
+    }
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("isBatch").as("ba"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("isBatch").as("bb"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("ba") || col("bb"))
+      .select("id_a", "id_b").distinct()
+    // normalize by the signature's own length: no driver-side job to
+    // discover numHashes, and an empty input stays an empty result
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast(DoubleType) / size(col("sig_a")).cast(DoubleType)
+    cand
+      .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(all.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Banded (band, bucket, id, ...) rows for a signature table,
+    * bucket-size-capped when `maxBucketSize` applies upstream — the
+    * shared banding used by [[lshCandidates]] and the incremental path.
+    * Carries through any extra columns on `sigs`. */
+  private def lshCandidateInput(sigs: DataFrame, bands: Int): DataFrame = {
+    val r = expr("size(sig)").cast(LongType) / bands
+    val extra = sigs.columns.filter(c => c != "id" && c != "sig").map(col)
+    sigs.select(Seq(col("id")) ++ extra :+
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(
+            transform(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int")),
+              x => x.cast("string")), ","))): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
   }
 
   /** Near-dup pairs with minhash-estimated Jaccard >= tau: signatures →

@@ -87,6 +87,23 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("incremental minhash equals the full join restricted to batch-touching pairs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.minhashPairs(real, "doc_id", "text", tau = 0.5,
+        ngram = 3, numHashes = 64, bands = 16, maxBucketSize = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9))
+      .toMap
+    val catalog = Dedup.minhashSignatures(real.filter($"doc_id" < 250), "doc_id", "text", 3, 64)
+    val batch = Dedup.minhashSignatures(real.filter($"doc_id" >= 250), "doc_id", "text", 3, 64)
+    val inc = Dedup.incrementalMinhashPairs(batch, catalog, tau = 0.5,
+        bands = 16, maxBucketSize = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9))
+      .toMap
+    // id_b is the larger member, so touching-the-batch == id_b >= 250
+    assert(inc === full.filter { case ((_, b), _) => b >= 250 })
+    assert(inc.nonEmpty) // planted dups must cross the boundary
+  }
+
   test("contamination handles null ids and blank docs correctly") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
