@@ -880,8 +880,6 @@ object SparkEntry {
           count(lit(1)).as("n")))
   )
 
-  /** q16's pair SQL, shared with q77's recursive-closure oracle (which
-    * restricts the doc set via `extraWhere`). */
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
     * the engine's exact md5-derived affine family, verbatim-value band
     * buckets, 1000-cap, agreement estimate). `extraWhere` appends to
@@ -927,6 +925,8 @@ object SparkEntry {
        |      j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5$extraWhere""".stripMargin
   }
 
+  /** q16's pair SQL, shared with q77's recursive-closure oracle (which
+    * restricts the doc set via `extraWhere`). */
   private def jaccardPairsSql(extraWhere: String = ""): String =
     s"""WITH toks AS (
       |  SELECT doc_id,

@@ -322,15 +322,8 @@ object Dedup {
     // hash of them: byte-identical in any engine, so the oracle replays
     // the exact buckets; the shuffle key grows from 8 to ~r×17 bytes,
     // which the candidate-stream shuffle absorbs (measured no change)
-    val banded = lshCandidateInput(sigs.select(col("id"), col("sig")), bands)
-    val bounded = maxBucketSize match {
-      case Some(cap) =>
-        val keep = banded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
-          .select("band", "bucket")
-        banded.join(keep, Seq("band", "bucket"), "left_semi")
-      case None => banded
-    }
+    val bounded = capBuckets(
+      lshCandidateInput(sigs.select(col("id"), col("sig")), bands), maxBucketSize)
     val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val rgt = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
     l.join(rgt, Seq("band", "bucket"))
@@ -343,61 +336,84 @@ object Dedup {
     * the batch itself and the signature CATALOG carried from previous
     * batches ([[minhashSignatures]] output, the state a production
     * ingest persists; k longs per doc, append-only). The 100 TB shape:
-    * per-batch work is batch×bands band rows joined against the
-    * catalog's, never a global re-pairing; pairs already inside the
-    * catalog are NOT re-emitted (they were reported when their batch
-    * arrived). At scale, persist the catalog's banded form alongside to
-    * skip re-banding it per batch.
+    * the join PROBES with batch rows only, so per-bucket work is
+    * bucket-members × batch-members — never the bucket² of a global
+    * re-pairing — and catalog-internal pairs are not re-emitted (they
+    * were reported when their batch arrived). A re-ingested id (present
+    * in both inputs) uses the BATCH signature — newest text wins. At
+    * scale, persist the catalog's banded form alongside to skip
+    * re-banding it per batch.
     */
   def incrementalMinhashPairs(batchSigs: DataFrame, catalogSigs: DataFrame,
                               tau: Double, bands: Int = 32,
                               maxBucketSize: Option[Int] = None): DataFrame = {
-    val all = catalogSigs.select(col("id"), col("sig"), lit(false).as("isBatch"))
+    // id-only anti-join: the union can never carry one id with two
+    // conflicting signatures
+    val cat = catalogSigs.select(col("id"), col("sig"))
+      .join(batchSigs.select(col("id")), Seq("id"), "left_anti")
+    val all = cat.select(col("id"), col("sig"), lit(false).as("isBatch"))
       .union(batchSigs.select(col("id"), col("sig"), lit(true).as("isBatch")))
       .localCheckpoint(eager = false)
-    val banded0 = lshCandidateInput(all, bands)
-    val banded = maxBucketSize match {
-      case Some(cap) =>
-        val keep = banded0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
-          .select("band", "bucket")
-        banded0.join(keep, Seq("band", "bucket"), "left_semi")
-      case None => banded0
-    }
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("isBatch").as("ba"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("isBatch").as("bb"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("ba") || col("bb"))
-      .select("id_a", "id_b").distinct()
-    // normalize by the signature's own length: no driver-side job to
-    // discover numHashes, and an empty input stays an empty result
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      b => b)).cast(DoubleType) / size(col("sig_a")).cast(DoubleType)
-    cand
-      .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(all.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard", est)
-      .filter(col("est_jaccard") >= tau)
-      .select("id_a", "id_b", "est_jaccard")
+    val banded = capBuckets(lshCandidateInput(all, bands), maxBucketSize)
+    val x = banded.select(col("band"), col("bucket"), col("id").as("xid"))
+    val y = banded.filter(col("isBatch"))
+      .select(col("band"), col("bucket"), col("id").as("yid"))
+    val cand = x.join(y, Seq("band", "bucket"))
+      .filter(col("xid") =!= col("yid"))
+      .select(least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"))
+      .distinct()
+    estimatePairs(cand, all, tau)
   }
 
-  /** Banded (band, bucket, id, ...) rows for a signature table,
-    * bucket-size-capped when `maxBucketSize` applies upstream — the
+  /** Banded (band, bucket, id, ...) rows for a signature table — the
     * shared banding used by [[lshCandidates]] and the incremental path.
-    * Carries through any extra columns on `sigs`. */
+    * Carries through any extra columns on `sigs`. Raises at execution
+    * when `bands` does not divide the signature length (a fractional
+    * band width would silently skip positions). */
   private def lshCandidateInput(sigs: DataFrame, bands: Int): DataFrame = {
-    val r = expr("size(sig)").cast(LongType) / bands
+    val widthOk = assert_true(size(col("sig")) % bands === 0,
+      lit(s"bands ($bands) must divide the signature length"))
+    val r = size(col("sig")).cast(LongType) / bands
     val extra = sigs.columns.filter(c => c != "id" && c != "sig").map(col)
     sigs.select(Seq(col("id")) ++ extra :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => array_join(
-            transform(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int")),
+            transform(slice(when(widthOk.isNull, col("sig")),
+                (b * r + 1).cast("int"), r.cast("int")),
               x => x.cast("string")), ","))): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
+
+  /** LSH skew guard shared by every banding consumer: drop (band,
+    * bucket) groups larger than `cap` — a bucket with b members emits
+    * b²/2 pairs, so one degenerate bucket turns candidates quadratic. */
+  private def capBuckets(banded: DataFrame,
+                         maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case Some(cap) =>
+        val keep = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+          .select("band", "bucket")
+        banded.join(keep, Seq("band", "bucket"), "left_semi")
+      case None => banded
+    }
+
+  /** Attach both signatures to candidate (id_a, id_b) pairs, estimate
+    * = agreeing positions / signature length, threshold at `tau` — the
+    * tail shared by [[minhashPairs]] and [[incrementalMinhashPairs]]
+    * (and replayed verbatim by the q17/q89 oracles). */
+  private def estimatePairs(cand: DataFrame, sigs: DataFrame,
+                            tau: Double): DataFrame = {
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast(DoubleType) / size(col("sig_a")).cast(DoubleType)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= tau)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** Near-dup pairs with minhash-estimated Jaccard >= tau: signatures →
@@ -424,15 +440,7 @@ object Dedup {
     val base = minhashSignatures(df, id, text, ngram, numHashes)
     val sigs =
       if (materializeSignatures) base.localCheckpoint(eager = false) else base
-    val cand = lshCandidates(sigs, bands, maxBucketSize)
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      b => b)).cast(DoubleType) / numHashes
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("est_jaccard", est)
-      .filter(col("est_jaccard") >= tau)
-      .select("id_a", "id_b", "est_jaccard")
+    estimatePairs(lshCandidates(sigs, bands, maxBucketSize), sigs, tau)
   }
 
   // --------------------------------------------------------------------

@@ -104,6 +104,23 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty) // planted dups must cross the boundary
   }
 
+  test("incremental minhash: a re-ingested id uses the batch signature") {
+    // catalog holds doc 1's OLD text; the batch re-ingests doc 1 with
+    // text identical to new doc 2 — the (1, 2) pair must surface at
+    // est 1.0, which only happens if the batch signature wins
+    val catalog = Dedup.minhashSignatures(
+      Seq((1L, "totally different old content nothing alike at all"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, 64)
+    val batch = Dedup.minhashSignatures(
+      Seq((1L, "the new shared text body for both documents"),
+          (2L, "the new shared text body for both documents"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, 64)
+    val pairs = Dedup.incrementalMinhashPairs(batch, catalog,
+        tau = 0.9, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 1.0))
+  }
+
   test("contamination handles null ids and blank docs correctly") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
