@@ -816,6 +816,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"))),
 
+    // --- C4-style corpus-wide line dedup: each distinct line keeps its
+    // first (doc_id, pos) occurrence; later occurrences are removed and
+    // docs reassemble in order.
+    "q90_dedup_lines" -> ((s, dir) =>
+      graft.ext.TextAnalysis.dedupLines(Tables.documents(s, dir), "doc_id", "text")),
+
     // --- Mixture sampling: a reproducible ~3000-token per-lang subset
     // (md5-ordered fill — how a target language mixture is drawn from
     // an over-represented corpus without shuffling anything but ids).
@@ -1735,6 +1741,25 @@ object SparkEntry {
         |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q90_dedup_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, parts
+        |  FROM p),
+        |lines AS (
+        |  SELECT doc_id, pos, trim(parts[pos]) AS line
+        |  FROM l WHERE length(trim(parts[pos])) > 0),
+        |ranked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM ranked WHERE rn = 1
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q87_token_budget_sample" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

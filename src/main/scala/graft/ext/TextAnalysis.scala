@@ -371,6 +371,39 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** C4-style corpus-wide LINE dedup: every distinct (trimmed,
+    * non-empty) line keeps exactly its FIRST occurrence — lowest
+    * (doc id, position) — and every other occurrence is removed; docs
+    * reassemble in order (all-duplicate docs survive with empty text,
+    * same contract as [[stripBoilerplate]]). This is the classic C4
+    * cleanup (Raffel et al. §2.2: "we discarded all but one of any
+    * three-sentence span occurring more than once" — here at line
+    * granularity, the common production variant).
+    *
+    * Scale shape: the keeper per line is `min(struct(id, pos))` — a
+    * PARTIAL-aggregable reduction, deliberately not a row_number
+    * window, whose per-digest task would serialize on a line occurring
+    * a billion times. Only (digest, id, pos) triples shuffle.
+    */
+  def dedupLines(df: DataFrame, id: String, text: String): DataFrame = {
+    val lines = df
+      .select(col(id).as("id"), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(length(col("line")) > 0)
+      .withColumn("d", md5(col("line")))
+    val keepers = lines.groupBy("d")
+      .agg(min(struct(col("id").as("kid"), col("pos").as("kpos"))).as("k"))
+      .select(col("d"), col("k.kid").as("id"), col("k.kpos").as("pos"))
+    val kept = lines.join(keepers, Seq("d", "id", "pos"), "left_semi")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean_text"))
+    df.select(col(id).as("id")).join(kept, Seq("id"), "left_outer")
+      .select(col("id").as(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Gopher-style per-document quality gates as auditable booleans plus
     * the conjunction. Pure map-side arithmetic over counts (reusing the
     * [[qualityScore]] component definitions); the flags — not just a

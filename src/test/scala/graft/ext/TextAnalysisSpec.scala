@@ -334,6 +334,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) === ((0L, 0.0, 0.0, "", 0.0)))
   }
 
+  test("dedupLines keeps only each line's first (doc, pos) occurrence") {
+    val df = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\nshared line"), // cross-doc AND in-doc dup
+      (3L, "shared line")                       // all-duplicate doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "alpha\nshared line\nbeta") // first occurrence stays
+    assert(out(2L) === "gamma")                    // both copies removed
+    assert(out(3L) === "")                         // row survives, empty
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
