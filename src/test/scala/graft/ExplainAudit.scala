@@ -16,6 +16,10 @@ object ExplainAudit {
     val s = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // audit the STATIC plan: AQE's wrapper hides codegen spans (and
+      // re-plans joins) before execution, so turn it off here — prod
+      // sessions keep it on
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
@@ -29,7 +33,14 @@ object ExplainAudit {
       println(s"--- markers: broadcastJoins=${plan.split("BroadcastHashJoin").length - 1}" +
         s" smJoins=${plan.split("SortMergeJoin").length - 1}" +
         s" exchanges=${plan.split("Exchange").length - 1}" +
-        s" codegenSpans=${plan.split("WholeStageCodegen").length - 1}")
+        // formatted mode carries no codegen markers, and under AQE the
+        // pre-execution plan has no *(n) spans either — ask codegen
+        // explain mode, whose header states the subtree count
+        s" codegenSpans=${
+          "Found (\\d+) WholeStageCodegen subtrees".r
+            .findFirstMatchIn(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("codegen")))
+            .map(_.group(1)).getOrElse("?")}")
       pushed.foreach(p => println(s"--- $p"))
       reads.foreach(r => println(s"--- $r"))
     }
