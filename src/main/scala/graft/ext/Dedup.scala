@@ -368,10 +368,13 @@ object Dedup {
 
   /** Banded (band, bucket, id, ...) rows for a signature table — the
     * shared banding used by [[lshCandidates]] and the incremental path.
-    * Carries through any extra columns on `sigs`. Raises at execution
-    * when `bands` does not divide the signature length (a fractional
-    * band width would silently skip positions). */
-  private def lshCandidateInput(sigs: DataFrame, bands: Int): DataFrame = {
+    * Carries through any extra columns on `sigs`. NULL signatures band
+    * nowhere (dropped — same as the null buckets they used to produce,
+    * minus the join-time surprise); a non-null signature whose length
+    * `bands` does not divide raises at execution (a fractional band
+    * width would silently skip positions). */
+  private def lshCandidateInput(sigsRaw: DataFrame, bands: Int): DataFrame = {
+    val sigs = sigsRaw.filter(col("sig").isNotNull)
     val widthOk = assert_true(size(col("sig")) % bands === 0,
       lit(s"bands ($bands) must divide the signature length"))
     val r = size(col("sig")).cast(LongType) / bands

@@ -380,27 +380,33 @@ object TextAnalysis {
     * three-sentence span occurring more than once" — here at line
     * granularity, the common production variant).
     *
-    * Scale shape: the keeper per line is `min(struct(id, pos))` — a
-    * PARTIAL-aggregable reduction, deliberately not a row_number
+    * Scale shape: the keeper per line is `min(struct(id, pos, line))` —
+    * a PARTIAL-aggregable reduction, deliberately not a row_number
     * window, whose per-digest task would serialize on a line occurring
-    * a billion times. Only (digest, id, pos) triples shuffle.
+    * a billion times. The line text rides inside the min struct (it is
+    * determined by the digest), so the kept rows fall straight out of
+    * ONE digest-keyed aggregation — no join back onto the exploded
+    * stream, which would recompute it; per partition at most one line
+    * text per distinct digest shuffles. Null-id docs participate
+    * normally (null sorts first, so they can be keepers) — the
+    * reassembly join is null-safe.
     */
   def dedupLines(df: DataFrame, id: String, text: String): DataFrame = {
     val lines = df
       .select(col(id).as("id"), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
       .withColumn("line", trim(col("line")))
       .filter(length(col("line")) > 0)
-      .withColumn("d", md5(col("line")))
-    val keepers = lines.groupBy("d")
-      .agg(min(struct(col("id").as("kid"), col("pos").as("kpos"))).as("k"))
-      .select(col("d"), col("k.kid").as("id"), col("k.kpos").as("pos"))
-    val kept = lines.join(keepers, Seq("d", "id", "pos"), "left_semi")
-      .groupBy("id")
+    val kept = lines
+      .groupBy(md5(col("line")).as("d"))
+      .agg(min(struct(col("id"), col("pos"), col("line"))).as("k"))
+      .groupBy(col("k.id").as("id"))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        transform(array_sort(collect_list(struct(col("k.pos").as("pos"),
+          col("k.line").as("line")))),
           s => s.getField("line")), "\n").as("clean_text"))
-    df.select(col(id).as("id")).join(kept, Seq("id"), "left_outer")
-      .select(col("id").as(id),
+    df.select(col(id).as("__did"))
+      .join(kept, col("__did") <=> col("id"), "left_outer")
+      .select(col("__did").as(id),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 

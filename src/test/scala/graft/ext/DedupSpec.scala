@@ -121,6 +121,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Map((1L, 2L) -> 1.0))
   }
 
+  test("incremental minhash tolerates null catalog signatures") {
+    val batch = Dedup.minhashSignatures(
+      Seq((10L, "some fresh batch text body here")).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 64)
+    val catalog = Dedup.minhashSignatures(
+        Seq((1L, "old unrelated catalog text entirely")).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 64)
+      .unionByName(Seq((2L, null.asInstanceOf[Seq[Long]])).toDF("id", "sig"))
+    // the null-sig row bands nowhere; the job must not die on it
+    assert(Dedup.incrementalMinhashPairs(batch, catalog, tau = 0.5, bands = 16)
+      .count() === 0L)
+  }
+
   test("contamination handles null ids and blank docs correctly") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),

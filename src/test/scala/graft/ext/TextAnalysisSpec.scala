@@ -347,6 +347,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === "")                         // row survives, empty
   }
 
+  test("dedupLines: a null-id keeper doc must not delete the line everywhere") {
+    val df = Seq(
+      (Some(1L), "shared line\nkeep me"),
+      (None, "shared line\nnull doc line")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(df, "doc_id", "text")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1))
+      .toMap
+    // null sorts first -> the null-id doc IS the keeper and keeps the
+    // line; doc 1 keeps its unique line only
+    assert(out(None) === "shared line\nnull doc line")
+    assert(out(Some(1L)) === "keep me")
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
