@@ -255,16 +255,17 @@ object SparkEntry {
           maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
-    // --- Dedup: INCREMENTAL minhash — the arriving batch (doc_id >=
-    // 250) checked against itself and the signature catalog of
-    // everything already ingested (doc_id < 250). Same hash family as
-    // q17, so the oracle replays both sides exactly.
+    // --- Dedup: INCREMENTAL minhash — a ~10% arriving batch (doc_id %
+    // 10 = 7: sf-proportional, the real small-batch-vs-big-catalog
+    // shape) checked against itself and the signature catalog of
+    // everything already ingested. Same hash family as q17, so the
+    // oracle replays both sides exactly.
     "q89_incremental_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val catalog = graft.ext.Dedup.minhashSignatures(
-        docs.filter(col("doc_id") < 250), "doc_id", "text", 3, 64)
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", 3, 64)
       val batch = graft.ext.Dedup.minhashSignatures(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text", 3, 64)
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", 3, 64)
       graft.ext.Dedup.incrementalMinhashPairs(batch, catalog,
           tau = 0.5, bands = 16, maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -1289,9 +1290,9 @@ object SparkEntry {
     },
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
     "q89_incremental_minhash" ->
-      // identical sketch replay; id_b is the LARGER pair member, so
-      // "touches the batch (>=250)" is exactly id_b >= 250
-      minhashPairsOracleSql(" AND c.id_b >= 250"),
+      // identical sketch replay, restricted to pairs touching the
+      // doc_id % 10 = 7 batch slice
+      minhashPairsOracleSql(" AND (c.id_a % 10 = 7 OR c.id_b % 10 = 7)"),
     "q24_lang_id" -> {
       // replay the vote against the SAME literal profile table the engine
       // broadcasts — built from TrigramProfiles so the two cannot drift
