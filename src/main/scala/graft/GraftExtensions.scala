@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SquaredNorm}
+import graft.functions.{DotProduct, NfcNormalize, SquaredNorm}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works next to
@@ -34,7 +34,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     ("vec_sqnorm",
       info("vec_sqnorm", "vec_sqnorm(a) - squared L2 norm of an array<double> vector"),
-      (es: Seq[Expression]) => SquaredNorm(es(0))))
+      (es: Seq[Expression]) => SquaredNorm(es(0))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonicalization"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))))
 
   /** Register the functions on an already-running session (tests, REPL). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {

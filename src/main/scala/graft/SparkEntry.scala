@@ -884,7 +884,46 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
           round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // --- TF-IDF keyword extraction: top-3 characteristic terms per doc
+    // (ranked on the ROUNDED score so cross-engine ln ulps can't flip
+    // the order; tie → term asc).
+    "q91_tfidf" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
+    // --- k-NN classification: label the first 20 embeddings by majority
+    // vote of their 10 nearest (cosine) among the rest. Bounded-heap
+    // neighbor stage; labels join the tiny top-k stream.
+    "q92_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.ext.Similarity.knnClassify(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 10)
+    }),
+
+    // --- Deterministic training-shard shuffle: md5 shard + in-shard
+    // position — the reproducible "global shuffle" of a corpus into
+    // training files, no RNG state, no global sort.
+    "q93_shuffle_shards" -> ((s, dir) =>
+      graft.ext.Sampling.shuffleShards(
+          Tables.orders(s, dir), "o_orderkey", nShards = 8)
+        .select("o_orderkey", "shard", "pos")),
+
+    // --- Unicode NFC canonicalization (custom codegen expression; a
+    // UDF here would break whole-stage codegen on a pass that touches
+    // every corpus byte).
+    "q94_nfc" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Strings.nfc(col("text")).as("text_nfc"))),
+
+    // --- Per-group IQR outlier gate: Tukey fences + outside counts
+    // (fences broadcast back onto the scan; big side never shuffles).
+    "q95_iqr_outliers" -> ((s, dir) =>
+      graft.profile.Profiler.iqrOutliersDF(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice"))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -1801,6 +1840,76 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q91_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(text),
+        |            '[ \t\n\f\r]+'), t -> t <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(1.0 * n.n_docs / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM rk WHERE rank <= 3""".stripMargin,
+    "q92_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 20),
+        |sims AS (SELECT qid, id, label, list_cosine_similarity(v, qv) AS cos
+        |         FROM c, q),
+        |rk AS (SELECT qid, label,
+        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
+        |         AS rank
+        |       FROM sims),
+        |votes AS (SELECT qid, label, count(*) AS votes
+        |          FROM rk WHERE rank <= 10 GROUP BY 1, 2),
+        |best AS (SELECT qid, label AS predicted_label, votes,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY votes DESC, label ASC) AS rn
+        |         FROM votes)
+        |SELECT qid, predicted_label, votes FROM best WHERE rn = 1""".stripMargin,
+    "q93_shuffle_shards" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    md5('graft:' || CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderkey, h,
+        |    ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard
+        |  FROM t)
+        |SELECT o_orderkey, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY h, o_orderkey) AS pos
+        |FROM s""".stripMargin,
+    "q94_nfc" ->
+      "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
+    "q95_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.25)
+        |      - 1.5 * (quantile_cont(l_extendedprice, 0.75)
+        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.75)
+        |      + 1.5 * (quantile_cont(l_extendedprice, 0.75)
+        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS n_below,
+        |  sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS n_above,
+        |  min(f.lo) AS lo, min(f.hi) AS hi
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |WHERE l.l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q74_grouped_quantiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -152,4 +152,30 @@ object Sampling {
     }
     df.withColumn("bucket", when(col(valueCol).isNull, lit(1)).otherwise(bucket))
   }
+
+  /** Deterministic "global shuffle" into training shards: every row gets
+    * a pseudorandom shard (md5 bucket of the key) and a stable position
+    * within that shard (md5 order) — the randomized-but-reproducible
+    * layout a training run wants for its input files, with no RNG state
+    * and no global sort. `keyCol` must be unique and non-null (it IS the
+    * randomness source; duplicate keys would collide to the same order
+    * value and make `pos` nondeterministic among them).
+    *
+    * Scale shape: shard assignment is a map-side projection; the only
+    * exchange is the per-shard `row_number` window, whose partition count
+    * is `nShards` — pick shards ≫ executors at scale (10 000 shards over
+    * 100 TB ≈ 10 GB each) and parallelism equals the writer fan-out.
+    * Writers at any cluster size then produce byte-identical shard files.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(nShards > 0, "nShards must be > 0")
+    val h = md5(concat(lit(s"$salt:"), col(keyCol).cast("string")))
+    val shard = pmod(
+      conv(substring(h, 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col(keyCol).asc)
+    df.withColumn("h", h).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
 }

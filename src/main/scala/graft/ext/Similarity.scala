@@ -93,6 +93,32 @@ object Similarity {
         (col("pos") + 1).as("rank"))
   }
 
+  /** k-NN label prediction: each query's label is the majority label of
+    * its k nearest corpus neighbors by cosine; vote ties break to the
+    * smaller label, so classification is deterministic.
+    *
+    * Scale shape: the neighbor stage is [[topKAggregate]] — the
+    * bounded-heap plan whose shuffle is queries × partitions × k, never
+    * queries × corpus — and corpus labels join onto the resulting TINY
+    * (queries × k) stream, not the other way round. The vote itself is
+    * one aggregation plus a per-query window over ≤ distinct-labels
+    * rows. To classify against a billion-row corpus, swap the neighbor
+    * stage for [[signLshCosineTopK]] or [[ivfCosineTopK]]; the vote is
+    * unchanged.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, label: String, k: Int): DataFrame = {
+    val topk = topKAggregate(corpus, queries, id, vec, k)
+    val labels = corpus.select(col(id).as("id"), col(label).as("nlabel"))
+    val votes = topk.join(labels, Seq("id"))
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nlabel").as("predicted_label"), col("votes"))
+  }
+
   /** Element-wise mean vector per `label` group, exploded to
     * (label, dim, value) rows. The distributed centroid computation
     * underlying IVF cell refresh, class prototypes, and embedding-drift

@@ -670,6 +670,50 @@ object TextAnalysis {
       .filter(col("occurrences") >= minCount)
 
   // --------------------------------------------------------------------
+  // TF-IDF keyword extraction
+  // --------------------------------------------------------------------
+
+  /** Top-k characteristic terms per document by TF-IDF
+    * (tf · ln(N/df)) — the classic keyword-extraction / doc-signature
+    * score a corpus-curation pipeline uses to tag and cluster content.
+    *
+    * Scale shape: the corpus collapses to the NARROW (id, term, tf)
+    * stream in one explode + partial-aggregated count; document
+    * frequency is a second aggregation of that SAME stream (lazy
+    * localCheckpoint — the explode runs once, blocks release with the
+    * result), and the corpus size N rides in as a broadcast one-row
+    * count. The final top-k window partitions by document, so its sort
+    * is per-document-vocabulary, never global. Nothing wider than
+    * (id, term, counts) ever shuffles.
+    *
+    * Cross-engine determinism: `ln` is not guaranteed bit-identical
+    * across engines (unlike +,·,/,sqrt which are IEEE
+    * correctly-rounded), so ranking uses the ROUNDED score (4 dp) with
+    * an ascending-term tiebreak — near-ties become true ties with one
+    * deterministic winner, and an external SQL oracle replays the
+    * ranking exactly.
+    */
+  def tfidfTopTerms(df: DataFrame, id: String, text: String,
+                    k: Int): DataFrame = {
+    val tf = df.select(col(id).as("id"),
+        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(1.0) * col("n_docs") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(id), col("term"), col("tfidf"), col("rank"))
+  }
+
+  // --------------------------------------------------------------------
   // Document fingerprinting (rolling hash)
   // --------------------------------------------------------------------
 

@@ -284,6 +284,40 @@ object Profiler {
       .limit(k)
   }
 
+  /** Per-group IQR outlier report: Tukey fences (p25 − f·IQR,
+    * p75 + f·IQR) and how many values fall outside them — the standard
+    * numeric-anomaly gate a data-quality pipeline runs before training.
+    *
+    * Two passes by necessity (the fences must exist before rows can be
+    * compared against them): pass 1 aggregates exact quartiles per
+    * group; the group-sized fence table then BROADCASTS back onto the
+    * scan, so pass 2 is one partial-aggregated count — the big side
+    * never shuffles. Fences are rounded to 4 dp BEFORE the comparison
+    * (same rationale as [[graft.ext.Sampling.exactQuantileThresholds]]):
+    * last-ulp interpolation differences between engines cannot flip a
+    * boundary, so an external SQL oracle replays the counts exactly.
+    * Exact `percentile` holds per-group values in the aggregation
+    * buffer; at unbounded group sizes switch the quartile pass to
+    * `approx_percentile`, leaving pass 2 unchanged.
+    */
+  def iqrOutliersDF(df: DataFrame, groupCol: String, valueCol: String,
+                    factor: Double = 1.5): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val fences = rows.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.25)).as("p25"),
+        percentile(col(valueCol), lit(0.75)).as("p75"))
+      .select(col(groupCol),
+        round(col("p25") - lit(factor) * (col("p75") - col("p25")), 4).as("lo"),
+        round(col("p75") + lit(factor) * (col("p75") - col("p25")), 4).as("hi"))
+    rows.join(broadcast(fences), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col(valueCol) > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+  }
+
   /** A10 for MANY columns in ONE scan: explode (column, value) pairs,
     * one aggregation, one window for the per-column top-k. Profiling a
     * wide table must not cost a scan per categorical column.

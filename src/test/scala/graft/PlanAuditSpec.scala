@@ -77,11 +77,35 @@ class PlanAuditSpec extends SparkSpec {
   //  - q20_ann_topk: bruteForceTopK broadcasts the tiny query set with a
   //    non-equi (id != qid) condition; the corpus streams ONCE map-side —
   //    linear in corpus size, the documented exact-ranking baseline.
-  //  - q71_resample / q79_skew: a single-row bounds/total aggregate is
-  //    crossJoined (broadcast) onto the stream — one row by construction,
-  //    the standard way to attach a global extent without a collect.
+  //  - q71_resample / q79_skew / q91_tfidf: a single-row bounds/total/
+  //    corpus-count aggregate is crossJoined (broadcast) onto the stream
+  //    — one row by construction, the standard way to attach a global
+  //    extent without a collect.
+  //  - q92_knn: the neighbor stage is q20's broadcast-queries pattern
+  //    (tiny query set, non-equi id != qid); shuffle stays bounded at
+  //    queries × partitions × k by the TopKAgg heap.
   private val nestedLoopAllowed =
-    Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew")
+    Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
+      "q91_tfidf", "q92_knn")
+
+  test("q94 (nfc normalize): pure projection, zero exchanges") {
+    assert(exchanges(plan("q94_nfc")) === 0,
+      "normalization is codegen work inside the scan")
+  }
+
+  test("q95 (iqr outliers): fences broadcast back, big side never shuffles") {
+    val p = plan("q95_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"fence join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the scan side must not shuffle into the fence join:\n$p")
+  }
+
+  test("q93 (shuffle shards): the only wide step is the per-shard window") {
+    val p = plan("q93_shuffle_shards")
+    assert(!p.contains("Join"), "shard layout must not join anything")
+    // formatted explain prints the operator twice (tree + detail block)
+    assert(exchanges(p) <= 2, "one exchange: the shard partition itself")
+  }
 
   test("q61 (quantile buckets): no window operator, one aggregation") {
     val p = plan("q61_quantile_buckets")

@@ -173,6 +173,34 @@ class SamplingSpec extends SparkSpec {
     assert(out === Array(1L, 3000L))
   }
 
+  test("shuffleShards: stable under repartitioning, contiguous positions") {
+    val n = 2000L
+    val rows = spark.range(0, n).toDF("id")
+    val a = Sampling.shuffleShards(rows, "id", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val b = Sampling.shuffleShards(rows.repartition(13), "id", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(a === b, "layout must not depend on physical partitioning")
+    // per-shard positions are exactly 1..count (dense, no gaps/dupes)
+    a.values.groupBy(_._1).foreach { case (shard, grp) =>
+      val ps = grp.map(_._2).toSeq.sorted
+      assert(ps === (1 to ps.size).toSeq, s"shard $shard positions $ps")
+    }
+    // all shards populated and no shard hoards the corpus
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size === 8)
+    assert(sizes.values.max < n / 8 * 2)
+  }
+
+  test("shuffleShards: a different salt produces a different layout") {
+    val rows = spark.range(0, 500).toDF("id")
+    val a = Sampling.shuffleShards(rows, "id", 4, "s1")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val b = Sampling.shuffleShards(rows, "id", 4, "s2")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(a !== b)
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")

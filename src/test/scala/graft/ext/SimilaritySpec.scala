@@ -106,6 +106,36 @@ class SimilaritySpec extends SparkSpec {
     assert(c((1, 1)) === 20.0)
   }
 
+  test("knnClassify predicts the surrounding cluster's label") {
+    // two clean clusters on orthogonal axes, slight jitter
+    val corpus = (
+      (10L to 19L).map(i => (i, Array(1.0, 0.01 * i), 7)) ++
+      (20L to 29L).map(i => (i, Array(0.01 * i, 1.0), 8))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(0.9, 0.1), -1), // near the x-axis cluster -> 7
+      (2L, Array(0.1, 0.9), -1)  // near the y-axis cluster -> 8
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus, queries,
+        "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L) === ((7, 5L)))
+    assert(out(2L) === ((8, 5L)))
+  }
+
+  test("knnClassify vote ties break to the smaller label") {
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0), 9),
+      (11L, Array(0.0, 1.0), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0, 1.0), -1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus, queries,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3, 1L))) // 1-1 vote, label 3 < 9 wins
+  }
+
   test("labelCentroidVectors reassembles dims in order") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = Similarity.labelCentroidVectors(real, "embedding", "label")

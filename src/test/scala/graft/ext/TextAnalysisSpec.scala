@@ -361,6 +361,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(Some(1L)) === "keep me")
   }
 
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry banana date")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // N=3; df: apple 1, banana 3, cherry 2, date 1
+    // doc 1: apple tf=2 -> 2*ln(3)=2.1972; banana idf=0 -> 0.0
+    assert(out((1L, 1)) === ("apple", 2.1972))
+    assert(out((1L, 2)) === ("banana", 0.0))
+    // doc 3: date ln(3)=1.0986 beats cherry ln(1.5)=0.4055
+    assert(out((3L, 1)) === ("date", 1.0986))
+    assert(out((3L, 2)) === ("cherry", 0.4055))
+    // doc 2 has only 2 terms; k bound respected everywhere
+    assert(out.keys.count(_._1 == 2L) === 2)
+  }
+
+  test("tfidfTopTerms breaks score ties by ascending term") {
+    val df = Seq(
+      (1L, "zz aa"), // both unique to doc 1 with tf=1: tied scores
+      (2L, "mm")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .filter($"doc_id" === 1L).orderBy("rank")
+      .collect().map(_.getString(1))
+    assert(r.toSeq === Seq("aa", "zz"))
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(

@@ -137,6 +137,26 @@ class ProfilerSpec extends SparkSpec {
     assert(top.length === 2)
   }
 
+  test("iqrOutliersDF computes Tukey fences and outside counts per group") {
+    // group a: 0..99 plus one far-high point. Exact percentile over the
+    // 101 sorted values hits integer ranks: p25=25, p75=75, iqr=50
+    // -> fences [-50, 150]; only the planted 500 is outside.
+    val a = (0 to 99).map(v => ("a", v.toDouble)) :+ (("a", 500.0))
+    // group b: same shape mirrored low, plus a null (ignored)
+    val b = (0 to 99).map(v => ("b", v.toDouble)) :+ (("b", -500.0))
+    val df = (a ++ b).toDF("g", "v")
+      .union(Seq(("b", Option.empty[Double])).toDF("g", "v"))
+    val out = Profiler.iqrOutliersDF(df, "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("a") === ((101L, 0L, 1L, -50.0, 150.0)))
+    // b's sorted order is -500,0..99: quartile ranks land one lower
+    // (p25=24, p75=74) -> fences [-51, 149]
+    assert(out("b") === ((101L, 1L, 0L, -51.0, 149.0)))
+  }
+
   test("profile of a single-row table does not crash (std dev undefined)") {
     val one = Seq((1.0, "z")).toDF("v", "c")
     val ins = Profiler.profile(one)
