@@ -923,7 +923,28 @@ object SparkEntry {
     // (fences broadcast back onto the scan; big side never shuffles).
     "q95_iqr_outliers" -> ((s, dir) =>
       graft.profile.Profiler.iqrOutliersDF(
-        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice"))
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")),
+
+    // --- Character-distribution entropy: the cheap gibberish detector.
+    // 37 fixed replace-folds inside the scan — zero shuffle (the
+    // explode-per-character alternative exchanges one row per corpus
+    // byte).
+    "q96_char_entropy" -> ((s, dir) =>
+      graft.ext.TextAnalysis.charEntropy(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Unigram-LM surprisal: −avg ln p̂(term) with add-one smoothing
+    // — the statistical quality score next to the heuristic gates.
+    "q97_surprisal" -> ((s, dir) =>
+      graft.ext.TextAnalysis.unigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Weighted sampling (Efraimidis-Spirakis): a 50-doc draw
+    // proportional to document length, reproducible from (salt, id).
+    "q98_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSample(
+          Tables.documents(s, dir), "doc_id", "n_chars", n = 50)
+        .select("doc_id", "n_chars", "draw"))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -1892,6 +1913,53 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q94_nfc" ->
       "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
+    "q96_char_entropy" -> {
+      // counts generated from the SAME alphabet constant the engine
+      // folds over, in the same order — the two cannot drift
+      val counts = graft.ext.TextAnalysis.EntropyAlphabet
+        .map(ch => s"length(t) - length(replace(t, '$ch', ''))")
+        .mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lower(text) AS t, length(text) AS n_chars
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_chars, length(t) * 1.0 AS n, list_value(
+         |    $counts) AS ks
+         |  FROM base),
+         |e AS (
+         |  SELECT doc_id, n_chars, n,
+         |    list_concat(ks, list_value(
+         |      CAST(n AS BIGINT) - list_aggregate(ks, 'sum'))) AS kall
+         |  FROM c)
+         |SELECT doc_id, n_chars,
+         |  CASE WHEN n > 0 THEN round(-list_aggregate(list_transform(kall,
+         |      k -> CASE WHEN k > 0 THEN k / n * ln(k / n) ELSE 0.0 END),
+         |      'sum'), 4)
+         |    ELSE 0.0 END AS char_entropy
+         |FROM e""".stripMargin
+    },
+    "q97_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS tc FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(tc) AS total, count(*) AS v FROM tc)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-avg(ln((tc + 1.0) / (total + v))), 4) AS surprisal
+        |FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+    "q98_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    round(ln((('0x' || substr(md5('graft:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0) / n_chars, 6) AS draw
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars, draw FROM t
+        |ORDER BY draw DESC, doc_id ASC LIMIT 50""".stripMargin,
     "q95_iqr_outliers" ->
       """WITH f AS (
         |  SELECT l_returnflag,

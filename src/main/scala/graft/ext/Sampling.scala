@@ -153,6 +153,35 @@ object Sampling {
     df.withColumn("bucket", when(col(valueCol).isNull, lit(1)).otherwise(bucket))
   }
 
+  /** Weighted sampling without replacement, Efraimidis-Spirakis
+    * A-ES: each row draws u = md5-uniform(salt, key) ∈ (0,1] and is
+    * ranked by ln(u)/weight (monotone with u^(1/weight)); the top-n
+    * ranks ARE a weight-proportional sample — how a curation pipeline
+    * draws "mostly high-quality, but not only high-quality" subsets
+    * (weight = quality score, length, dedup cluster size…).
+    *
+    * Like everything in this module the draw is a pure function of
+    * (salt, key): reproducible across runs, engines, partitionings, and
+    * incremental corpus growth. Rows with null/non-positive weight are
+    * excluded. The only non-map-side step is the global top-n itself
+    * (per-partition top-n + driver merge — never a full sort). The rank
+    * is rounded to 6 dp before ordering so cross-engine ln ulps cannot
+    * flip the cutoff; ties break by key ascending.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, salt: String = "graft"): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val h = conv(
+      substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1]
+    df.filter(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("draw", round(log(u) / col(weightCol), 6))
+      .orderBy(col("draw").desc, col(keyCol).asc)
+      .limit(n)
+  }
+
   /** Deterministic "global shuffle" into training shards: every row gets
     * a pseudorandom shard (md5 bucket of the key) and a stable position
     * within that shard (md5 order) — the randomized-but-reproducible

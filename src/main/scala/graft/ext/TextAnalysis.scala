@@ -714,6 +714,78 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Character-distribution entropy (gibberish / encoding-junk signal)
+  // --------------------------------------------------------------------
+
+  /** Alphabet for [[charEntropy]]: a-z, 0-9, space. Characters outside
+    * it fold into one "other" bucket, so binary junk shows up as a
+    * single high-mass symbol (low entropy) rather than vanishing. */
+  val EntropyAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** Shannon entropy (nats) of each document's character distribution
+    * over [[EntropyAlphabet]] + an "other" bucket — the classic cheap
+    * gibberish detector: natural text sits in a band (~2.4-2.9 for
+    * English); runs of one symbol, base64 blobs, and encoding damage
+    * fall outside it.
+    *
+    * Scale shape: per-character counts are `length(s) − length(replace
+    * (s, ch))` folds over the FIXED 37-symbol alphabet — 37 codegen'd
+    * string passes inside the scan, zero shuffle at any corpus size
+    * (the explode-and-count alternative shuffles one row per corpus
+    * CHARACTER — a corpus-sized exchange for a per-doc scalar).
+    * `replace`/`length`/`ln` are engine-portable, so a SQL oracle
+    * replays the entropy bit-for-bit (score rounded to 4 dp).
+    */
+  def charEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = lower(col(text))
+    val counts = EntropyAlphabet.map(ch =>
+      (length(t) - length(replace(t, lit(ch)))).cast(DoubleType))
+    val known = counts.reduce(_ + _)
+    val other = (length(t).cast(DoubleType) - known)
+    val all = array((counts :+ other).map(c => c): _*)
+    val n = length(t).cast(DoubleType)
+    val entropy = aggregate(all, lit(0.0), (acc, c) =>
+      acc - when(c > 0, c / n * log(c / n)).otherwise(0.0))
+    df.select(col(id), length(col(text)).as("n_chars"),
+      when(n > 0, round(entropy, 4)).otherwise(lit(0.0)).as("char_entropy"))
+  }
+
+  // --------------------------------------------------------------------
+  // Unigram-LM surprisal (statistical quality score)
+  // --------------------------------------------------------------------
+
+  /** Mean unigram surprisal per document: −avg ln p̂(term), with
+    * add-one-smoothed corpus probabilities p̂(t) = (count(t)+1) /
+    * (total+V). The cheap statistical language-model quality score:
+    * template spam scores low (its tokens dominate the corpus), OCR
+    * noise and gibberish score high, natural prose sits in the middle —
+    * the third leg next to the heuristic [[qualityScore]] and
+    * [[charEntropy]].
+    *
+    * Scale shape: one explode collapses immediately into the term-count
+    * table (partial-aggregated, vocabulary-sized); totals ride in as a
+    * broadcast one-row aggregate; the per-doc pass joins the NARROW
+    * (id, term) stream against the term table and averages — the same
+    * candidate-stream discipline as [[tfidfTopTerms]] (SCALE.md). The
+    * token stream is lazily checkpointed so the explode runs once.
+    */
+  def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id).as("id"),
+        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(eager = false)
+    val tc = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val totals = tc.agg(sum(col("tc")).as("total"), count(lit(1)).as("v"))
+    toks.join(tc, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id").as(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log((col("tc") + 1.0) / (col("total") + col("v")))), 4)
+          .as("surprisal"))
+  }
+
+  // --------------------------------------------------------------------
   // Document fingerprinting (rolling hash)
   // --------------------------------------------------------------------
 

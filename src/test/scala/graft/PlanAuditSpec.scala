@@ -53,8 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) === 0, "cleaning is a map-side projection")
   }
 
-  test("q22/q23/q25 (token counts, quality, fingerprints): no shuffle") {
-    Seq("q22_token_counts", "q23_quality", "q25_fingerprint").foreach { q =>
+  test("q22/q23/q25/q96 (token counts, quality, fingerprints, entropy): no shuffle") {
+    Seq("q22_token_counts", "q23_quality", "q25_fingerprint",
+        "q96_char_entropy").foreach { q =>
       assert(exchanges(plan(q)) === 0, s"$q must be map-side only")
     }
   }
@@ -77,16 +78,16 @@ class PlanAuditSpec extends SparkSpec {
   //  - q20_ann_topk: bruteForceTopK broadcasts the tiny query set with a
   //    non-equi (id != qid) condition; the corpus streams ONCE map-side —
   //    linear in corpus size, the documented exact-ranking baseline.
-  //  - q71_resample / q79_skew / q91_tfidf: a single-row bounds/total/
-  //    corpus-count aggregate is crossJoined (broadcast) onto the stream
-  //    — one row by construction, the standard way to attach a global
-  //    extent without a collect.
+  //  - q71_resample / q79_skew / q91_tfidf / q97_surprisal: a single-row
+  //    bounds/total/corpus-count aggregate is crossJoined (broadcast)
+  //    onto the stream — one row by construction, the standard way to
+  //    attach a global extent without a collect.
   //  - q92_knn: the neighbor stage is q20's broadcast-queries pattern
   //    (tiny query set, non-equi id != qid); shuffle stays bounded at
   //    queries × partitions × k by the TopKAgg heap.
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
-      "q91_tfidf", "q92_knn")
+      "q91_tfidf", "q92_knn", "q97_surprisal")
 
   test("q94 (nfc normalize): pure projection, zero exchanges") {
     assert(exchanges(plan("q94_nfc")) === 0,

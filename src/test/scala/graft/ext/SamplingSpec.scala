@@ -201,6 +201,41 @@ class SamplingSpec extends SparkSpec {
     assert(a !== b)
   }
 
+  test("weightedSample: deterministic, repartition-stable, weight-proportional") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("w", when(col("id") < 100, 1000.0).otherwise(1.0))
+    val a = Sampling.weightedSample(df, "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "draw must not depend on physical partitioning")
+    assert(a.size === 100)
+    // 100 heavy rows at weight 1000 vs 1900 light at 1: the heavy set
+    // dominates any weight-proportional draw
+    val heavy = a.count(_ < 100)
+    assert(heavy > 80, s"expected mostly heavy rows, got $heavy/100")
+  }
+
+  test("weightedSample: equal weights approximate a uniform draw") {
+    val df = spark.range(0, 2000).toDF("id").withColumn("w", lit(1.0))
+    val s = Sampling.weightedSample(df, "id", "w", 400)
+      .collect().map(_.getLong(0))
+    assert(s.length === 400)
+    // uniform draw: about half the sample below the median id
+    val low = s.count(_ < 1000)
+    assert(low > 140 && low < 260, s"low-half count $low")
+  }
+
+  test("weightedSample excludes null and non-positive weights") {
+    val df = Seq(
+      (1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None: Option[Double])
+    ).toDF("id", "w")
+    val s = Sampling.weightedSample(df, "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(s === Set(1L))
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")

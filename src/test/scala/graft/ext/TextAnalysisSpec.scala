@@ -393,6 +393,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.toSeq === Seq("aa", "zz"))
   }
 
+  test("charEntropy: degenerate text scores 0, uniform text scores ln(k)") {
+    val df = Seq(
+      (1L, "aaaa"),          // one symbol -> 0
+      (2L, "abab"),          // two equal symbols -> ln 2
+      (3L, "abcd"),          // four equal symbols -> ln 4
+      (4L, "!!!!"),          // all "other" bucket -> one symbol -> 0
+      (5L, "")               // empty -> 0 by convention
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(e(1L) === 0.0)
+    assert(e(2L) === 0.6931) // round(ln 2, 4)
+    assert(e(3L) === 1.3863) // round(ln 4, 4)
+    assert(e(4L) === 0.0)
+    assert(e(5L) === 0.0)
+  }
+
+  test("charEntropy: natural text sits above templated junk") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa")
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(e(1L) > 2.0, s"prose entropy ${e(1L)}")
+    assert(e(2L) < 1.0, s"junk entropy ${e(2L)}")
+  }
+
+  test("unigramSurprisal matches the hand-computed add-one model") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total=5, V=3 -> p(a)=p(b)=3/8, p(c)=2/8
+    val s = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(s(1L) === ((3L, 0.9808)))  // -ln(3/8)
+    assert(s(2L) === ((2L, 1.1836))) // avg(-ln(3/8), -ln(2/8))
+  }
+
+  test("unigramSurprisal: rare-token docs score higher than template spam") {
+    val spam = (1 to 20).map(i => (i.toLong, "click here to win now"))
+    val rare = Seq((100L, "ephemeral quixotic zephyr"))
+    val df = (spam ++ rare).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(100L) > s(1L) + 1.0, s"rare ${s(100L)} vs spam ${s(1L)}")
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
