@@ -1932,7 +1932,7 @@ object SparkEntry {
          |      CAST(n AS BIGINT) - list_aggregate(ks, 'sum'))) AS kall
          |  FROM c)
          |SELECT doc_id, n_chars,
-         |  CASE WHEN n > 0 THEN round(-list_aggregate(list_transform(kall,
+         |  CASE WHEN n > 0 THEN round(0.0 - list_aggregate(list_transform(kall,
          |      k -> CASE WHEN k > 0 THEN k / n * ln(k / n) ELSE 0.0 END),
          |      'sum'), 4)
          |    ELSE 0.0 END AS char_entropy
@@ -1944,11 +1944,13 @@ object SparkEntry {
         |    unnest(list_filter(string_split_regex(lower(text),
         |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
         |  FROM documents),
-        |tc AS (SELECT term, count(*) AS tc FROM toks GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tc AS (SELECT term, sum(tf) AS tc FROM tf GROUP BY 1),
         |tot AS (SELECT sum(tc) AS total, count(*) AS v FROM tc)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(-avg(ln((tc + 1.0) / (total + v))), 4) AS surprisal
-        |FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(0.0 - sum(tf * ln((tc + 1.0) / (total + v))) / sum(tf), 4)
+        |    AS surprisal
+        |FROM tf JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
     "q98_weighted_sample" ->
       """WITH t AS (
@@ -1975,7 +1977,8 @@ object SparkEntry {
         |  sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS n_below,
         |  sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS n_above,
         |  min(f.lo) AS lo, min(f.hi) AS hi
-        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |FROM lineitem l JOIN f
+        |  ON l.l_returnflag IS NOT DISTINCT FROM f.l_returnflag
         |WHERE l.l_extendedprice IS NOT NULL
         |GROUP BY 1""".stripMargin,
     "q74_grouped_quantiles" ->

@@ -202,9 +202,11 @@ object Sampling {
     val h = md5(concat(lit(s"$salt:"), col(keyCol).cast("string")))
     val shard = pmod(
       conv(substring(h, 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
-    val w = Window.partitionBy("shard").orderBy(col("h").asc, col(keyCol).asc)
-    df.withColumn("h", h).withColumn("shard", shard)
+    // double-underscore scratch name (the repo convention): a plain "h"
+    // would overwrite-then-drop a user column of that name
+    val w = Window.partitionBy("shard").orderBy(col("__h").asc, col(keyCol).asc)
+    df.withColumn("__h", h).withColumn("shard", shard)
       .withColumn("pos", row_number().over(w))
-      .drop("h")
+      .drop("__h")
   }
 }

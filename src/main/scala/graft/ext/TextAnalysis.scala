@@ -693,12 +693,25 @@ object TextAnalysis {
     * deterministic winner, and an external SQL oracle replays the
     * ranking exactly.
     */
-  def tfidfTopTerms(df: DataFrame, id: String, text: String,
-                    k: Int): DataFrame = {
-    val tf = df.select(col(id).as("id"),
+  /** The load-bearing (id, term) token stream: lowercased, split on the
+    * EXPLICIT whitespace class (CLAUDE.md — Java `\s` includes U+000B
+    * and desynchronizes from RE2-based oracles). ONE definition so
+    * every term-level operator and its oracle tokenize identically.
+    */
+  private def termStream(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("id"),
         explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("term"))
       .filter(length(col("term")) > 0)
+
+  /** Per-(doc, term) frequencies — the aggregated, vocabulary-per-doc-
+    * sized stream the scoring operators share. */
+  private def termFrequencies(df: DataFrame, id: String, text: String): DataFrame =
+    termStream(df, id, text)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  def tfidfTopTerms(df: DataFrame, id: String, text: String,
+                    k: Int): DataFrame = {
+    val tf = termFrequencies(df, id, text)
       .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
@@ -763,25 +776,30 @@ object TextAnalysis {
     * the third leg next to the heuristic [[qualityScore]] and
     * [[charEntropy]].
     *
-    * Scale shape: one explode collapses immediately into the term-count
-    * table (partial-aggregated, vocabulary-sized); totals ride in as a
-    * broadcast one-row aggregate; the per-doc pass joins the NARROW
-    * (id, term) stream against the term table and averages — the same
-    * candidate-stream discipline as [[tfidfTopTerms]] (SCALE.md). The
-    * token stream is lazily checkpointed so the explode runs once.
+    * Scale shape: the explode collapses immediately into the
+    * per-(doc, term) frequency table, and THAT aggregated stream — one
+    * row per distinct term per doc, not one per token occurrence — is
+    * what gets checkpointed, joined, and scored (the candidate-stream
+    * discipline, SCALE.md: attach work to the aggregated stream, never
+    * ride the raw one). Corpus term counts are a second aggregation of
+    * the same stream; totals ride in as a broadcast one-row aggregate;
+    * surprisal is the tf-weighted mean, identical to averaging over
+    * occurrences.
     */
   def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = df.select(col(id).as("id"),
-        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("term"))
-      .filter(length(col("term")) > 0)
+    val tf = termFrequencies(df, id, text)
       .localCheckpoint(eager = false)
-    val tc = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val tc = tf.groupBy("term").agg(sum(col("tf")).as("tc"))
     val totals = tc.agg(sum(col("tc")).as("total"), count(lit(1)).as("v"))
-    toks.join(tc, Seq("term"))
+    tf.join(tc, Seq("term"))
       .crossJoin(broadcast(totals))
       .groupBy(col("id").as(id))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(-avg(log((col("tc") + 1.0) / (col("total") + col("v")))), 4)
+      .agg(sum(col("tf")).as("n_tokens"),
+        // 0.0 - x, not -x: unary negation of a +0.0 sum yields -0.0,
+        // whose repr differs across engines (same fix as charEntropy)
+        round(lit(0.0) -
+            sum(col("tf") * log((col("tc") + 1.0) / (col("total") + col("v"))))
+            / sum(col("tf")), 4)
           .as("surprisal"))
   }
 

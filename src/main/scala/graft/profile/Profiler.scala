@@ -306,10 +306,12 @@ object Profiler {
     val fences = rows.groupBy(groupCol)
       .agg(percentile(col(valueCol), lit(0.25)).as("p25"),
         percentile(col(valueCol), lit(0.75)).as("p75"))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__g"),
         round(col("p25") - lit(factor) * (col("p75") - col("p25")), 4).as("lo"),
         round(col("p75") + lit(factor) * (col("p75") - col("p25")), 4).as("hi"))
-    rows.join(broadcast(fences), Seq(groupCol))
+    // <=> : a null GROUP is data here — an equi-join would orphan its
+    // rows and the group would silently vanish from the audit (CLAUDE.md)
+    rows.join(broadcast(fences), col(groupCol) <=> col("__g"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L)).as("n_below"),

@@ -192,6 +192,13 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.values.max < n / 8 * 2)
   }
 
+  test("shuffleShards leaves a pre-existing 'h' column untouched") {
+    val rows = spark.range(0, 50).toDF("id").withColumn("h", col("id") * 2)
+    val out = Sampling.shuffleShards(rows, "id", 4)
+    assert(out.columns.toSeq === Seq("id", "h", "shard", "pos"))
+    assert(out.filter(col("h") =!= col("id") * 2).count() === 0L)
+  }
+
   test("shuffleShards: a different salt produces a different layout") {
     val rows = spark.range(0, 500).toDF("id")
     val a = Sampling.shuffleShards(rows, "id", 4, "s1")

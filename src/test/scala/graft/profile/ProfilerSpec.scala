@@ -157,6 +157,17 @@ class ProfilerSpec extends SparkSpec {
     assert(out("b") === ((101L, 1L, 0L, -51.0, 149.0)))
   }
 
+  test("iqrOutliersDF reports the null group instead of orphaning it") {
+    val df = ((0 to 99).map(v => (Option.empty[String], v.toDouble)) :+
+        ((Option.empty[String], 500.0)) :+ (Some("a"), 1.0))
+      .toDF("g", "v")
+    val rows = Profiler.iqrOutliersDF(df, "g", "v").collect()
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "null group must appear in the audit")
+    assert(nullRow.get.getLong(1) === 101L)
+    assert(nullRow.get.getLong(3) === 1L) // the planted 500 outlier
+  }
+
   test("profile of a single-row table does not crash (std dev undefined)") {
     val one = Seq((1.0, "z")).toDF("v", "c")
     val ins = Profiler.profile(one)
