@@ -944,7 +944,20 @@ object SparkEntry {
     "q98_weighted_sample" -> ((s, dir) =>
       graft.ext.Sampling.weightedSample(
           Tables.documents(s, dir), "doc_id", "n_chars", n = 50)
-        .select("doc_id", "n_chars", "draw"))
+        .select("doc_id", "n_chars", "draw")),
+
+    // --- Winsorized robust mean per order priority: heavy tails
+    // clipped to the [5%, 95%] band; the raw mean reported alongside.
+    "q99_winsorized" -> ((s, dir) =>
+      graft.profile.Profiler.winsorizedStatsDF(
+        Tables.orders(s, dir), "o_orderpriority", "o_totalprice")),
+
+    // --- Per-language weighted draws: top-10 A-ES ranks per lang,
+    // weight = document length (the one-pass quality-weighted mixture).
+    "q100_weighted_per_lang" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSamplePerGroup(
+          Tables.documents(s, dir), "doc_id", "n_chars", "lang", nPerGroup = 10)
+        .select("doc_id", "lang", "n_chars", "draw", "draw_rank"))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -1952,6 +1965,37 @@ object SparkEntry {
         |    AS surprisal
         |FROM tf JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    "q99_winsorized" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  round(avg(o.o_totalprice), 4) AS mean,
+        |  round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4)
+        |    AS winsorized_mean,
+        |  min(b.lo) AS lo, min(b.hi) AS hi
+        |FROM orders o JOIN b
+        |  ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+        |WHERE o.o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+    "q100_weighted_per_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(ln((('0x' || substr(md5('graft:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0) / n_chars, 6) AS draw
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+        |rk AS (
+        |  SELECT doc_id, lang, n_chars, draw,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY draw DESC, doc_id ASC) AS draw_rank
+        |  FROM t)
+        |SELECT doc_id, lang, n_chars, draw, draw_rank
+        |FROM rk WHERE draw_rank <= 10""".stripMargin,
     "q98_weighted_sample" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,

@@ -182,6 +182,29 @@ object Sampling {
       .limit(n)
   }
 
+  /** [[weightedSample]] within each group: the top-n A-ES draws PER
+    * `groupCol` value — how a per-language (or per-source) mixture is
+    * drawn with quality-proportional weights in one pass. The window
+    * partitions by group, so parallelism is the number of groups and
+    * no global order ever materializes.
+    */
+  def weightedSamplePerGroup(df: DataFrame, keyCol: String, weightCol: String,
+                             groupCol: String, nPerGroup: Int,
+                             salt: String = "graft"): DataFrame = {
+    require(nPerGroup > 0, "nPerGroup must be > 0")
+    val h = conv(
+      substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1]
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("draw").desc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("draw", round(log(u) / col(weightCol), 6))
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= nPerGroup)
+  }
+
   /** Deterministic "global shuffle" into training shards: every row gets
     * a pseudorandom shard (md5 bucket of the key) and a stable position
     * within that shard (md5 order) — the randomized-but-reproducible

@@ -320,6 +320,32 @@ object Profiler {
         min(col("hi")).as("hi"))
   }
 
+  /** Per-group winsorized statistics: values clipped to the [p, 1−p]
+    * quantile band before averaging — the robust mean a metrics
+    * pipeline reports when heavy tails (a few giant documents, a
+    * runaway price) would otherwise dominate. Same two-pass broadcast
+    * shape as [[iqrOutliersDF]] (and the same pre-rounded clip bounds
+    * so an external SQL oracle replays the clipping exactly); reports
+    * the raw mean alongside so the tail's pull is visible.
+    */
+  def winsorizedStatsDF(df: DataFrame, groupCol: String, valueCol: String,
+                        p: Double = 0.05): DataFrame = {
+    require(p > 0 && p < 0.5, s"p must be in (0, 0.5), got $p")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val bounds = rows.groupBy(groupCol)
+      .agg(round(percentile(col(valueCol), lit(p)), 4).as("lo"),
+        round(percentile(col(valueCol), lit(1 - p)), 4).as("hi"))
+      .withColumnRenamed(groupCol, "__g")
+    rows.join(broadcast(bounds), col(groupCol) <=> col("__g"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 4).as("mean"),
+        round(avg(least(greatest(col(valueCol), col("lo")), col("hi"))), 4)
+          .as("winsorized_mean"),
+        min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"))
+  }
+
   /** A10 for MANY columns in ONE scan: explode (column, value) pairs,
     * one aggregation, one window for the per-column top-k. Profiling a
     * wide table must not cost a scan per categorical column.

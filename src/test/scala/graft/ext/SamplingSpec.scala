@@ -233,6 +233,24 @@ class SamplingSpec extends SparkSpec {
     assert(low > 140 && low < 260, s"low-half count $low")
   }
 
+  test("weightedSamplePerGroup = weightedSample run on each group alone") {
+    val df = spark.range(0, 600).toDF("id")
+      .withColumn("grp", when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c"))
+      .withColumn("w", col("id") % 7 + 1.0)
+    val perGroup = Sampling.weightedSamplePerGroup(df, "id", "w", "grp", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(perGroup.keySet === Set("a", "b", "c"))
+    perGroup.foreach { case (g, ids) =>
+      val alone = Sampling.weightedSample(
+          df.filter(col("grp") === g), "id", "w", 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === alone, s"group $g")
+      assert(ids.size === 5)
+    }
+  }
+
   test("weightedSample excludes null and non-positive weights") {
     val df = Seq(
       (1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),

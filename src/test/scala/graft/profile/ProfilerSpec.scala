@@ -157,6 +157,20 @@ class ProfilerSpec extends SparkSpec {
     assert(out("b") === ((101L, 1L, 0L, -51.0, 149.0)))
   }
 
+  test("winsorizedStatsDF clips the tail out of the mean") {
+    // 1..99 plus a planted 10000: p05/p95 interpolate to 5.95 / 95.05;
+    // clipped sum = 5*5.95 + (6..95) + 5*95.05 = 5050 -> mean 50.5
+    val df = ((1 to 99).map(v => ("a", v.toDouble)) :+ (("a", 10000.0)))
+      .toDF("g", "v")
+    val r = Profiler.winsorizedStatsDF(df, "g", "v").collect().head
+    assert(r.getString(0) === "a")
+    assert(r.getLong(1) === 100L)
+    assert(r.getDouble(2) === 149.5)  // raw mean dragged by the tail
+    assert(r.getDouble(3) === 50.5)   // winsorized mean is not
+    assert(r.getDouble(4) === 5.95)
+    assert(r.getDouble(5) === 95.05)
+  }
+
   test("iqrOutliersDF reports the null group instead of orphaning it") {
     val df = ((0 to 99).map(v => (Option.empty[String], v.toDouble)) :+
         ((Option.empty[String], 500.0)) :+ (Some("a"), 1.0))
