@@ -168,16 +168,31 @@ object Sampling {
     * is rounded to 6 dp before ordering so cross-engine ln ulps cannot
     * flip the cutoff; ties break by key ascending.
     */
-  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-                     n: Int, salt: String = "graft"): DataFrame = {
-    require(n > 0, "n must be > 0")
+  /** The A-ES rank expression shared by [[weightedSample]] and
+    * [[weightedSamplePerGroup]] — ONE definition so the global and
+    * per-group draws can never diverge from each other or the oracles:
+    * u = md5-uniform(salt, key) ∈ (0,1], rank = round(ln(u)/w, 6). */
+  private def aesDraw(keyCol: String, weightCol: String,
+                      salt: String): Column = {
     val h = conv(
       substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
       16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1]
+    round(log(u) / col(weightCol), 6)
+  }
+
+  /** Rows eligible for a weighted draw: the key exists (it is the
+    * randomness source) and the weight is usable. */
+  private def drawable(df: DataFrame, keyCol: String,
+                       weightCol: String): DataFrame =
     df.filter(col(keyCol).isNotNull &&
-        col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("draw", round(log(u) / col(weightCol), 6))
+      col(weightCol).isNotNull && col(weightCol) > 0)
+
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, salt: String = "graft"): DataFrame = {
+    require(n > 0, "n must be > 0")
+    drawable(df, keyCol, weightCol)
+      .withColumn("draw", aesDraw(keyCol, weightCol, salt))
       .orderBy(col("draw").desc, col(keyCol).asc)
       .limit(n)
   }
@@ -192,15 +207,10 @@ object Sampling {
                              groupCol: String, nPerGroup: Int,
                              salt: String = "graft"): DataFrame = {
     require(nPerGroup > 0, "nPerGroup must be > 0")
-    val h = conv(
-      substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
-      16, 10).cast("long")
-    val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1]
     val w = Window.partitionBy(groupCol)
       .orderBy(col("draw").desc, col(keyCol).asc)
-    df.filter(col(keyCol).isNotNull &&
-        col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("draw", round(log(u) / col(weightCol), 6))
+    drawable(df, keyCol, weightCol)
+      .withColumn("draw", aesDraw(keyCol, weightCol, salt))
       .withColumn("draw_rank", row_number().over(w))
       .filter(col("draw_rank") <= nPerGroup)
   }
