@@ -957,7 +957,24 @@ object SparkEntry {
     "q100_weighted_per_lang" -> ((s, dir) =>
       graft.ext.Sampling.weightedSamplePerGroup(
           Tables.documents(s, dir), "doc_id", "n_chars", "lang", nPerGroup = 10)
-        .select("doc_id", "lang", "n_chars", "draw", "draw_rank"))
+        .select("doc_id", "lang", "n_chars", "draw", "draw_rank")),
+
+    // --- Multimodal: REAL WAV header parsing — audio payloads carry
+    // genuine RIFF/WAVE headers (expression-built), the chunk-walk
+    // parser reads PCM metadata back from the BYTES, and the oracle
+    // checks it against the metadata formulas. Image/video rows are the
+    // null path (they fail the RIFF check).
+    "q101_wav_meta" -> ((s, dir) =>
+      graft.ext.Multimodal.wavHeaderMeta(
+        graft.ext.Multimodal.mediaTableHeadered(Tables.documents(s, dir)))
+        .toDF()),
+
+    // --- Substring-level duplication gate (ExactSubstr measurement):
+    // chars inside any 20-char window occurring >= 2x corpus-wide;
+    // md5 digests, lag-window interval union — oracle replays exactly.
+    "q102_dup_spans" -> ((s, dir) =>
+      graft.ext.Dedup.duplicatedSpanStats(
+        Tables.documents(s, dir), "doc_id", "text", k = 20))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -1965,6 +1982,43 @@ object SparkEntry {
         |    AS surprisal
         |FROM tf JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    "q101_wav_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 2 END AS channels,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN CAST((doc_id % 64 + 1) * 1600 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN 16 END AS bits,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN CAST(octet_length(encode(text)) AS BIGINT) END AS data_bytes,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN (octet_length(encode(text)) * 1000)
+        |      // ((doc_id % 64 + 1) * 1600 * 4) END AS duration_ms
+        |FROM documents""".stripMargin,
+    "q102_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
+        |p AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len - 19)) AS pos
+        |  FROM d WHERE len >= 20),
+        |dig AS (
+        |  SELECT doc_id, pos, md5(substr(text, pos, 20)) AS dg FROM p),
+        |dups AS (SELECT dg FROM dig GROUP BY 1 HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM dig
+        |       WHERE dg IN (SELECT dg FROM dups)),
+        |cov AS (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM dp),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |          CAST(sum(CASE WHEN prev IS NULL THEN 20
+        |            ELSE least(20, pos - prev) END) AS BIGINT) AS dup_chars
+        |        FROM cov GROUP BY 1)
+        |SELECT d.doc_id, d.len AS n_chars,
+        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(a.dup_chars, 0) AS dup_chars,
+        |  CASE WHEN d.len > 0
+        |    THEN round(coalesce(a.dup_chars, 0) * 1.0 / d.len, 6)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM d LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id""".stripMargin,
     "q99_winsorized" ->
       """WITH b AS (
         |  SELECT o_orderpriority,

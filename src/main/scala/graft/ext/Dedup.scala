@@ -482,6 +482,73 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Substring-level duplication report (the measurement half of
+    * ExactSubstr dedup, Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, how many characters
+    * sit inside a length-`k` window whose content occurs ≥2 times in
+    * the corpus (anywhere — other docs or elsewhere in the same doc).
+    * `dup_frac` is the gate a curation pipeline thresholds on; the
+    * n-gram level complements doc-level MinHash (which misses partial
+    * containment) and line-level C4 dedup (which misses non-line-aligned
+    * copying).
+    *
+    * Scale shape: the position stream is (id, pos, md5-digest) — one row
+    * per character position. At corpus scale pass `stride > 1`: only
+    * windows whose DIGEST ≡ 0 (mod stride) are kept — content-defined
+    * sampling (the winnowing idea), so the same substring selects the
+    * same sample positions in every document regardless of alignment.
+    * (Striding on the document offset would be alignment-DEPENDENT: the
+    * same copied span at offsets 0 and 3 would sample disjoint windows
+    * and the duplicate would vanish.) Digest computation stays map-side
+    * either way; the shuffled stream — counts, semi-join, coverage
+    * window — shrinks by the stride factor, and coverage becomes a
+    * lower bound. The stream collapses to digest counts
+    * (partial-aggregated), survivors semi-join back, and per-doc
+    * coverage is a lag-window union of overlapping [pos, pos+k)
+    * intervals — all narrow; text itself never shuffles. Digests are
+    * md5, so an external SQL oracle replays every stage exactly.
+    */
+  def duplicatedSpanStats(df: DataFrame, id: String, text: String,
+                          k: Int, stride: Int = 1): DataFrame = {
+    require(k >= 2, s"window must be >= 2 chars, got $k")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val digAll = df
+      .select(col(id).as("id"), col(text).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"),
+        md5(col("t").substr(col("pos"), lit(k))).as("d"))
+    val dig = (if (stride <= 1) digAll
+      else digAll.filter(
+        pmod(conv(substring(col("d"), 1, 8), 16, 10).cast(LongType),
+          lit(stride.toLong)) === 0))
+      .localCheckpoint(eager = false) // feeds counts + the semi-join back
+    val dupDigests = dig.groupBy("d").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("d")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val perDoc = dig.join(dupDigests, Seq("d"), "left_semi")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("add",
+        when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("pos") - col("prev"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("add")).as("dup_chars"))
+    // null-safe join back: a null-id doc's report must not vanish
+    df.select(col(id).as("id"), length(col(text)).as("n_chars"))
+      .join(perDoc.withColumnRenamed("id", "__did"),
+        col("id") <=> col("__did"), "left_outer")
+      .select(col("id").as(id), col("n_chars"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("n_chars") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)) /
+            col("n_chars").cast(DoubleType), 6))
+          .otherwise(0.0).as("dup_frac"))
+  }
+
   def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
                          id: String, text: String,
                          ngram: Int = 8, minOverlap: Long = 1L): DataFrame = {

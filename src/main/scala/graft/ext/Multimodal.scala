@@ -180,9 +180,12 @@ object Multimodal {
   /** [[mediaTable]] variant whose payloads carry REAL file headers,
     * built with pure expressions (`unhex` + big/little-endian hex
     * assembly): image rows are PNG-framed, video rows GIF-framed, audio
-    * rows stay raw text bytes (unparseable — the null path). The
-    * header dims equal the meta dims, so a parser's output is
-    * independently checkable against the metadata formulas (q88).
+    * rows RIFF/WAVE-framed (canonical 44-byte header: PCM fmt chunk +
+    * data chunk, sample rate = meta.width·100, stereo 16-bit). Header
+    * fields equal formulas over stable columns, so a parser's output is
+    * independently checkable against the metadata (q88 images,
+    * q101 audio). An image parser still nulls on audio rows and vice
+    * versa — each modality is the other's negative path.
     */
   def mediaTableHeadered(docs: DataFrame): DataFrame = {
     val m = mediaTable(docs)
@@ -193,6 +196,14 @@ object Multimodal {
       val hx = lpad(hex(c), 4, "0")
       unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
     }
+    val le32 = (c: org.apache.spark.sql.Column) => {
+      val hx = lpad(hex(c), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val dataLen = length(col("content")) // bytes (binary length)
+    val rate = w * 100
+    val byteRate = rate * 4 // stereo * 16-bit
     m.withColumn("content",
       when(col("kind") === "image",
         concat(
@@ -202,7 +213,78 @@ object Multimodal {
           col("content")))
         .when(col("kind") === "video",
           concat(lit("GIF89a").cast("binary"), le16(w), le16(h), col("content")))
+        .when(col("kind") === "audio",
+          concat(
+            lit("RIFF").cast("binary"), le32(dataLen + 36),
+            lit("WAVEfmt ").cast("binary"), le32(lit(16)),
+            le16(lit(1)), le16(lit(2)),        // PCM, stereo
+            le32(rate), le32(byteRate),
+            le16(lit(4)), le16(lit(16)),       // block align, bits
+            lit("data").cast("binary"), le32(dataLen),
+            col("content")))
         .otherwise(col("content")))
+  }
+
+  /** REAL WAV (RIFF/WAVE) header parsing — a proper chunk walk, not a
+    * fixed-offset read: fmt may sit after LIST/fact chunks, chunk sizes
+    * are unsigned le32, odd-sized chunks pad to word boundaries, and a
+    * truncated data chunk reports the bytes actually present. Returns
+    * None unless both a valid PCM fmt chunk and a data chunk exist.
+    */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+    def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+        val channels = le16(i + 10)
+        val rate = le32(i + 12)
+        val bits = le16(i + 22)
+        // PCM only; reject nonsense fields rather than report them
+        if (le16(i + 8) == 1 && channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
+          fmt = Some((channels, rate.toInt, bits))
+      } else if (id == "data") {
+        data = Some(math.min(sz, (b.length - i - 8).toLong)) // truncation-honest
+      }
+      val step = 8L + sz + (sz & 1L) // odd chunks pad one byte
+      if (step <= 0 || i + step > Int.MaxValue) i = b.length
+      else i += step.toInt
+    }
+    for { (c, r, bits) <- fmt; d <- data } yield (c, r, bits, d)
+  }
+
+  final case class WavMeta(media_id: Long, channels: Option[Int],
+                           sample_rate: Option[Int], bits: Option[Int],
+                           data_bytes: Option[Long], duration_ms: Option[Long])
+
+  /** Header-parsed WAV metadata per media row, nulls for non-audio
+    * payloads (the image/video rows fail the RIFF check). Map-side
+    * typed map like [[imageHeaderDims]]; duration is integer ms
+    * (floor), engine-portable arithmetic.
+    */
+  def wavHeaderMeta(media: DataFrame, id: String = "media_id",
+                    content: String = "content"): Dataset[WavMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Long, Array[Byte])]
+      .map { case (mid, bytes) =>
+        parseWavHeader(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some((c, r, bits, d)) =>
+            val byteRate = r.toLong * c * bits / 8
+            WavMeta(mid, Some(c), Some(r), Some(bits), Some(d),
+              if (byteRate > 0) Some(d * 1000L / byteRate) else None)
+          case None => WavMeta(mid, None, None, None, None, None)
+        }
+      }
   }
 
   /** Resize plan: a metadata-level transform (the payload op is the

@@ -263,6 +263,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall collapsed: $recall (${blocked.size}/${exact.size})")
   }
 
+  test("duplicatedSpanStats: cross-doc span, in-doc run, clean doc") {
+    val shared = "0123456789abcdefghij" // 20 chars
+    val df = Seq(
+      (1L, shared + "KLMNOPQRSTUV"),      // len 32, shared at pos 1
+      (2L, "zyxwv" + shared),             // len 25, shared at pos 6
+      (3L, "completely different text here!"), // len 31, clean
+      (4L, "PPPPPPPPPPPPPPP")             // len 15, self-repeating run
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(df, "doc_id", "text", k = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 11 windows fit in the 20 shared chars; their union covers all 20
+    assert(out(1L) === ((11L, 20L, 0.625)))   // 20/32
+    assert(out(2L) === ((11L, 20L, 0.8)))     // 20/25
+    assert(out(3L) === ((0L, 0L, 0.0)))
+    // 6 identical windows in the 15-char run cover the whole doc
+    assert(out(4L) === ((6L, 15L, 1.0)))
+  }
+
+  test("duplicatedSpanStats stride > 1 is a lower bound that still flags") {
+    val shared = "the exact same forty characters repeated" // 40 chars
+    val df = Seq((1L, shared + " A"), (2L, "B " + shared)).toDF("doc_id", "text")
+    val exact = Dedup.duplicatedSpanStats(df, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val strided = Dedup.duplicatedSpanStats(df, "doc_id", "text", k = 10,
+        stride = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(strided(id) > 0L, "strided pass must still flag the overlap")
+      assert(strided(id) <= exact(id), "strided coverage is a lower bound")
+    }
+  }
+
   test("cosine pairs: identical, near, orthogonal vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

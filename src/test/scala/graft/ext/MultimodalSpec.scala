@@ -123,6 +123,64 @@ class MultimodalSpec extends SparkSpec {
     byKind(1L).foreach(d => assert(d.format === None && d.width === None))
   }
 
+  private def le16b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def wav(channels: Int, rate: Int, bits: Int, data: Array[Byte],
+                  declaredLen: Option[Long] = None,
+                  preChunk: Array[Byte] = Array.empty,
+                  audioFormat: Int = 1): Array[Byte] = {
+    val fmt = "fmt ".getBytes ++ le32b(16) ++ le16b(audioFormat) ++
+      le16b(channels) ++ le32b(rate) ++ le32b(rate.toLong * channels * bits / 8) ++
+      le16b(channels * bits / 8) ++ le16b(bits)
+    val dataChunk = "data".getBytes ++
+      le32b(declaredLen.getOrElse(data.length.toLong)) ++ data
+    val body = "WAVE".getBytes ++ preChunk ++ fmt ++ dataChunk
+    "RIFF".getBytes ++ le32b(body.length.toLong - 4) ++ body
+  }
+
+  test("parseWavHeader reads a canonical PCM header back from bytes") {
+    val b = wav(2, 44100, 16, Array.fill(1000)(7.toByte))
+    assert(Multimodal.parseWavHeader(b) === Some((2, 44100, 16, 1000L)))
+  }
+
+  test("parseWavHeader walks past a leading LIST chunk (odd size padded)") {
+    val list = "LIST".getBytes ++ le32b(3) ++ Array[Byte](1, 2, 3, 0) // padded
+    val b = wav(1, 8000, 8, Array.fill(80)(1.toByte), preChunk = list)
+    assert(Multimodal.parseWavHeader(b) === Some((1, 8000, 8, 80L)))
+  }
+
+  test("parseWavHeader is honest about a truncated data chunk") {
+    val b = wav(2, 44100, 16, Array.fill(10)(0.toByte),
+      declaredLen = Some(100L))
+    assert(Multimodal.parseWavHeader(b) === Some((2, 44100, 16, 10L)))
+  }
+
+  test("parseWavHeader rejects non-PCM, non-RIFF, and image payloads") {
+    assert(Multimodal.parseWavHeader(
+      wav(2, 44100, 32, Array.fill(8)(0.toByte), audioFormat = 3)) === None)
+    assert(Multimodal.parseWavHeader("not a riff file at all".getBytes) === None)
+    assert(Multimodal.parseWavHeader(Array.emptyByteArray) === None)
+  }
+
+  test("wavHeaderMeta parses audio rows, nulls image/video rows") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val metas = Multimodal.wavHeaderMeta(Multimodal.mediaTableHeadered(docs))
+      .collect()
+    val byKind = metas.groupBy(_.media_id % 3)
+    byKind(1L).foreach { m => // audio
+      assert(m.channels === Some(2))
+      assert(m.sample_rate === Some(((m.media_id % 64 + 1) * 1600).toInt))
+      assert(m.bits === Some(16))
+      val byteRate = m.sample_rate.get.toLong * 4
+      assert(m.duration_ms === Some(m.data_bytes.get * 1000L / byteRate))
+    }
+    byKind(0L).foreach(m => assert(m.channels === None)) // png rows
+    byKind(2L).foreach(m => assert(m.channels === None)) // gif rows
+  }
+
   test("binaryFile ingest reads payload bytes; glob prunes at listing") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jpg"),
