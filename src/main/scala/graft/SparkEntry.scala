@@ -970,11 +970,14 @@ object SparkEntry {
         .toDF()),
 
     // --- Substring-level duplication gate (ExactSubstr measurement):
-    // chars inside any 20-char window occurring >= 2x corpus-wide;
-    // md5 digests, lag-window interval union — oracle replays exactly.
+    // chars inside any 20-char window occurring >= 2x corpus-wide.
+    // Registered at the SCALE setting — stride 4 keeps only
+    // digest-anchored windows (content-defined, alignment-independent),
+    // shrinking the shuffled stream 4x; the md5-mod selection replays
+    // exactly in the oracle. stride=1 exactness is spec'd in DedupSpec.
     "q102_dup_spans" -> ((s, dir) =>
       graft.ext.Dedup.duplicatedSpanStats(
-        Tables.documents(s, dir), "doc_id", "text", k = 20))
+        Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -1984,13 +1987,13 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q101_wav_meta" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 1 THEN 2 END AS channels,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 1 THEN 2 END AS channels,
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 1
         |    THEN CAST((doc_id % 64 + 1) * 1600 AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 3 = 1 THEN 16 END AS bits,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 1 THEN 16 END AS bits,
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 1
         |    THEN CAST(octet_length(encode(text)) AS BIGINT) END AS data_bytes,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 1
         |    THEN (octet_length(encode(text)) * 1000)
         |      // ((doc_id % 64 + 1) * 1600 * 4) END AS duration_ms
         |FROM documents""".stripMargin,
@@ -2001,7 +2004,9 @@ object SparkEntry {
         |  SELECT doc_id, text, unnest(generate_series(1, len - 19)) AS pos
         |  FROM d WHERE len >= 20),
         |dig AS (
-        |  SELECT doc_id, pos, md5(substr(text, pos, 20)) AS dg FROM p),
+        |  SELECT doc_id, pos, dg FROM (
+        |    SELECT doc_id, pos, md5(substr(text, pos, 20)) AS dg FROM p)
+        |  WHERE ('0x' || substr(dg, 1, 8))::BIGINT % 4 = 0),
         |dups AS (SELECT dg FROM dig GROUP BY 1 HAVING count(*) >= 2),
         |dp AS (SELECT doc_id, pos FROM dig
         |       WHERE dg IN (SELECT dg FROM dups)),
@@ -2106,11 +2111,11 @@ object SparkEntry {
         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q88_image_dims" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
-        |       WHEN doc_id % 3 = 2 THEN 'gif' END AS format,
-        |  CASE WHEN doc_id % 3 <> 1
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 0 THEN 'png'
+        |       WHEN text IS NOT NULL AND doc_id % 3 = 2 THEN 'gif' END AS format,
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 <> 1
         |       THEN CAST((doc_id % 64 + 1) * 16 AS INT) END AS width,
-        |  CASE WHEN doc_id % 3 <> 1
+        |  CASE WHEN text IS NOT NULL AND doc_id % 3 <> 1
         |       THEN CAST((doc_id % 48 + 1) * 16 AS INT) END AS height
         |FROM documents""".stripMargin,
     "q86_decontaminate" ->

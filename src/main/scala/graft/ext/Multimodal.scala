@@ -155,7 +155,7 @@ object Multimodal {
     parsed.filter { case (_, w, h) => w > 0 && h > 0 }
   }
 
-  final case class ImageDims(media_id: Long, format: Option[String],
+  final case class ImageDims(media_id: Option[Long], format: Option[String],
                              width: Option[Int], height: Option[Int])
 
   /** Header-parsed dimensions per media row: (media_id, format, width,
@@ -167,8 +167,10 @@ object Multimodal {
                       content: String = "content"): Dataset[ImageDims] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // Option id: a null media id is data (CLAUDE.md) — a primitive Long
+    // encoder would throw on it and kill the whole query
     media.select(col(id).cast("long"), col(content))
-      .as[(Long, Array[Byte])]
+      .as[(Option[Long], Array[Byte])]
       .map { case (mid, bytes) =>
         parseImageHeader(Option(bytes).getOrElse(Array.emptyByteArray)) match {
           case Some((f, w, h)) => ImageDims(mid, Some(f), Some(w), Some(h))
@@ -261,7 +263,7 @@ object Multimodal {
     for { (c, r, bits) <- fmt; d <- data } yield (c, r, bits, d)
   }
 
-  final case class WavMeta(media_id: Long, channels: Option[Int],
+  final case class WavMeta(media_id: Option[Long], channels: Option[Int],
                            sample_rate: Option[Int], bits: Option[Int],
                            data_bytes: Option[Long], duration_ms: Option[Long])
 
@@ -275,7 +277,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(id).cast("long"), col(content))
-      .as[(Long, Array[Byte])]
+      .as[(Option[Long], Array[Byte])]
       .map { case (mid, bytes) =>
         parseWavHeader(Option(bytes).getOrElse(Array.emptyByteArray)) match {
           case Some((c, r, bits, d)) =>

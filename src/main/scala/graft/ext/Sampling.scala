@@ -153,21 +153,6 @@ object Sampling {
     df.withColumn("bucket", when(col(valueCol).isNull, lit(1)).otherwise(bucket))
   }
 
-  /** Weighted sampling without replacement, Efraimidis-Spirakis
-    * A-ES: each row draws u = md5-uniform(salt, key) ∈ (0,1] and is
-    * ranked by ln(u)/weight (monotone with u^(1/weight)); the top-n
-    * ranks ARE a weight-proportional sample — how a curation pipeline
-    * draws "mostly high-quality, but not only high-quality" subsets
-    * (weight = quality score, length, dedup cluster size…).
-    *
-    * Like everything in this module the draw is a pure function of
-    * (salt, key): reproducible across runs, engines, partitionings, and
-    * incremental corpus growth. Rows with null/non-positive weight are
-    * excluded. The only non-map-side step is the global top-n itself
-    * (per-partition top-n + driver merge — never a full sort). The rank
-    * is rounded to 6 dp before ordering so cross-engine ln ulps cannot
-    * flip the cutoff; ties break by key ascending.
-    */
   /** The A-ES rank expression shared by [[weightedSample]] and
     * [[weightedSamplePerGroup]] — ONE definition so the global and
     * per-group draws can never diverge from each other or the oracles:
@@ -188,6 +173,21 @@ object Sampling {
     df.filter(col(keyCol).isNotNull &&
       col(weightCol).isNotNull && col(weightCol) > 0)
 
+  /** Weighted sampling without replacement, Efraimidis-Spirakis
+    * A-ES: each row draws u = md5-uniform(salt, key) ∈ (0,1] and is
+    * ranked by ln(u)/weight (monotone with u^(1/weight)); the top-n
+    * ranks ARE a weight-proportional sample — how a curation pipeline
+    * draws "mostly high-quality, but not only high-quality" subsets
+    * (weight = quality score, length, dedup cluster size…).
+    *
+    * Like everything in this module the draw is a pure function of
+    * (salt, key): reproducible across runs, engines, partitionings, and
+    * incremental corpus growth. Rows with null keys or null/non-positive
+    * weights are excluded. The only non-map-side step is the global
+    * top-n itself (per-partition top-n + driver merge — never a full
+    * sort). The rank is rounded to 6 dp before ordering so cross-engine
+    * ln ulps cannot flip the cutoff; ties break by key ascending.
+    */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      n: Int, salt: String = "graft"): DataFrame = {
     require(n > 0, "n must be > 0")

@@ -111,13 +111,13 @@ class MultimodalSpec extends SparkSpec {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val dims = Multimodal.imageHeaderDims(Multimodal.mediaTableHeadered(docs))
       .collect()
-    val byKind = dims.groupBy(_.media_id % 3)
+    val byKind = dims.groupBy(_.media_id.get % 3)
     // image (id%3==0) -> png with the meta formulas; video (2) -> gif;
     // audio (1) -> unparseable
     byKind(0L).foreach { d =>
       assert(d.format === Some("png"))
-      assert(d.width === Some(((d.media_id % 64 + 1) * 16).toInt))
-      assert(d.height === Some(((d.media_id % 48 + 1) * 16).toInt))
+      assert(d.width === Some(((d.media_id.get % 64 + 1) * 16).toInt))
+      assert(d.height === Some(((d.media_id.get % 48 + 1) * 16).toInt))
     }
     byKind(2L).foreach(d => assert(d.format === Some("gif")))
     byKind(1L).foreach(d => assert(d.format === None && d.width === None))
@@ -138,7 +138,9 @@ class MultimodalSpec extends SparkSpec {
     val dataChunk = "data".getBytes ++
       le32b(declaredLen.getOrElse(data.length.toLong)) ++ data
     val body = "WAVE".getBytes ++ preChunk ++ fmt ++ dataChunk
-    "RIFF".getBytes ++ le32b(body.length.toLong - 4) ++ body
+    // RIFF size covers everything after the 8-byte RIFF header,
+    // INCLUDING the WAVE form tag
+    "RIFF".getBytes ++ le32b(body.length.toLong) ++ body
   }
 
   test("parseWavHeader reads a canonical PCM header back from bytes") {
@@ -169,10 +171,10 @@ class MultimodalSpec extends SparkSpec {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val metas = Multimodal.wavHeaderMeta(Multimodal.mediaTableHeadered(docs))
       .collect()
-    val byKind = metas.groupBy(_.media_id % 3)
+    val byKind = metas.groupBy(_.media_id.get % 3)
     byKind(1L).foreach { m => // audio
       assert(m.channels === Some(2))
-      assert(m.sample_rate === Some(((m.media_id % 64 + 1) * 1600).toInt))
+      assert(m.sample_rate === Some(((m.media_id.get % 64 + 1) * 1600).toInt))
       assert(m.bits === Some(16))
       val byteRate = m.sample_rate.get.toLong * 4
       assert(m.duration_ms === Some(m.data_bytes.get * 1000L / byteRate))
