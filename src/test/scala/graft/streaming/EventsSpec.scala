@@ -276,4 +276,27 @@ class EventsSpec extends SparkSpec {
     q.stop()
     assert(survived.toSet === Set(1L, 2L, 5L))
   }
+
+  test("stateless text gates run UNCHANGED on a stream (batch/stream reuse)") {
+    // qualityScore / charEntropy are pure projections, so the same
+    // operator that curates a batch corpus filters a live ingest stream
+    // — no rewrite, no special streaming variant. This is the point of
+    // keeping the gates map-side: Structured Streaming accepts any
+    // stateless plan as-is.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.ext.TextAnalysis
+      .qualityScore(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .filter($"n_tokens" >= 3)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gated_docs").start()
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "no"),
+      (3L, "a b c d e f g"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("gated_docs").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
 }
