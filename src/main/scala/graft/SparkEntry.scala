@@ -977,7 +977,28 @@ object SparkEntry {
     // exactly in the oracle. stride=1 exactness is spec'd in DedupSpec.
     "q102_dup_spans" -> ((s, dir) =>
       graft.ext.Dedup.duplicatedSpanStats(
-        Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4))
+        Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4)),
+
+    // --- CAPSTONE curation pipeline: quality gates (q70's thresholds)
+    // -> exact dedup survivors -> deterministic training-shard layout,
+    // composed as ONE Catalyst plan: gates fuse into the scan, dedup
+    // shuffles (digest,id) only, the shard summary is the writer
+    // manifest a training run consumes.
+    "q103_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keep = graft.ext.TextAnalysis.qualityRules(docs, "doc_id", "text",
+          minTokens = 10L, maxTokens = 500L, minAvgTokenLen = 2.0,
+          maxAvgTokenLen = 10.0, maxPunctRatio = 0.05)
+        .filter(col("keep")).select("doc_id")
+      // shard keys must exist: null-id docs are assigned ids upstream
+      // in a real ingest; here they are gated out explicitly
+      val gated = docs.filter(col("doc_id").isNotNull)
+        .join(keep, Seq("doc_id"), "left_semi")
+      val surv = graft.ext.Dedup.exactDedup(gated, "doc_id", "text")
+      graft.ext.Sampling.shuffleShards(surv, "doc_id", nShards = 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+    })
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -2024,6 +2045,33 @@ object SparkEntry {
         |    THEN round(coalesce(a.dup_chars, 0) * 1.0 / d.len, 6)
         |    ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id""".stripMargin,
+    "q103_curation" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(list_sum(list_transform(list_filter(
+        |         string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |         x -> length(x))) AS DOUBLE) AS tok_chars,
+        |    length(text) * 1.0 AS nc,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 AS punct
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, text, n_chars FROM g
+        |  WHERE n_tokens >= 10 AND n_tokens <= 500
+        |    AND (CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+        |         ELSE 0.0 END) BETWEEN 2.0 AND 10.0
+        |    AND (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END) <= 0.05),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY md5(text)),
+        |km AS (SELECT k.doc_id, k.n_chars FROM k JOIN surv USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |       1, 15))::BIGINT % 4 AS shard
+        |  FROM km)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS shard_chars
+        |FROM sh GROUP BY 1""".stripMargin,
     "q99_winsorized" ->
       """WITH b AS (
         |  SELECT o_orderpriority,
