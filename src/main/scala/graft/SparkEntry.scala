@@ -2023,7 +2023,7 @@ object SparkEntry {
         |  SELECT doc_id, text, length(text) AS len FROM documents),
         |p AS (
         |  SELECT doc_id, text, unnest(generate_series(1, len - 19)) AS pos
-        |  FROM d WHERE len >= 20),
+        |  FROM d WHERE doc_id IS NOT NULL AND len >= 20),
         |dig AS (
         |  SELECT doc_id, pos, dg FROM (
         |    SELECT doc_id, pos, md5(substr(text, pos, 20)) AS dg FROM p)
@@ -2039,12 +2039,15 @@ object SparkEntry {
         |            ELSE least(20, pos - prev) END) AS BIGINT) AS dup_chars
         |        FROM cov GROUP BY 1)
         |SELECT d.doc_id, d.len AS n_chars,
-        |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
-        |  coalesce(a.dup_chars, 0) AS dup_chars,
-        |  CASE WHEN d.len > 0
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    ELSE coalesce(a.n_dup_windows, 0) END AS n_dup_windows,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    ELSE coalesce(a.dup_chars, 0) END AS dup_chars,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    WHEN d.len > 0
         |    THEN round(coalesce(a.dup_chars, 0) * 1.0 / d.len, 6)
         |    ELSE 0.0 END AS dup_frac
-        |FROM d LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id""".stripMargin,
+        |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "q103_curation" ->
       """WITH g AS (
         |  SELECT doc_id, text, n_chars,
@@ -2091,7 +2094,7 @@ object SparkEntry {
     "q100_weighted_per_lang" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,
-        |    round(ln((('0x' || substr(md5('graft:' ||
+        |    0.0 + round(ln((('0x' || substr(md5('graft:' ||
         |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
         |      / 4294967296.0) / n_chars, 6) AS draw
         |  FROM documents
@@ -2106,7 +2109,7 @@ object SparkEntry {
     "q98_weighted_sample" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,
-        |    round(ln((('0x' || substr(md5('graft:' ||
+        |    0.0 + round(ln((('0x' || substr(md5('graft:' ||
         |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
         |      / 4294967296.0) / n_chars, 6) AS draw
         |  FROM documents

@@ -512,9 +512,16 @@ object Dedup {
                           k: Int, stride: Int = 1): DataFrame = {
     require(k >= 2, s"window must be >= 2 chars, got $k")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // Null-id docs are EXCLUDED from the span analysis and reported
+    // with NULL stats, not zeros: per-doc attribution needs an
+    // identity, and pooling all null-id docs into one pseudo-document
+    // would cross-contaminate their coverage (one null-id doc's spans
+    // inflating another's dup_frac past 1.0). NULL ≠ clean — a
+    // downstream gate must resolve ids upstream, not wave these
+    // through.
     val digAll = df
       .select(col(id).as("id"), col(text).as("t"))
-      .filter(length(col("t")) >= k)
+      .filter(col("id").isNotNull && length(col("t")) >= k)
       .select(col("id"),
         explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
         col("t"))
@@ -536,16 +543,19 @@ object Dedup {
           .otherwise(least(lit(k), col("pos") - col("prev"))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_dup_windows"), sum(col("add")).as("dup_chars"))
-    // null-safe join back: a null-id doc's report must not vanish
     df.select(col(id).as("id"), length(col(text)).as("n_chars"))
       .join(perDoc.withColumnRenamed("id", "__did"),
-        col("id") <=> col("__did"), "left_outer")
+        col("id") === col("__did"), "left_outer")
       .select(col("id").as(id), col("n_chars"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        when(col("n_chars") > 0,
-          round(coalesce(col("dup_chars"), lit(0L)) /
-            col("n_chars").cast(DoubleType), 6))
+        when(col("id").isNull, lit(null))
+          .otherwise(coalesce(col("n_dup_windows"), lit(0L)))
+          .as("n_dup_windows"),
+        when(col("id").isNull, lit(null))
+          .otherwise(coalesce(col("dup_chars"), lit(0L))).as("dup_chars"),
+        when(col("id").isNull, lit(null))
+          .when(col("n_chars") > 0,
+            round(coalesce(col("dup_chars"), lit(0L)) /
+              col("n_chars").cast(DoubleType), 6))
           .otherwise(0.0).as("dup_frac"))
   }
 

@@ -156,14 +156,16 @@ object Sampling {
   /** The A-ES rank expression shared by [[weightedSample]] and
     * [[weightedSamplePerGroup]] — ONE definition so the global and
     * per-group draws can never diverge from each other or the oracles:
-    * u = md5-uniform(salt, key) ∈ (0,1], rank = round(ln(u)/w, 6). */
+    * u = md5-uniform(salt, key) ∈ (0,1], rank = round(ln(u)/w, roundTo).
+    * `0.0 +` forces a +0.0 sign: a draw in (−5·10⁻⁷, 0) rounds to −0.0
+    * in DuckDB but +0.0 here, and repr-exact oracles see those apart. */
   private def aesDraw(keyCol: String, weightCol: String,
-                      salt: String): Column = {
+                      salt: String, roundTo: Int): Column = {
     val h = conv(
       substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
       16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1]
-    round(log(u) / col(weightCol), 6)
+    lit(0.0) + round(log(u) / col(weightCol), roundTo)
   }
 
   /** Rows eligible for a weighted draw: the key exists (it is the
@@ -185,14 +187,24 @@ object Sampling {
     * incremental corpus growth. Rows with null keys or null/non-positive
     * weights are excluded. The only non-map-side step is the global
     * top-n itself (per-partition top-n + driver merge — never a full
-    * sort). The rank is rounded to 6 dp before ordering so cross-engine
-    * ln ulps cannot flip the cutoff; ties break by key ascending.
+    * sort). The rank is rounded to `roundTo` dp before ordering so
+    * cross-engine ln ulps cannot flip the cutoff; ties break by key
+    * ascending.
+    *
+    * PRECISION CONTRACT: the rank grid must be much finer than the
+    * draw spread or rows collapse into tie classes ranked by key (an
+    * id-biased, non-proportional subset). Draws span ~[−ln(2³²)/w_min,
+    * 0] ≈ [−22/w_min, 0]: the default 6 dp suits weights up to ~10³
+    * (quality scores, capped lengths); for larger weight scales raise
+    * `roundTo` (the boundary-flip risk per row is ulp/grid ≈ 10⁻¹⁶ ·
+    * 10^roundTo — still negligible at 12) or normalize weights to O(1).
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
-                     n: Int, salt: String = "graft"): DataFrame = {
+                     n: Int, salt: String = "graft",
+                     roundTo: Int = 6): DataFrame = {
     require(n > 0, "n must be > 0")
     drawable(df, keyCol, weightCol)
-      .withColumn("draw", aesDraw(keyCol, weightCol, salt))
+      .withColumn("draw", aesDraw(keyCol, weightCol, salt, roundTo))
       .orderBy(col("draw").desc, col(keyCol).asc)
       .limit(n)
   }
@@ -205,12 +217,13 @@ object Sampling {
     */
   def weightedSamplePerGroup(df: DataFrame, keyCol: String, weightCol: String,
                              groupCol: String, nPerGroup: Int,
-                             salt: String = "graft"): DataFrame = {
+                             salt: String = "graft",
+                             roundTo: Int = 6): DataFrame = {
     require(nPerGroup > 0, "nPerGroup must be > 0")
     val w = Window.partitionBy(groupCol)
       .orderBy(col("draw").desc, col(keyCol).asc)
     drawable(df, keyCol, weightCol)
-      .withColumn("draw", aesDraw(keyCol, weightCol, salt))
+      .withColumn("draw", aesDraw(keyCol, weightCol, salt, roundTo))
       .withColumn("draw_rank", row_number().over(w))
       .filter(col("draw_rank") <= nPerGroup)
   }

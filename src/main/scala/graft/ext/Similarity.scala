@@ -112,8 +112,11 @@ object Similarity {
     val labels = corpus.select(col(id).as("id"), col(label).as("nlabel"))
     val votes = topk.join(labels, Seq("id"))
       .groupBy("qid", "nlabel").agg(count(lit(1)).as("votes"))
+    // asc_nulls_last: a NULL label is a legal vote group, but Spark's
+    // plain asc sorts nulls FIRST while SQL engines sort them LAST
+    // (CLAUDE.md) — on a vote tie the two would disagree
     val w = Window.partitionBy("qid")
-      .orderBy(col("votes").desc, col("nlabel").asc)
+      .orderBy(col("votes").desc, col("nlabel").asc_nulls_last)
     votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("qid"), col("nlabel").as("predicted_label"), col("votes"))

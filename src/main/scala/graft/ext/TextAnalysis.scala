@@ -704,7 +704,11 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
 
   /** Per-(doc, term) frequencies — the aggregated, vocabulary-per-doc-
-    * sized stream the scoring operators share. */
+    * sized stream the scoring operators share. NOTE: null ids group
+    * together (standard GROUP BY semantics, replayed identically by the
+    * SQL oracles), so multiple null-id docs score as ONE merged
+    * pseudo-document — assign ids upstream if per-doc attribution of
+    * null-id rows matters. */
   private def termFrequencies(df: DataFrame, id: String, text: String): DataFrame =
     termStream(df, id, text)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))

@@ -283,6 +283,25 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((6L, 15L, 1.0)))
   }
 
+  test("duplicatedSpanStats: null-id docs report NULL, never pooled stats") {
+    val df = Seq(
+      (Option.empty[Long], "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // 30-char run
+      (Option.empty[Long], "short unique"),
+      (Some(1L), "totally unrelated clean text")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicatedSpanStats(df, "doc_id", "text", k = 10)
+      .collect()
+    // both null-id rows: NULL stats (unattributable), NOT a merged
+    // pseudo-doc and NOT a false "clean" zero
+    val nullRows = rows.filter(_.isNullAt(0))
+    assert(nullRows.length === 2)
+    nullRows.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), r.toString)
+    }
+    val attributed = rows.find(!_.isNullAt(0)).get
+    assert(attributed.getLong(2) === 0L) // the clean doc stays clean
+  }
+
   test("duplicatedSpanStats stride > 1 is a lower bound that still flags") {
     val shared = "the exact same forty characters repeated" // 40 chars
     val df = Seq((1L, shared + " A"), (2L, "B " + shared)).toDF("doc_id", "text")

@@ -123,6 +123,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) === ((8, 5L)))
   }
 
+  test("knnClassify: a vote tie against a NULL label resolves non-null (nulls last)") {
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0), Some(9)),
+      (11L, Array(0.0, 1.0), Option.empty[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0, 1.0), Some(-1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(corpus, queries,
+        "vec_id", "embedding", "label", k = 2).collect().head
+    assert(out.getInt(1) === 9, "null label must sort LAST on ties (SQL order)")
+  }
+
   test("knnClassify vote ties break to the smaller label") {
     val corpus = Seq(
       (10L, Array(1.0, 0.0), 9),
