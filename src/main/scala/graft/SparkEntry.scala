@@ -979,6 +979,25 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpanStats(
         Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4)),
 
+    // --- CAPSTONE embedding dedup: sign-LSH blocked cosine pairs (q19's
+    // plan) -> connected components -> min-id survivor per cluster —
+    // the embedding-space twin of q80's text capstone. One plan:
+    // blocking + refine + O(log d) label propagation.
+    "q104_embedding_canonical" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = graft.ext.Dedup.cosinePairsBlocked(
+        emb, "vec_id", "embedding", 0.3, tables = 16, nPlanes = 8, dim = 64)
+      val comp = graft.ext.Dedup.connectedComponents(
+          pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "vec_id")
+      emb.select("vec_id")
+        .join(comp, Seq("vec_id"), "left_outer")
+        .withColumn("component", coalesce(col("component"), col("vec_id")))
+        .groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("vec_id")).as("survivor"))
+    }),
+
     // --- CAPSTONE curation pipeline: quality gates (q70's thresholds)
     // -> exact dedup survivors -> deterministic training-shard layout,
     // composed as ONE Catalyst plan: gates fuse into the scan, dedup
@@ -2048,6 +2067,43 @@ object SparkEntry {
         |    THEN round(coalesce(a.dup_chars, 0) * 1.0 / d.len, 6)
         |    ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "q104_embedding_canonical" ->
+      s"""WITH RECURSIVE signs AS (
+         |  SELECT t.t, p.p, i.i,
+         |    CASE WHEN (strpos('0123456789abcdef',
+         |        substring(md5(concat(t.t, ':', p.p, ':', i.i)), 1, 1)) - 1)
+         |        % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END AS s
+         |  FROM range(16) t(t), range(8) p(p), range(64) i(i)),
+         |vcomp AS (
+         |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+         |  FROM embeddings, range(64) i(i)),
+         |dots AS (
+         |  SELECT c.vec_id, s.t, s.p, sum(s.s * c.x) AS d
+         |  FROM vcomp c JOIN signs s ON c.i = s.i
+         |  GROUP BY 1, 2, 3),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |p AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN v a ON c.id_a = a.vec_id
+         |  JOIN v b ON c.id_b = b.vec_id
+         |  WHERE list_cosine_similarity(a.ve, b.ve) >= 0.3),
+         |$ClosureCtes,
+         |dc AS (
+         |  SELECT e.vec_id, coalesce(comp.component, e.vec_id) AS component
+         |  FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.id)
+         |SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+         |  min(vec_id) AS survivor
+         |FROM dc GROUP BY 1""".stripMargin,
     "q103_curation" ->
       """WITH g AS (
         |  SELECT doc_id, text, n_chars,
