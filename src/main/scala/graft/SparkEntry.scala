@@ -985,8 +985,12 @@ object SparkEntry {
     // blocking + refine + O(log d) label propagation.
     "q104_embedding_canonical" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // tau = 0.9: near-DUPLICATE, not merely related — the dedup
+      // threshold keeps the pair graph sparse (a low tau over clustered
+      // embeddings produces near-complete intra-cluster graphs and the
+      // closure inherits millions of redundant edges)
       val pairs = graft.ext.Dedup.cosinePairsBlocked(
-        emb, "vec_id", "embedding", 0.3, tables = 16, nPlanes = 8, dim = 64)
+        emb, "vec_id", "embedding", 0.9, tables = 16, nPlanes = 8, dim = 64)
       val comp = graft.ext.Dedup.connectedComponents(
           pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "vec_id")
@@ -2096,7 +2100,7 @@ object SparkEntry {
          |  SELECT c.id_a, c.id_b FROM cand c
          |  JOIN v a ON c.id_a = a.vec_id
          |  JOIN v b ON c.id_b = b.vec_id
-         |  WHERE list_cosine_similarity(a.ve, b.ve) >= 0.3),
+         |  WHERE list_cosine_similarity(a.ve, b.ve) >= 0.9),
          |$ClosureCtes,
          |dc AS (
          |  SELECT e.vec_id, coalesce(comp.component, e.vec_id) AS component
