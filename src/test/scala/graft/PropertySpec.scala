@@ -136,4 +136,80 @@ class PropertySpec extends SparkSpec {
       assert(small.subsetOf(large), "smaller fraction must nest in larger")
     }
   }
+
+  // unique ids (index-assigned): the per-doc operators' contract
+  private val textRows = Gen.listOfN(15,
+    Gen.listOfN(12, Gen.oneOf("apple", "be", "cat!", "Δδ", "12",
+      "zz@", " ", "")).map(_.mkString(" ")))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("text-gate invariants on arbitrary text: entropy/surprisal/tfidf bounds") {
+    samples(textRows, 4).foreach { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("doc_id", "text")
+        // entropy in [0, ln 38] (37 alphabet symbols + other bucket)
+        graft.ext.TextAnalysis.charEntropy(df, "doc_id", "text")
+          .collect().foreach { r =>
+            val e = r.getDouble(2)
+            assert(e >= 0.0 && e <= math.log(38.0) + 1e-9, s"entropy $e")
+          }
+        // surprisal > 0 for docs with tokens; n_tokens positive
+        graft.ext.TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+          .collect().foreach { r =>
+            assert(r.getLong(1) > 0L && r.getDouble(2) > 0.0, r.toString)
+          }
+        // tfidf: rank bounded by k, scores non-negative, rank dense from 1
+        val tf = graft.ext.TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 3)
+          .collect()
+        tf.foreach { r =>
+          assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+          assert(r.getDouble(2) >= 0.0)
+        }
+      }
+    }
+  }
+
+  test("dup-span invariants on arbitrary text: coverage within [0, n_chars]") {
+    samples(textRows, 4).foreach { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("doc_id", "text")
+        graft.ext.Dedup.duplicatedSpanStats(df, "doc_id", "text", k = 5)
+          .collect().foreach { r =>
+            val n = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+            val dup = r.getLong(3)
+            assert(dup >= 0L && dup <= n, s"dup_chars $dup of $n")
+            val frac = r.getDouble(4)
+            assert(frac >= 0.0 && frac <= 1.0 + 1e-9, s"dup_frac $frac")
+          }
+      }
+    }
+  }
+
+  test("weighted-sample law: n bound, subset of drawable rows, key-deterministic") {
+    samples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 10000L),
+        Gen.chooseNum(-5.0, 50.0))), 4).foreach { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("id", "w")
+        val out = graft.ext.Sampling.weightedSample(df, "id", "w", 10)
+          .collect().map(_.getLong(0))
+        val drawableKeys = data.filter(_._2 > 0).map(_._1).toSet
+        assert(out.length <= 10)
+        assert(out.toSet.subsetOf(drawableKeys))
+        assert(out.length === math.min(10, drawableKeys.size))
+      }
+    }
+  }
+
+  test("shuffle-shard law: every row lands in exactly one shard, pos dense") {
+    samples(Gen.chooseNum(1, 9), 4).foreach { n =>
+      val rows = spark.range(0, 300).toDF("id")
+      val out = graft.ext.Sampling.shuffleShards(rows, "id", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.length === 300)
+      assert(out.map(_._2).forall(s => s >= 0 && s < n))
+      out.groupBy(_._2).values.foreach { grp =>
+        assert(grp.map(_._3).sorted.toSeq === (1 to grp.size))
+      }
+    }
+  }
 }
