@@ -985,12 +985,12 @@ object SparkEntry {
     // blocking + refine + O(log d) label propagation.
     "q104_embedding_canonical" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // tau = 0.9: near-DUPLICATE, not merely related — the dedup
-      // threshold keeps the pair graph sparse (a low tau over clustered
-      // embeddings produces near-complete intra-cluster graphs and the
-      // closure inherits millions of redundant edges)
+      // tau = 0.45: sparse on this corpus yet non-vacuous — the pair
+      // graph has real multi-node clusters, so the closure actually
+      // fires (0.3 makes the intra-label graph near-complete and the
+      // closure inherits it; 0.9 admits no pair at all in the fixture)
       val pairs = graft.ext.Dedup.cosinePairsBlocked(
-        emb, "vec_id", "embedding", 0.9, tables = 16, nPlanes = 8, dim = 64)
+        emb, "vec_id", "embedding", 0.45, tables = 16, nPlanes = 8, dim = 64)
       val comp = graft.ext.Dedup.connectedComponents(
           pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "vec_id")
@@ -998,8 +998,11 @@ object SparkEntry {
         .join(comp, Seq("vec_id"), "left_outer")
         .withColumn("component", coalesce(col("component"), col("vec_id")))
         .groupBy("component")
+        // newest-wins survivor policy (max id): deliberately NOT the
+        // min-id component label, which would duplicate the group key
+        // and verify nothing
         .agg(count(lit(1)).as("cluster_size"),
-          min(col("vec_id")).as("survivor"))
+          max(col("vec_id")).as("survivor"))
     }),
 
     // --- CAPSTONE curation pipeline: quality gates (q70's thresholds)
@@ -1346,7 +1349,7 @@ object SparkEntry {
         |FROM cand c
         |JOIN v a ON c.id_a = a.vec_id
         |JOIN v b ON c.id_b = b.vec_id
-        |WHERE list_cosine_similarity(a.ve, b.ve) >= 0.3""".stripMargin,
+        |WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.3""".stripMargin,
     "q21_lsh_topk" ->
       """WITH signs AS (
         |  SELECT t.t, p.p, i.i,
@@ -2100,13 +2103,13 @@ object SparkEntry {
          |  SELECT c.id_a, c.id_b FROM cand c
          |  JOIN v a ON c.id_a = a.vec_id
          |  JOIN v b ON c.id_b = b.vec_id
-         |  WHERE list_cosine_similarity(a.ve, b.ve) >= 0.9),
+         |  WHERE round(list_cosine_similarity(a.ve, b.ve), 6) >= 0.45),
          |$ClosureCtes,
          |dc AS (
          |  SELECT e.vec_id, coalesce(comp.component, e.vec_id) AS component
          |  FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.id)
          |SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
-         |  min(vec_id) AS survivor
+         |  max(vec_id) AS survivor
          |FROM dc GROUP BY 1""".stripMargin,
     "q103_curation" ->
       """WITH g AS (

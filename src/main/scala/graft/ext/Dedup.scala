@@ -669,7 +669,10 @@ object Dedup {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine",
         Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cosine") >= tau)
+      // threshold on the ROUNDED value (CLAUDE.md): a pair within ulps
+      // of tau must land on the same side in every engine — downstream
+      // closures amplify a one-edge divergence into whole-cluster drift
+      .filter(round(col("cosine"), 6) >= tau)
       .select("id_a", "id_b", "cosine")
   }
 
@@ -700,7 +703,10 @@ object Dedup {
       .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
       .withColumn("cosine",
         Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cosine") >= tau)
+      // threshold on the ROUNDED value (CLAUDE.md): a pair within ulps
+      // of tau must land on the same side in every engine — downstream
+      // closures amplify a one-edge divergence into whole-cluster drift
+      .filter(round(col("cosine"), 6) >= tau)
       .select("id_a", "id_b", "cosine")
   }
 }
