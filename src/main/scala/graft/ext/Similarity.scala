@@ -168,18 +168,14 @@ object Similarity {
   /** Sign-bit bucket ids over the given hyperplanes: (id, table, bucket). */
   private def bucketsFromPlanes(df: DataFrame, id: String, vec: String,
                                 ps: Array[Array[Array[Double]]]): DataFrame = {
-    val tables = ps.length
-    val nPlanes = ps(0).length
+    // ONE codegen expression for all tables×planes dots: the expanded
+    // per-plane formulation inlined tables×planes×dim literal doubles
+    // into the generated Java — ~8 s of one-time JIT for the 16×8×64
+    // default (measured; see SignLshBucketsExpr). Same math, same
+    // accumulation order, bit-identical buckets.
     val v = col(vec).cast("array<double>")
-    val bucketCols: Seq[Column] = (0 until tables).map { t =>
-      val bits = (0 until nPlanes).map { p =>
-        val plane = array(ps(t)(p).map(lit): _*)
-        when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _).as(s"b$t")
-    }
-    df.select(col(id).as("id") +: bucketCols: _*)
-      .select(col("id"), posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+    df.select(col(id).as("id"),
+        posexplode(graft.functions.Vectors.signLshBuckets(v, ps)))
       .toDF("id", "table", "bucket")
   }
 

@@ -44,6 +44,46 @@ class VectorsSpec extends SparkSpec {
     assert(lit2.eval(null) === 11.0)
   }
 
+  test("signLshBuckets equals the expanded per-plane formulation bit-for-bit") {
+    val planes = Similarity_md5Planes
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i + 1.0))),
+      (2L, Array.tabulate(64)(i => -0.5 + (i % 7) * 0.2)),
+      (3L, Array.fill(64)(0.0))) // all-zero: dot = 0 counts as >= 0
+      .toDF("id", "v")
+    val fast = vecs.select($"id", Vectors.signLshBuckets($"v", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // expanded reference: one when(dot >= 0) per (table, plane)
+    val slow = vecs.select($"id" +: planes.indices.map { t =>
+        planes(t).indices.map { p =>
+          when(Vectors.dot($"v", array(planes(t)(p).map(lit): _*)) >= 0,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"b$t")
+      }: _*)
+      .collect().map(r => r.getLong(0) ->
+        planes.indices.map(t => r.getLong(t + 1))).toMap
+    vecs.collect().map(_.getLong(0)).foreach { id =>
+      assert(fast(id) === slow(id), s"id $id")
+    }
+  }
+
+  test("signLshBuckets: null propagates, wrong dim fails loudly") {
+    val planes = Similarity_md5Planes
+    val withNull = Seq((1L, Option.empty[Array[Double]])).toDF("id", "v")
+    assert(withNull.select(Vectors.signLshBuckets($"v", planes))
+      .collect().head.isNullAt(0))
+    val short = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      short.select(Vectors.signLshBuckets($"v", planes)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("plane dim")))
+  }
+
+  private lazy val Similarity_md5Planes =
+    graft.ext.Similarity.md5SignPlanes(tables = 4, nPlanes = 8, dim = 64)
+
   test("mismatched lengths fail loudly (no silent truncation)") {
     val d = Seq((1L, Array(1.0, 2.0, 3.0), Array(10.0))).toDF("id", "a", "b")
     val e = intercept[Exception] {
