@@ -980,9 +980,9 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4)),
 
     // --- CAPSTONE embedding dedup: sign-LSH blocked cosine pairs (q19's
-    // plan) -> connected components -> min-id survivor per cluster —
-    // the embedding-space twin of q80's text capstone. One plan:
-    // blocking + refine + O(log d) label propagation.
+    // plan) -> connected components -> newest-wins (max-id) survivor
+    // per cluster — the embedding-space twin of q80's text capstone.
+    // One plan: blocking + refine + O(log d) label propagation.
     "q104_embedding_canonical" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // tau = 0.45: sparse on this corpus yet non-vacuous — the pair

@@ -174,8 +174,13 @@ object Similarity {
     // default (measured; see SignLshBucketsExpr). Same math, same
     // accumulation order, bit-identical buckets.
     val v = col(vec).cast("array<double>")
+    // null vectors keep the historical (oracle-replayed) contract:
+    // bucket 0 in every table — the expression is null-propagating and
+    // posexplode(null) would silently DROP the id instead
+    val zeros = array(Seq.fill(ps.length)(lit(0L)): _*)
     df.select(col(id).as("id"),
-        posexplode(graft.functions.Vectors.signLshBuckets(v, ps)))
+        posexplode(coalesce(
+          graft.functions.Vectors.signLshBuckets(v, ps), zeros)))
       .toDF("id", "table", "bucket")
   }
 

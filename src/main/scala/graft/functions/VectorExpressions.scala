@@ -127,6 +127,12 @@ final case class SignLshBucketsExpr(child: Expression,
                                     planes: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
+  require(planes.nonEmpty && planes(0).nonEmpty && planes(0)(0).nonEmpty,
+    "sign_lsh_buckets: planes must be non-empty (tables x planes x dim)")
+  require(planes.forall(t => t.length == planes(0).length &&
+      t.forall(_.length == planes(0)(0).length)),
+    "sign_lsh_buckets: planes must be rectangular")
+
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.requireDoubleArrays(prettyName, child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -150,7 +156,10 @@ final case class SignLshBucketsExpr(child: Expression,
         var s = 0.0
         var i = 0
         while (i < dim) { s += x.getDouble(i) * pl(i); i += 1 }
-        if (s >= 0) bucket |= (1L << p)
+        // !(s < 0), not (s >= 0): SQL comparison semantics order NaN
+        // above every number (Spark's `when(dot >= 0)` and DuckDB's
+        // CASE both set the bit for NaN); plain Java >= would clear it
+        if (!(s < 0)) bucket |= (1L << p)
         p += 1
       }
       out(t) = bucket
@@ -184,7 +193,7 @@ final case class SignLshBucketsExpr(child: Expression,
          |    for (int $i = 0; $i < ${dim}; $i++) {
          |      $s += $c.getDouble($i) * $pl[$i];
          |    }
-         |    if ($s >= 0) $bucket |= (1L << $p);
+         |    if (!($s < 0)) $bucket |= (1L << $p); // NaN sets the bit (SQL semantics)
          |  }
          |  $out[$t] = $bucket;
          |}

@@ -7,6 +7,10 @@ import graft.SparkSpec
 class VectorsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      String.valueOf(x.getMessage) +: causeMessages(x.getCause))
+
   private lazy val df = Seq(
     (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
     (2L, Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)),
@@ -76,9 +80,7 @@ class VectorsSpec extends SparkSpec {
     val e = intercept[Exception] {
       short.select(Vectors.signLshBuckets($"v", planes)).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
-    assert(messages(e).exists(_.contains("plane dim")))
+    assert(causeMessages(e).exists(_.contains("plane dim")))
   }
 
   private lazy val Similarity_md5Planes =
@@ -89,8 +91,6 @@ class VectorsSpec extends SparkSpec {
     val e = intercept[Exception] {
       d.select(Vectors.dot($"a", $"b")).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
-    assert(messages(e).exists(_.contains("mismatched vector lengths")))
+    assert(causeMessages(e).exists(_.contains("mismatched vector lengths")))
   }
 }
