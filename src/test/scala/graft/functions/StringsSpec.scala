@@ -43,6 +43,25 @@ class StringsSpec extends SparkSpec {
     assert(r === composed)
   }
 
+  test("NFC is idempotent and stable over mixed compositions") {
+    val mixed = Seq(
+      "Café", "Café", "Å", "Å", // ring-A both ways
+      "ascii only", "", "ṩ", "ṩ")    // s-dot-below-dot-above
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = mixed.toDF("id", "t")
+    val once = df.select($"id", Strings.nfc($"t").as("n1"))
+    val twice = once.select($"id", Strings.nfc($"n1").as("n2"))
+    val joined = once.join(twice, Seq("id"))
+      .filter($"n1" =!= $"n2")
+    assert(joined.count() === 0L, "nfc(nfc(x)) must equal nfc(x)")
+    // java.text.Normalizer is the ground truth the expression must match
+    val out = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    mixed.foreach { case (i, t) =>
+      assert(out(i) === java.text.Normalizer.normalize(
+        t, java.text.Normalizer.Form.NFC), s"id $i")
+    }
+  }
+
   test("non-string input is rejected at analysis time") {
     val e = intercept[Exception] {
       Seq((1L, 2.5)).toDF("id", "x").select(Strings.nfc($"x")).collect()

@@ -277,6 +277,38 @@ class EventsSpec extends SparkSpec {
     assert(survived.toSet === Set(1L, 2L, 5L))
   }
 
+  test("foreachBatch incremental MINHASH dedup: signature catalog across batches") {
+    // The near-dup analog of the exact-dedup ingest: each micro-batch
+    // probes the accumulated SIGNATURE catalog (q89's operator), then
+    // appends its own signatures — near-dups of docs from EARLIER
+    // batches are caught without re-pairing the catalog against itself.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    var catalog = Seq.empty[(Long, Seq[Long])].toDF("id", "sig")
+    val pairsSeen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sigs = graft.ext.Dedup.minhashSignatures(
+          batch, "doc_id", "text", ngram = 2, numHashes = 32)
+        val found = graft.ext.Dedup.incrementalMinhashPairs(
+          sigs, catalog, tau = 0.7, bands = 8)
+        pairsSeen ++= found.collect().map(r => (r.getLong(0), r.getLong(1)))
+        catalog = catalog.union(sigs).localCheckpoint()
+      }
+      .start()
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    mem.addData((1L, a), (2L, "totally different words here entirely now"))
+    q.processAllAvailable()
+    mem.addData((3L, a)) // near-dup of batch-1's doc 1
+    q.processAllAvailable()
+    q.stop()
+    assert(pairsSeen.contains((1L, 3L)),
+      s"cross-batch near-dup must be caught, got $pairsSeen")
+    assert(!pairsSeen.exists { case (x, y) => x == 2L || y == 2L })
+  }
+
   test("stateless text gates run UNCHANGED on a stream (batch/stream reuse)") {
     // qualityScore / charEntropy are pure projections, so the same
     // operator that curates a batch corpus filters a live ingest stream
