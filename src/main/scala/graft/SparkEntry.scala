@@ -979,6 +979,21 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpanStats(
         Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4)),
 
+    // --- Embedding-drift monitor: per-label centroid cosine between
+    // two corpus slices — the distribution-shift check run before a
+    // training corpus refresh ships. Centroids partial-combine per
+    // (label, dim); only labels × dim rows ever shuffle.
+    "q105_centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def side(m: Int) = graft.ext.Similarity.labelCentroidVectors(
+        emb.filter(pmod(col("vec_id"), lit(2)) === m), "embedding", "label")
+      side(0).toDF("label", "ca")
+        .join(side(1).toDF("label", "cb"), Seq("label"))
+        .select(col("label"),
+          round(graft.functions.Vectors.cosine(col("ca"), col("cb")), 6)
+            .as("centroid_cosine"))
+    }),
+
     // --- CAPSTONE embedding dedup: sign-LSH blocked cosine pairs (q19's
     // plan) -> connected components -> newest-wins (max-id) survivor
     // per cluster — the embedding-space twin of q80's text capstone.
@@ -2074,6 +2089,22 @@ object SparkEntry {
         |    THEN round(coalesce(a.dup_chars, 0) * 1.0 / d.len, 6)
         |    ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "q105_centroid_drift" ->
+      """WITH ex AS (
+        |  SELECT label, i.i AS dim,
+        |    avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS v
+        |  FROM embeddings, range(64) i(i)
+        |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |od AS (
+        |  SELECT label, i.i AS dim,
+        |    avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS v
+        |  FROM embeddings, range(64) i(i)
+        |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |ca AS (SELECT label, list(v ORDER BY dim) AS c FROM ex GROUP BY 1),
+        |cb AS (SELECT label, list(v ORDER BY dim) AS c FROM od GROUP BY 1)
+        |SELECT ca.label,
+        |  round(list_cosine_similarity(ca.c, cb.c), 6) AS centroid_cosine
+        |FROM ca JOIN cb ON ca.label = cb.label""".stripMargin,
     "q104_embedding_canonical" ->
       s"""WITH RECURSIVE signs AS (
          |  SELECT t.t, p.p, i.i,
