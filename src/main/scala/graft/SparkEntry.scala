@@ -980,17 +980,25 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4)),
 
     // --- Embedding-drift monitor: per-label centroid cosine between
-    // two corpus slices — the distribution-shift check run before a
-    // training corpus refresh ships. Centroids partial-combine per
-    // (label, dim); only labels × dim rows ever shuffle.
+    // two corpus slices in ONE scan (parity joins the centroid groupBy
+    // key; only labels × 2 × dim rows shuffle). FULL OUTER on label:
+    // a label present in only one slice IS the strongest drift signal
+    // and reports with a null cosine, never silently vanishes.
     "q105_centroid_drift" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      def side(m: Int) = graft.ext.Similarity.labelCentroidVectors(
-        emb.filter(pmod(col("vec_id"), lit(2)) === m), "embedding", "label")
-      side(0).toDF("label", "ca")
-        .join(side(1).toDF("label", "cb"), Seq("label"))
+      val cent = graft.ext.Similarity.centroidVectorsBy(
+          Tables.embeddings(s, dir)
+            // % not pmod: the oracle's remainder is sign-preserving,
+            // so both engines exclude a negative id identically
+            .withColumn("par", col("vec_id") % 2)
+            .filter(col("par").isin(0, 1)),
+          "embedding", Seq("label", "par"))
+        .localCheckpoint(eager = false) // tiny; feeds both join sides
+      val ca = cent.filter(col("par") === 0).select(col("label"), col("centroid").as("ca"))
+      val cb = cent.filter(col("par") === 1).select(col("label"), col("centroid").as("cb"))
+      ca.join(cb, Seq("label"), "full_outer")
         .select(col("label"),
-          round(graft.functions.Vectors.cosine(col("ca"), col("cb")), 6)
+          when(col("ca").isNotNull && col("cb").isNotNull,
+            round(graft.functions.Vectors.cosine(col("ca"), col("cb")), 6))
             .as("centroid_cosine"))
     }),
 
@@ -2090,21 +2098,21 @@ object SparkEntry {
         |    ELSE 0.0 END AS dup_frac
         |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "q105_centroid_drift" ->
-      """WITH ex AS (
-        |  SELECT label, i.i AS dim,
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 AS par, i.i AS dim,
         |    avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS v
         |  FROM embeddings, range(64) i(i)
-        |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
-        |od AS (
-        |  SELECT label, i.i AS dim,
-        |    avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS v
-        |  FROM embeddings, range(64) i(i)
-        |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
-        |ca AS (SELECT label, list(v ORDER BY dim) AS c FROM ex GROUP BY 1),
-        |cb AS (SELECT label, list(v ORDER BY dim) AS c FROM od GROUP BY 1)
-        |SELECT ca.label,
-        |  round(list_cosine_similarity(ca.c, cb.c), 6) AS centroid_cosine
-        |FROM ca JOIN cb ON ca.label = cb.label""".stripMargin,
+        |  WHERE embedding IS NOT NULL AND (vec_id % 2) IN (0, 1)
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT label, par, list(v ORDER BY dim) AS c
+        |      FROM e GROUP BY 1, 2),
+        |ca AS (SELECT label, c FROM c WHERE par = 0),
+        |cb AS (SELECT label, c FROM c WHERE par = 1)
+        |SELECT coalesce(ca.label, cb.label) AS label,
+        |  CASE WHEN ca.c IS NOT NULL AND cb.c IS NOT NULL
+        |    THEN round(list_cosine_similarity(ca.c, cb.c), 6)
+        |  END AS centroid_cosine
+        |FROM ca FULL OUTER JOIN cb ON ca.label = cb.label""".stripMargin,
     "q104_embedding_canonical" ->
       s"""WITH RECURSIVE signs AS (
          |  SELECT t.t, p.p, i.i,

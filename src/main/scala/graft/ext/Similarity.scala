@@ -145,6 +145,24 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("value")))),
         s => s.getField("value")).as("centroid"))
 
+  /** [[labelCentroidVectors]] keyed by MULTIPLE columns (e.g.
+    * (label, corpus-slice)): one corpus scan computes every group's
+    * centroid — the shape a drift monitor needs, instead of one scan
+    * per slice. Same partial-combine discipline: at most
+    * groups × dim × partitions rows shuffle.
+    */
+  def centroidVectorsBy(df: DataFrame, vec: String,
+                        keys: Seq[String]): DataFrame =
+    df.filter(col(vec).isNotNull)
+      .select(keys.map(col) :+
+        posexplode(col(vec).cast("array<double>")): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(avg(col("col")).as("v"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid"))
+
   /** Deterministic random hyperplanes: tables × planes × dim, seeded. */
   private def planes(tables: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new Random(seed)

@@ -148,6 +148,15 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) === ((3, 1L))) // 1-1 vote, label 3 < 9 wins
   }
 
+  test("centroidVectorsBy(single key) equals labelCentroidVectors") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.labelCentroidVectors(real, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.centroidVectorsBy(real, "embedding", Seq("label"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b)
+  }
+
   test("labelCentroidVectors reassembles dims in order") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = Similarity.labelCentroidVectors(real, "embedding", "label")
