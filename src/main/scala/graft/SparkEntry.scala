@@ -984,23 +984,9 @@ object SparkEntry {
     // key; only labels × 2 × dim rows shuffle). FULL OUTER on label:
     // a label present in only one slice IS the strongest drift signal
     // and reports with a null cosine, never silently vanishes.
-    "q105_centroid_drift" -> ((s, dir) => {
-      val cent = graft.ext.Similarity.centroidVectorsBy(
-          Tables.embeddings(s, dir)
-            // % not pmod: the oracle's remainder is sign-preserving,
-            // so both engines exclude a negative id identically
-            .withColumn("par", col("vec_id") % 2)
-            .filter(col("par").isin(0, 1)),
-          "embedding", Seq("label", "par"))
-        .localCheckpoint(eager = false) // tiny; feeds both join sides
-      val ca = cent.filter(col("par") === 0).select(col("label"), col("centroid").as("ca"))
-      val cb = cent.filter(col("par") === 1).select(col("label"), col("centroid").as("cb"))
-      ca.join(cb, Seq("label"), "full_outer")
-        .select(col("label"),
-          when(col("ca").isNotNull && col("cb").isNotNull,
-            round(graft.functions.Vectors.cosine(col("ca"), col("cb")), 6))
-            .as("centroid_cosine"))
-    }),
+    "q105_centroid_drift" -> ((s, dir) =>
+      graft.ext.Similarity.centroidDrift(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label")),
 
     // --- CAPSTONE embedding dedup: sign-LSH blocked cosine pairs (q19's
     // plan) -> connected components -> newest-wins (max-id) survivor

@@ -163,6 +163,35 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid"))
 
+  /** Embedding-drift monitor: per-label centroid cosine between the
+    * even and odd `id`-parity slices of a corpus — the
+    * distribution-shift check run before a corpus refresh ships.
+    *
+    * ONE scan computes every (label, parity) centroid
+    * ([[centroidVectorsBy]]); the FULL OUTER join on label means a
+    * label present in only one slice — the strongest drift signal —
+    * reports with a NULL cosine instead of silently vanishing (an
+    * inner join would be blind to exactly the label that changed
+    * most). `%`, not pmod: sign-preserving remainder matches SQL
+    * engines, so negative ids are excluded identically everywhere.
+    */
+  def centroidDrift(df: DataFrame, id: String, vec: String,
+                    label: String): DataFrame = {
+    val cent = centroidVectorsBy(
+        df.withColumn("par", col(id) % 2).filter(col("par").isin(0, 1)),
+        vec, Seq(label, "par"))
+      .localCheckpoint(eager = false) // tiny; feeds both join sides
+    val ca = cent.filter(col("par") === 0)
+      .select(col(label), col("centroid").as("ca"))
+    val cb = cent.filter(col("par") === 1)
+      .select(col(label), col("centroid").as("cb"))
+    ca.join(cb, Seq(label), "full_outer")
+      .select(col(label),
+        when(col("ca").isNotNull && col("cb").isNotNull,
+          round(graft.functions.Vectors.cosine(col("ca"), col("cb")), 6))
+          .as("centroid_cosine"))
+  }
+
   /** Deterministic random hyperplanes: tables × planes × dim, seeded. */
   private def planes(tables: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new Random(seed)

@@ -148,6 +148,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) === ((3, 1L))) // 1-1 vote, label 3 < 9 wins
   }
 
+  test("centroidDrift: aligned labels score ~1, one-sided labels report null") {
+    val df = Seq(
+      // label 1 in both parities, identical direction -> cosine 1
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(2.0f, 0.0f), 1),
+      // label 2 drifts between parities -> cosine 0
+      (2L, Array(1.0f, 0.0f), 2), (3L, Array(0.0f, 1.0f), 2),
+      // label 3 exists ONLY in the even slice -> null cosine, NOT absent
+      (4L, Array(1.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(df, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out.keySet === Set(1, 2, 3))
+    assert(out(1) === Some(1.0))
+    assert(out(2) === Some(0.0))
+    assert(out(3) === None, "a one-sided label must surface, with null score")
+  }
+
   test("centroidVectorsBy(single key) equals labelCentroidVectors") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.labelCentroidVectors(real, "embedding", "label")
