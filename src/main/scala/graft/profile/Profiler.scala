@@ -292,23 +292,34 @@ object Profiler {
     * compared against them): pass 1 aggregates exact quartiles per
     * group; the group-sized fence table then BROADCASTS back onto the
     * scan, so pass 2 is one partial-aggregated count — the big side
-    * never shuffles. Fences are rounded to 4 dp BEFORE the comparison
-    * (same rationale as [[graft.ext.Sampling.exactQuantileThresholds]]):
-    * last-ulp interpolation differences between engines cannot flip a
-    * boundary, so an external SQL oracle replays the counts exactly.
+    * never shuffles. The QUARTILES are rounded to 4 dp (same rationale
+    * as [[graft.ext.Sampling.exactQuantileThresholds]]: last-ulp
+    * interpolation differences between engines cannot flip a boundary)
+    * and the fences are then composed WITHOUT further rounding: on
+    * 2-dp inputs the quarter-interpolated quartiles are exact 4-dp
+    * decimals (rounding them is an identity), while the composite
+    * fence p25 − f·IQR is an exact 5-dp decimal — rounding THAT at
+    * 4 dp sits on a decimal half-way point whose direction differs
+    * across engines/builds. Since +,−,× are correctly rounded IEEE
+    * ops, both engines produce bit-identical fence doubles from the
+    * identical rounded quartiles, so an external SQL oracle replays
+    * the counts exactly.
     * Exact `percentile` holds per-group values in the aggregation
-    * buffer; at unbounded group sizes switch the quartile pass to
-    * `approx_percentile`, leaving pass 2 unchanged.
+    * buffer; at unbounded group sizes pass `exact = false` to switch
+    * the quartile pass to `approx_percentile`, leaving pass 2
+    * unchanged.
     */
   def iqrOutliersDF(df: DataFrame, groupCol: String, valueCol: String,
-                    factor: Double = 1.5): DataFrame = {
+                    factor: Double = 1.5, exact: Boolean = true): DataFrame = {
     val rows = df.filter(col(valueCol).isNotNull)
+    def q(frac: Double) =
+      if (exact) percentile(col(valueCol), lit(frac))
+      else approx_percentile(col(valueCol), lit(frac), lit(10000))
     val fences = rows.groupBy(groupCol)
-      .agg(percentile(col(valueCol), lit(0.25)).as("p25"),
-        percentile(col(valueCol), lit(0.75)).as("p75"))
+      .agg(round(q(0.25), 4).as("p25"), round(q(0.75), 4).as("p75"))
       .select(col(groupCol).as("__g"),
-        round(col("p25") - lit(factor) * (col("p75") - col("p25")), 4).as("lo"),
-        round(col("p75") + lit(factor) * (col("p75") - col("p25")), 4).as("hi"))
+        (col("p25") - lit(factor) * (col("p75") - col("p25"))).as("lo"),
+        (col("p75") + lit(factor) * (col("p75") - col("p25"))).as("hi"))
     // <=> : a null GROUP is data here — an equi-join would orphan its
     // rows and the group would silently vanish from the audit (CLAUDE.md)
     rows.join(broadcast(fences), col(groupCol) <=> col("__g"))
