@@ -2205,16 +2205,17 @@ object SparkEntry {
         |SELECT doc_id, n_chars, draw FROM t
         |ORDER BY draw DESC, doc_id ASC LIMIT 50""".stripMargin,
     "q95_iqr_outliers" ->
-      """WITH f AS (
+      """WITH q AS (
         |  SELECT l_returnflag,
-        |    round(quantile_cont(l_extendedprice, 0.25)
-        |      - 1.5 * (quantile_cont(l_extendedprice, 0.75)
-        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS lo,
-        |    round(quantile_cont(l_extendedprice, 0.75)
-        |      + 1.5 * (quantile_cont(l_extendedprice, 0.75)
-        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS hi
+        |    round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |    round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag,
+        |    p25 - 1.5 * (p75 - p25) AS lo,
+        |    p75 + 1.5 * (p75 - p25) AS hi
+        |  FROM q)
         |SELECT l.l_returnflag, count(*) AS n,
         |  sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS n_below,
         |  sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS n_above,
