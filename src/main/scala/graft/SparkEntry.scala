@@ -943,7 +943,12 @@ object SparkEntry {
     // proportional to document length, reproducible from (salt, id).
     "q98_weighted_sample" -> ((s, dir) =>
       graft.ext.Sampling.weightedSample(
-          Tables.documents(s, dir), "doc_id", "n_chars", n = 50)
+          // roundTo = 12: n_chars weights reach ~1e4-1e5, far past the
+          // default 6-dp grid's ~1e3 envelope (see the PRECISION
+          // CONTRACT on weightedSample) — coarser grids collapse long
+          // docs into id-ordered tie classes, a non-proportional tail
+          Tables.documents(s, dir), "doc_id", "n_chars", n = 50,
+          roundTo = 12)
         .select("doc_id", "n_chars", "draw")),
 
     // --- Winsorized robust mean per order priority: heavy tails
@@ -956,7 +961,9 @@ object SparkEntry {
     // weight = document length (the one-pass quality-weighted mixture).
     "q100_weighted_per_lang" -> ((s, dir) =>
       graft.ext.Sampling.weightedSamplePerGroup(
-          Tables.documents(s, dir), "doc_id", "n_chars", "lang", nPerGroup = 10)
+          // roundTo = 12 for the same weight-scale reason as q98
+          Tables.documents(s, dir), "doc_id", "n_chars", "lang", nPerGroup = 10,
+          roundTo = 12)
         .select("doc_id", "lang", "n_chars", "draw", "draw_rank")),
 
     // --- Multimodal: REAL WAV header parsing — audio payloads carry
@@ -2021,7 +2028,8 @@ object SparkEntry {
          |      CAST(n AS BIGINT) - list_aggregate(ks, 'sum'))) AS kall
          |  FROM c)
          |SELECT doc_id, n_chars,
-         |  CASE WHEN n > 0 THEN round(0.0 - list_aggregate(list_transform(kall,
+         |  CASE WHEN n_chars IS NULL THEN NULL
+         |    WHEN n > 0 THEN round(0.0 - list_aggregate(list_transform(kall,
          |      k -> CASE WHEN k > 0 THEN k / n * ln(k / n) ELSE 0.0 END),
          |      'sum'), 4)
          |    ELSE 0.0 END AS char_entropy
@@ -2184,7 +2192,7 @@ object SparkEntry {
         |  SELECT doc_id, lang, n_chars,
         |    0.0 + round(ln((('0x' || substr(md5('graft:' ||
         |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
-        |      / 4294967296.0) / n_chars, 6) AS draw
+        |      / 4294967296.0) / n_chars, 12) AS draw
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
         |rk AS (
@@ -2199,7 +2207,7 @@ object SparkEntry {
         |  SELECT doc_id, n_chars,
         |    0.0 + round(ln((('0x' || substr(md5('graft:' ||
         |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
-        |      / 4294967296.0) / n_chars, 6) AS draw
+        |      / 4294967296.0) / n_chars, 12) AS draw
         |  FROM documents
         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
         |SELECT doc_id, n_chars, draw FROM t

@@ -159,6 +159,19 @@ object Sampling {
     * u = md5-uniform(salt, key) ∈ (0,1], rank = round(ln(u)/w, roundTo).
     * `0.0 +` forces a +0.0 sign: a draw in (−5·10⁻⁷, 0) rounds to −0.0
     * in DuckDB but +0.0 here, and repr-exact oracles see those apart. */
+  /** Output-column collision guard: `withColumn` silently REPLACES an
+    * existing column, so a pre-existing user `draw`/`shard`/… would be
+    * overwritten with sampler scratch and the corruption would surface
+    * only downstream. Fail loudly at plan time instead.
+    */
+  private def requireFreeColumns(df: DataFrame, op: String,
+                                 names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op writes output column(s) ${clash.mkString(", ")} which already " +
+        "exist in the input — rename or drop them first")
+  }
+
   private def aesDraw(keyCol: String, weightCol: String,
                       salt: String, roundTo: Int): Column = {
     val h = conv(
@@ -203,6 +216,7 @@ object Sampling {
                      n: Int, salt: String = "graft",
                      roundTo: Int = 6): DataFrame = {
     require(n > 0, "n must be > 0")
+    requireFreeColumns(df, "weightedSample", "draw")
     drawable(df, keyCol, weightCol)
       .withColumn("draw", aesDraw(keyCol, weightCol, salt, roundTo))
       .orderBy(col("draw").desc, col(keyCol).asc)
@@ -220,6 +234,7 @@ object Sampling {
                              salt: String = "graft",
                              roundTo: Int = 6): DataFrame = {
     require(nPerGroup > 0, "nPerGroup must be > 0")
+    requireFreeColumns(df, "weightedSamplePerGroup", "draw", "draw_rank")
     val w = Window.partitionBy(groupCol)
       .orderBy(col("draw").desc, col(keyCol).asc)
     drawable(df, keyCol, weightCol)
@@ -245,6 +260,7 @@ object Sampling {
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int,
                     salt: String = "graft"): DataFrame = {
     require(nShards > 0, "nShards must be > 0")
+    requireFreeColumns(df, "shuffleShards", "shard", "pos")
     val h = md5(concat(lit(s"$salt:"), col(keyCol).cast("string")))
     val shard = pmod(
       conv(substring(h, 1, 15), 16, 10).cast("long"), lit(nShards.toLong))

@@ -764,8 +764,13 @@ object TextAnalysis {
     val n = length(t).cast(DoubleType)
     val entropy = aggregate(all, lit(0.0), (acc, c) =>
       acc - when(c > 0, c / n * log(c / n)).otherwise(0.0))
+    // NULL text stays NULL (a missing doc is not a single-symbol run —
+    // 0.0 is the exact low-entropy band the gibberish gate flags);
+    // genuinely empty strings keep entropy 0.0.
     df.select(col(id), length(col(text)).as("n_chars"),
-      when(n > 0, round(entropy, 4)).otherwise(lit(0.0)).as("char_entropy"))
+      when(col(text).isNull, lit(null).cast(DoubleType))
+        .when(n > 0, round(entropy, 4))
+        .otherwise(lit(0.0)).as("char_entropy"))
   }
 
   // --------------------------------------------------------------------

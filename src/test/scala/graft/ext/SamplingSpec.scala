@@ -261,6 +261,41 @@ class SamplingSpec extends SparkSpec {
     assert(s === Set(1L))
   }
 
+  test("output-name collisions fail loudly instead of clobbering data") {
+    val df = Seq((1L, 2.0, 9, 9)).toDF("id", "w", "shard", "draw")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(df, "id", nShards = 2)
+    }
+    assert(e1.getMessage.contains("shard"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", 1)
+    }
+    assert(e2.getMessage.contains("draw"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.weightedSamplePerGroup(df, "id", "w", "shard", 1)
+    }
+    assert(e3.getMessage.contains("draw"))
+  }
+
+  test("weightedSample at roundTo=12 stays proportional for ~1e5 weights") {
+    // weights far past the 6-dp grid's ~1e3 envelope: at roundTo=6 the
+    // draws collapse into tie classes broken by ascending id (a
+    // small-id-biased tail); at 12 the grid resolves them. Heavy
+    // weights must win far more often than light ones.
+    val df = (1L to 400L).map { i =>
+      (i, if (i % 2 == 0) 200000.0 else 2000.0)
+    }.toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 80, roundTo = 12)
+      .collect().map(_.getLong(0))
+    val heavy = picked.count(_ % 2 == 0)
+    assert(heavy > 70, s"heavy-weight rows won only $heavy/80 draws")
+    // and the draw column genuinely resolves at the finer grid: the
+    // top-80 draws are distinct, not id-ordered tie runs
+    val draws = Sampling.weightedSample(df, "id", "w", 80, roundTo = 12)
+      .collect().map(_.getDouble(2))
+    assert(draws.distinct.length > 70, "draws collapsed into tie classes")
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")

@@ -410,6 +410,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e(5L) === 0.0)
   }
 
+  test("charEntropy: NULL text is NULL, not the single-symbol band") {
+    val df = Seq((1L, null: String), (2L, "aaaa"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(1L) === None)       // missing doc: no entropy claim at all
+    assert(rows(2L) === Some(0.0))  // genuine single-symbol run
+    assert(rows(3L) === Some(0.0))  // genuinely empty keeps the convention
+  }
+
   test("charEntropy: natural text sits above templated junk") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
