@@ -9,6 +9,10 @@ object Bench {
     val spark = GraftSession.tune(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        // test tables are single-file single-row-group parquet, which
+        // scans as ONE task; the floor restores scan parallelism (no-op
+        // on real multi-row-group lakes — see Tables.withScanFloor)
+        .config("spark.graft.scan.minPartitions", cpus)
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

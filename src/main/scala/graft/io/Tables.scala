@@ -21,6 +21,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Opt-in scan-parallelism floor, `spark.graft.scan.minPartitions`.
+    *
+    * A parquet file is splittable only at ROW-GROUP boundaries; a table
+    * written as one file with one row group scans as ONE task, and every
+    * map-side operator downstream (shingling, regex scrubbing, entropy
+    * folds) runs on a single core no matter how many the session has —
+    * `spark.sql.files.maxPartitionBytes` cannot help because byte-range
+    * splits still route the lone row group to one task. When this conf
+    * is set and the scan plans fewer partitions, the read is followed by
+    * one `repartition` so per-row work uses the session's cores. At
+    * cluster scale a real lake has thousands of row groups, the
+    * condition is false, and the scan stays shuffle-free — which is why
+    * this is a floor, not an unconditional repartition. Unset = never.
+    */
+  def withScanFloor(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.scan.minPartitions").map(_.toInt) match {
+      case Some(n) if n > 1 && df.rdd.getNumPartitions < n => df.repartition(n)
+      case _ => df
+    }
+
   /** Parquet scan of a named table under `dir`. Splittable + columnar:
     * at cluster scale each file splits into `maxPartitionBytes` tasks and
     * the vectorized reader only materializes referenced columns.
@@ -50,7 +70,15 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  /** The documents table opts into the scan floor: its consumers are
+    * per-row CPU-heavy (shingling, regex scrubs, entropy folds, token
+    * hashing), so one narrow exchange buys back a fully-parallel map
+    * side. The numeric tables stay natural — their per-row work is
+    * cheap enough that the extra exchange costs more than it returns
+    * (measured: documents queries −3 to −20×, lineitem queries +0.5-1 s).
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    withScanFloor(spark, table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** Register every test table as a temp view so `spark.sql` works over
