@@ -807,15 +807,33 @@ object SparkEntry {
           col("top_bigram"),
           round(col("top_bigram_frac"), 6).as("top_bigram_frac"))),
 
-    // --- TRUE greedy sequence packing (never exceeds the budget except
-    // single oversize docs; rows-only — the greedy recurrence is not
-    // SQL-expressible; invariants pinned in TextAnalysisSpec).
-    "q81_packing" -> ((s, dir) =>
+    // --- TRUE greedy sequence packing. The pack ids themselves are a
+    // sequential greedy recurrence (not SQL-expressible; the exact
+    // sequence is pinned in TextAnalysisSpec), so the REGISTERED query
+    // emits the per-group invariant summary an oracle CAN check
+    // independently from the input: every doc packed exactly once
+    // (n_docs), tokens conserved (total_tokens), no multi-doc pack over
+    // budget (overfull_packs = 0), oversize docs always isolated
+    // (oversize_shared_packs = 0, and exactly one pack per oversize
+    // doc). A dropped doc, double assignment, overfilled bin, or
+    // oversize-sharing bug all flip a column.
+    "q81_packing" -> ((s, dir) => {
+      val budget = 2000L
       graft.ext.TextAnalysis.packGreedy(
-          Tables.documents(s, dir), "doc_id", "text", "lang", budgetTokens = 2000L)
+          Tables.documents(s, dir), "doc_id", "text", "lang", budgetTokens = budget)
         .groupBy("group", "pack")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("pack_tokens"))),
+          sum(col("n_tokens")).as("pack_tokens"),
+          max((col("n_tokens") > budget).cast("long")).as("has_oversize"))
+        .groupBy("group")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          sum(when(col("n_docs") > 1 && col("pack_tokens") > budget, 1L)
+            .otherwise(0L)).as("overfull_packs"),
+          sum(when(col("has_oversize") === 1L && col("n_docs") > 1, 1L)
+            .otherwise(0L)).as("oversize_shared_packs"),
+          sum(col("has_oversize")).as("oversize_packs"))
+    }),
 
     // --- C4-style corpus-wide line dedup: each distinct line keeps its
     // first (doc_id, pos) occurrence; later occurrences are removed and
@@ -1930,6 +1948,24 @@ object SparkEntry {
         |       ROWS UNBOUNDED PRECEDING) - n_tokens) AS cum
         |  FROM t)
         |SELECT doc_id, lang, n_tokens FROM c WHERE cum < 3000""".stripMargin,
+    // Packing invariants, computed from the INPUT independently of the
+    // greedy pack assignment: doc and token conservation come from the
+    // raw table; the violation counters are identically zero for any
+    // correct packing; oversize isolation means exactly one pack per
+    // oversize (> budget) doc.
+    "q81_packing" ->
+      """WITH t AS (
+        |  SELECT lang AS "group",
+        |    coalesce(CAST(len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0)) AS BIGINT), 0) AS n
+        |  FROM documents)
+        |SELECT "group", count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(0 AS BIGINT) AS overfull_packs,
+        |  CAST(0 AS BIGINT) AS oversize_shared_packs,
+        |  CAST(sum(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oversize_packs
+        |FROM t GROUP BY 1""".stripMargin,
     "q79_skew" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS count,
         |  round(count(*) * 1.0 /

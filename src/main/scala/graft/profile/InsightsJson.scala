@@ -46,11 +46,31 @@ object InsightsJson {
       s""""frequent_values":$freq}"""
   }
 
+  /** `AISummary` in the reference's snake_case response shape
+    * (`response.rs:50-71`). */
+  def aiJson(a: graft.model.AISummary): String = {
+    val recs = a.actionableRecommendations.map(r =>
+      s"""{"recommendation":${esc(r.recommendation)},""" +
+        s""""rationale":${esc(r.rationale)}}""").mkString("[", ",", "]")
+    val vizzes = a.visualizationRecommendations.map(v =>
+      s"""{"chart_type":${esc(v.chartType)},"title":${esc(v.title)},""" +
+        s""""description":${esc(v.description)},""" +
+        s""""columns":${arr(v.columns)}}""").mkString("[", ",", "]")
+    s"""{"summary":${esc(a.summary)},""" +
+      s""""key_insights":${arr(a.keyInsights)},""" +
+      s""""actionable_recommendations":$recs,""" +
+      s""""visualization_recommendations":$vizzes}"""
+  }
+
   /** Full Insights document (reference `Insights`, `response.rs:74-80`).
-    * `ai_analysis` is emitted as an explicit null for shape parity: the
-    * field exists in the reference response, but its content is an LLM
-    * call — a driver-side concern the engine deliberately excludes. */
-  def render(ins: Insights): String = {
+    * `ai_analysis` is null when absent, for shape parity: the field
+    * exists in the reference response, but filling it is an LLM call —
+    * a driver-side concern the engine deliberately excludes. A driver
+    * that ran one passes the result (typically through
+    * [[graft.model.AISummary.validated]]) and gets the reference's
+    * serialized shape back. */
+  def render(ins: Insights,
+             aiAnalysis: Option[graft.model.AISummary] = None): String = {
     val ds = ins.dataSummary
     val summary =
       s"""{"row_count":${ds.rowCount},"column_count":${ds.columnCount},""" +
@@ -61,7 +81,8 @@ object InsightsJson {
     val cols = ins.columnStatistics.map(colJson).mkString("[", ",", "]")
     val corr = ins.correlations.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${esc(k)}:${esc(f"$v%.4f")}" }.mkString("{", ",", "}")
+    val ai = aiAnalysis.map(aiJson).getOrElse("null")
     s"""{"data_summary":$summary,"column_statistics":$cols,""" +
-      s""""correlations":$corr,"ai_analysis":null}"""
+      s""""correlations":$corr,"ai_analysis":$ai}"""
   }
 }

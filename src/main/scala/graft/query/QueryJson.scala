@@ -117,4 +117,78 @@ object QueryJson {
     }
     mapper.writeValueAsString(root)
   }
+
+  /** Chart.js-style visualization payload for a query result — the
+    * reference's post-query chart assembly
+    * (`/root/reference/src/services/conversation.rs:188-286`):
+    * numeric columns → bar chart of their averages; otherwise the first
+    * string column → bar chart of its value counts; otherwise a table
+    * config. Output shape matches the reference exactly:
+    * `{"type":"bar","data":{"labels":[...],"datasets":[{"label":...,
+    * "data":[...]}]},"options":{}}`.
+    *
+    * Where the reference iterates its ≤100-row JSON sample driver-side,
+    * the aggregates here are the DISTRIBUTED A13/A14 ops
+    * ([[QueryCompiler.vizNumericAverages]] / [[QueryCompiler.vizValueCounts]])
+    * over the full table — only the chart-sized result is collected.
+    * The chooser reads the schema, not sampled values (a numeric column
+    * is numeric by type; the reference's parse-a-string-cell heuristic
+    * exists because its pipeline is stringly typed). Value counts keep
+    * the top `maxLabels` bars (count desc, label asc — deterministic,
+    * unlike the reference's map-iteration order); the table fallback
+    * keeps `maxLabels` rows, mirroring the reference's 100-row viz cap.
+    */
+  def vizPayload(df: org.apache.spark.sql.DataFrame,
+                 maxLabels: Int = 100): String = {
+    import org.apache.spark.sql.types.StringType
+    val root = mapper.createObjectNode()
+    val numeric = df.schema.fields
+      .collect { case f if QueryCompiler.isNumeric(f.dataType) => f.name }
+    val strings = df.schema.fields
+      .collect { case f if f.dataType == StringType => f.name }
+    if (numeric.nonEmpty) {
+      val row = QueryCompiler.vizNumericAverages(df, numeric.toSeq).head()
+      root.put("type", "bar")
+      val data = root.putObject("data")
+      val labels = data.putArray("labels")
+      numeric.foreach(labels.add)
+      val ds = data.putArray("datasets").addObject()
+      ds.put("label", "Average")
+      val vals = ds.putArray("data")
+      numeric.indices.foreach { i =>
+        // a column of all-null cells averages to SQL NULL; the reference
+        // emits 0.0 there (count == 0 branch, conversation.rs:216-220)
+        if (row.isNullAt(i)) vals.add(0.0) else vals.add(row.getDouble(i))
+      }
+      root.putObject("options")
+    } else if (strings.nonEmpty) {
+      val c = strings.head
+      val counts = QueryCompiler.vizValueCounts(df, c).limit(maxLabels).collect()
+      root.put("type", "bar")
+      val data = root.putObject("data")
+      val labels = data.putArray("labels")
+      val ds = data.putArray("datasets").addObject()
+      ds.put("label", s"$c count")
+      val vals = mapper.createArrayNode()
+      counts.foreach { r =>
+        labels.add(if (r.isNullAt(0)) null else r.getString(0))
+        vals.add(r.getLong(1))
+      }
+      ds.set[JsonNode]("data", vals)
+      root.putObject("options")
+    } else {
+      // no chartable columns: table config (conversation.rs:271-286)
+      root.put("type", "table")
+      val data = root.putObject("data")
+      val cols = data.putArray("columns")
+      df.columns.foreach(cols.add)
+      val rows = data.putArray("rows")
+      df.limit(maxLabels).collect().foreach { r =>
+        val arr = rows.addArray()
+        df.columns.indices.foreach(i => arr.add(String.valueOf(r.get(i))))
+      }
+      root.putObject("options")
+    }
+    mapper.writeValueAsString(root)
+  }
 }

@@ -27,6 +27,37 @@ class ApiSpec extends SparkSpec {
     assert(parsed.columns.sorted === Array("dbl", "id"))
   }
 
+  test("vizPayload: numeric path is the reference's averages bar chart") {
+    val df = Seq((1.0, 10L, "a"), (3.0, 30L, "b")).toDF("x", "y", "s")
+    val json = graft.query.QueryJson.vizPayload(df)
+    assert(json ===
+      """{"type":"bar","data":{"labels":["x","y"],""" +
+        """"datasets":[{"label":"Average","data":[2.0,20.0]}]},"options":{}}""")
+  }
+
+  test("vizPayload: categorical path counts the first string column") {
+    val df = Seq(("a", "z"), ("b", "z"), ("a", "z")).toDF("k", "k2")
+    val json = graft.query.QueryJson.vizPayload(df)
+    assert(json ===
+      """{"type":"bar","data":{"labels":["a","b"],""" +
+        """"datasets":[{"label":"k count","data":[2,1]}]},"options":{}}""")
+  }
+
+  test("vizPayload: no chartable columns falls back to a table config") {
+    val df = Seq(Tuple1(Array(1.0))).toDF("v")
+    val json = graft.query.QueryJson.vizPayload(df)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("type").asText() === "table")
+    assert(node.at("/data/columns/0").asText() === "v")
+    assert(node.at("/data/rows").size() === 1)
+  }
+
+  test("vizPayload: all-null numeric column averages to 0.0 like the reference") {
+    val df = Seq((None: Option[Double], "a")).toDF("x", "s")
+    val json = graft.query.QueryJson.vizPayload(df)
+    assert(json.contains(""""data":[0.0]"""))
+  }
+
   test("json file sink round-trips") {
     val dir = Files.createTempDirectory("graft-json").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
@@ -53,6 +84,33 @@ class ApiSpec extends SparkSpec {
     assert(row.getString(3) === "2.00") // "%.2f" string at the edge
     assert(parsed.selectExpr("correlations.`v-w`").collect().head.getString(0)
       === "1.0000") // perfectly linear fixture
+  }
+
+  test("AISummary: fallback policy and serialized shape match the reference") {
+    import graft.model.{AISummary, VisualizationRecommendation}
+    // empty result and outright failure both resolve to the fallback
+    val empty = AISummary("  ", Nil, Nil, Nil)
+    assert(empty.isEmpty)
+    val fb = AISummary.validated(Some(empty), Some("AI timeout after 15 seconds (attempt 2)"))
+    assert(fb.summary === "AI analysis could not be generated at this time. " +
+      "Last error: AI timeout after 15 seconds (attempt 2)")
+    assert(AISummary.validated(None).summary.endsWith("Last error: Unknown"))
+    assert(fb.keyInsights === Seq("No insights could be generated from the data."))
+    // a real summary passes through untouched
+    val real = AISummary("sales trend up", Seq("k1"), Nil,
+      Seq(VisualizationRecommendation("bar", "t", "d", Seq("a", "b"))))
+    assert(AISummary.validated(Some(real)) === real)
+    // serialized inside the Insights document with reference field names
+    val df = Seq((1.0, "x")).toDF("v", "c")
+    val json = graft.profile.InsightsJson.render(Profiler.profile(df), Some(real))
+    val parsed = spark.read.json(Seq(json).toDS())
+    val row = parsed.selectExpr("ai_analysis.summary",
+      "ai_analysis.key_insights", "ai_analysis.visualization_recommendations[0].chart_type",
+      "ai_analysis.visualization_recommendations[0].columns").collect().head
+    assert(row.getString(0) === "sales trend up")
+    assert(row.getSeq[String](1) === Seq("k1"))
+    assert(row.getString(2) === "bar")
+    assert(row.getSeq[String](3) === Seq("a", "b"))
   }
 
   test("partitioned parquet lake write: one directory per partition key") {
