@@ -25,9 +25,32 @@ import graft.model.ColumnOperation._
   */
 object NLTranslator {
 
-  def translate(text: String, schema: StructType): StructuredQuery = {
+  def translate(text: String, schema: StructType): StructuredQuery =
+    translateWith(text, schema, Seq.empty)
+
+  /** History-aware translation — the reference feeds the conversation
+    * history into its translation prompt (`query_translator.rs:109-142`,
+    * consumed at `services/conversation.rs:91-112`); the rule-based
+    * analog here: a follow-up that names NO column ("and the average?")
+    * inherits the column focus of the most recent turn that named one.
+    * A query that names its own columns ignores history entirely. */
+  def translate(text: String, context: ConversationContext): StructuredQuery = {
+    val schema = context.datasetMetadata.toStructType
+    val inherited =
+      if (mentionedColumns(text.toLowerCase, schema).nonEmpty) Seq.empty
+      else context.history.reverseIterator
+        .map(t => mentionedColumns(t.query.toLowerCase, schema))
+        .find(_.nonEmpty).getOrElse(Seq.empty)
+    translateWith(text, schema, inherited)
+  }
+
+  private def translateWith(text: String, schema: StructType,
+                            inherited: Seq[String]): StructuredQuery = {
     val q = text.toLowerCase
-    val mentioned = mentionedColumns(q, schema)
+    val mentioned = {
+      val own = mentionedColumns(q, schema)
+      if (own.nonEmpty) own else inherited
+    }
 
     def numericCols: Seq[String] =
       schema.fields.filter(f => QueryCompiler.isNumeric(f.dataType)).map(_.name).toSeq

@@ -154,6 +154,32 @@ class NLTranslatorSpec extends SparkSpec {
     assert(q.operations === Seq(ColumnOperation.Mean("price")))
   }
 
+  test("conversation context: a bare follow-up inherits the last column focus") {
+    import graft.model.{ConversationContext, DatasetMetadata}
+    import java.time.Instant
+    val t0 = Instant.parse("2026-08-13T00:00:00Z")
+    val meta = DatasetMetadata(Seq("name", "price", "quantity"), 3L,
+      Map("name" -> "string", "price" -> "double", "quantity" -> "double"))
+    // the schema card round-trips (names + types; DDL is always nullable)
+    assert(meta.toStructType.fields.map(f => (f.name, f.dataType)).toSeq
+      === schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val ctx = ConversationContext.create("c1", "job1", meta, t0)
+      .addTurn("what is the mean quantity?", "2.0", t0.plusSeconds(1))
+    // follow-up with no column of its own: quantity, not the price fallback
+    val q = NLTranslator.translate("and the total?", ctx)
+    assert(q.operations === Seq(ColumnOperation.Sum("quantity")))
+    // a follow-up naming its own column ignores history
+    val q2 = NLTranslator.translate("and the total price?", ctx)
+    assert(q2.operations === Seq(ColumnOperation.Sum("price")))
+    // no history: plain schema translation (numeric fallback)
+    val fresh = ConversationContext.create("c2", "job1", meta, t0)
+    assert(NLTranslator.translate("and the total?", fresh).operations
+      === Seq(ColumnOperation.Sum("price")))
+    // addTurn is immutable and advances updatedAt
+    assert(ctx.history.size === 1 && fresh.history.isEmpty)
+    assert(ctx.updatedAt === t0.plusSeconds(1) && ctx.createdAt === t0)
+  }
+
   test("'<agg> X by Y' produces a grouped aggregate") {
     import ColumnOperation._
     val q = NLTranslator.translate("average price by name", schema)
