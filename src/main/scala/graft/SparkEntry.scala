@@ -957,6 +957,20 @@ object SparkEntry {
       graft.ext.TextAnalysis.unigramSurprisal(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // --- Bigram-LM surprisal: −avg ln p̂(w2|w1), add-one smoothed —
+    // the order-sensitive companion gate (word-salad built from common
+    // words scores high here while passing the unigram gate).
+    "q107_bigram_surprisal" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // --- Scalar-quantization audit: int8 encode/decode on per-dim
+    // min/max bounds (broadcast back onto the scan; map-side encode),
+    // reporting the code checksum + reconstruction error per vector.
+    "q106_quantize_int8" -> ((s, dir) =>
+      graft.ext.Similarity.quantizeInt8(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
     // --- Weighted sampling (Efraimidis-Spirakis): a 50-doc draw
     // proportional to document length, reproducible from (salt, id).
     "q98_weighted_sample" -> ((s, dir) =>
@@ -2085,6 +2099,62 @@ object SparkEntry {
         |    AS surprisal
         |FROM tf JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    "q107_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([struct_pack(w1 := ts[i], b := ts[i] || ' ' || ts[i+1])
+        |      FOR i IN range(1, len(ts))]) AS p
+        |  FROM toks WHERE len(ts) >= 2),
+        |tf AS (
+        |  SELECT doc_id, p.w1 AS w1, p.b AS b, count(*) AS tf
+        |  FROM bg GROUP BY 1, 2, 3),
+        |cb AS (SELECT b, sum(tf) AS cb FROM tf GROUP BY 1),
+        |cu AS (
+        |  SELECT term, count(*) AS cu FROM (
+        |    SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
+        |tot AS (SELECT count(*) AS v FROM cu)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(0.0 - sum(tf * ln((cb + 1.0) / (cu + v))) / sum(tf), 4)
+        |    AS bigram_surprisal
+        |FROM tf JOIN cb USING (b) JOIN cu ON tf.w1 = cu.term
+        |CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+    "q106_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |b AS (
+        |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM e, unnest(generate_series(1, 64)) t(i) GROUP BY 1),
+        |bb AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM b),
+        |q AS (
+        |  SELECT vec_id, v, mns, mxs,
+        |    [CASE WHEN mxs[i] > mns[i]
+        |       THEN round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0)
+        |       ELSE 0.0 END FOR i IN range(1, 65)] AS codes
+        |  FROM e, bb),
+        |d AS (
+        |  SELECT vec_id, v, codes,
+        |    [mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0
+        |      FOR i IN range(1, 65)] AS dq
+        |  FROM q)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  round(list_aggregate([(v[i] - dq[i]) * (v[i] - dq[i])
+        |      FOR i IN range(1, 65)], 'sum') / 64.0, 6) AS mse,
+        |  round(list_aggregate([v[i] * dq[i] FOR i IN range(1, 65)], 'sum')
+        |    / (sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, 65)], 'sum'))
+        |     * sqrt(list_aggregate([dq[i] * dq[i] FOR i IN range(1, 65)], 'sum'))),
+        |    6) AS cos_q
+        |FROM d""".stripMargin,
     "q101_wav_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN text IS NOT NULL AND doc_id % 3 = 1 THEN 2 END AS channels,

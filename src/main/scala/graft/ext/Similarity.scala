@@ -361,4 +361,74 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
   }
+
+  // --------------------------------------------------------------------
+  // Scalar quantization (int8-style compression audit)
+  // --------------------------------------------------------------------
+
+  /** Per-vector scalar-quantization audit: each embedding is encoded to
+    * `levels`+1 integer codes on a per-DIMENSION min/max grid (the
+    * standard int8 compression an ANN index applies before storing 10⁹
+    * vectors — 4× memory vs float32, which at 100 TB of embeddings is
+    * the difference between in-RAM and not), then decoded, and the
+    * output reports what the compression did to each vector:
+    * `code_sum` (an order-free checksum of the codes themselves),
+    * `mse` (mean squared reconstruction error), and `cos_q` (cosine of
+    * the vector with its own reconstruction — the metric that predicts
+    * ANN recall loss).
+    *
+    * Scale shape: the dim-sized min/max table is ONE aggregation
+    * (posexplode → per-pos min/max → one row of bounds arrays) and
+    * BROADCASTS back onto the scan; encode/decode/error are a map-side
+    * projection — the corpus never shuffles. Per-dimension bounds, not
+    * global: one wild dimension would otherwise crush the resolution of
+    * every other.
+    *
+    * Determinism: min/max are exact; encode/decode use only +,−,×,/ and
+    * round — IEEE correctly-rounded, so an external SQL oracle replays
+    * every code and both metrics exactly (final metrics rounded at 6 dp
+    * to absorb sum-order ulps, the q97 convention). A constant
+    * dimension (mx == mn) encodes to 0 and decodes to mn exactly.
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String, dim: Int,
+                   levels: Int = 255): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    require(levels >= 1, "levels must be >= 1")
+    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val bounds = rows
+      .select(posexplode(col("v")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    val L = lit(levels.toDouble)
+    def mn(i: Column) = element_at(col("mns"), i + 1)
+    def mx(i: Column) = element_at(col("mxs"), i + 1)
+    def x(i: Column) = element_at(col("v"), i + 1)
+    val idx = sequence(lit(0), lit(dim - 1))
+    val codes = transform(idx, i =>
+      when(mx(i) > mn(i), round((x(i) - mn(i)) / (mx(i) - mn(i)) * L))
+        .otherwise(lit(0.0)))
+    val deq = (cs: Column) => transform(idx, i =>
+      mn(i) + element_at(cs, i + 1) * (mx(i) - mn(i)) / L)
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("codes", codes)
+      .withColumn("dq", deq(col("codes")))
+      .select(col("id").as(id),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long"))
+          .as("code_sum"),
+        round(aggregate(
+            sequence(lit(0), lit(dim - 1)), lit(0.0),
+            (a, i) => a + (x(i) - element_at(col("dq"), i + 1)) *
+              (x(i) - element_at(col("dq"), i + 1))) / lit(dim.toDouble), 6)
+          .as("mse"),
+        round(dot(col("v"), col("dq")) /
+            (graft.functions.Vectors.norm(col("v")) *
+             graft.functions.Vectors.norm(col("dq"))), 6)
+          .as("cos_q"))
+  }
 }

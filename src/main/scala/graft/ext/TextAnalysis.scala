@@ -812,6 +812,55 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Mean bigram surprisal per document: −avg ln p̂(w₂|w₁) with
+    * add-one-smoothed conditional probabilities p̂(w₂|w₁) =
+    * (count(w₁w₂)+1) / (count(w₁)+V) — the order-sensitive companion to
+    * [[unigramSurprisal]]: template spam that merely REUSES common
+    * words in unnatural sequences scores high here while sailing past
+    * the unigram gate, and word-salad gibberish is separated from prose
+    * built of the same vocabulary. Documents with fewer than two tokens
+    * have no bigrams and are excluded (the q97 zero-token convention).
+    *
+    * Scale shape: the bigram explode collapses immediately into the
+    * per-(doc, bigram) frequency table — one row per DISTINCT bigram
+    * per doc — and that aggregated stream is what joins the (vocabulary²
+    * -bounded, in practice corpus-sparse) bigram-count table and the
+    * vocabulary-sized context-count table; V rides in as a broadcast
+    * one-row aggregate. Same candidate-stream discipline as
+    * [[unigramSurprisal]] (SCALE.md): nothing per-token-occurrence ever
+    * shuffles.
+    */
+  def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    val bigrams = df.filter(col(text).isNotNull)
+      .select(col(id).as("id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1)).as("bg")))).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val tf = bigrams.groupBy("id", "w1", "bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val cb = tf.groupBy("bg").agg(sum(col("tf")).as("cb"))
+    val cu = termStream(df, id, text)
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = false)
+    val totals = cu.agg(count(lit(1)).as("v"))
+    tf.join(cb, Seq("bg"))
+      .join(cu, col("w1") === col("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id").as(id))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        // 0.0 - x: the unary-minus −0.0 repr trap (q97 convention)
+        round(lit(0.0) -
+            sum(col("tf") * log((col("cb") + 1.0) / (col("cu") + col("v"))))
+            / sum(col("tf")), 4)
+          .as("bigram_surprisal"))
+  }
+
   // --------------------------------------------------------------------
   // Document fingerprinting (rolling hash)
   // --------------------------------------------------------------------

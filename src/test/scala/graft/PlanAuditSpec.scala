@@ -85,9 +85,15 @@ class PlanAuditSpec extends SparkSpec {
   //  - q92_knn: the neighbor stage is q20's broadcast-queries pattern
   //    (tiny query set, non-equi id != qid); shuffle stays bounded at
   //    queries × partitions × k by the TopKAgg heap.
+  //  - q106_quantize_int8: the dim-sized (one-row) min/max bounds
+  //    aggregate crossJoins (broadcast) back onto the scan — the same
+  //    single-row-extent pattern as q71/q79/q97.
+  //  - q107_bigram_surprisal: the one-row vocabulary-size aggregate (V)
+  //    crossJoins onto the aggregated (doc, bigram) stream.
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
-      "q91_tfidf", "q92_knn", "q97_surprisal")
+      "q91_tfidf", "q92_knn", "q97_surprisal",
+      "q106_quantize_int8", "q107_bigram_surprisal")
 
   test("q94 (nfc normalize): pure projection, zero exchanges") {
     assert(exchanges(plan("q94_nfc")) === 0,

@@ -176,6 +176,43 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("quantizeInt8: corner vectors reconstruct exactly, constant dims are safe") {
+    val df = Seq(
+      (1L, Array(0.0f, 10.0f, 7.0f)),   // per-dim min / max / constant
+      (2L, Array(1.0f, 0.0f, 7.0f)),    // per-dim max / min / constant
+      (3L, Array(0.5f, 2.5f, 7.0f))     // interior point
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding", dim = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // corners land on grid points: zero error, perfect cosine; the
+    // constant dim (mx == mn) codes to 0 and decodes to mn exactly
+    assert(out(1L) === ((0L + 255L + 0L, 0.0, 1.0)))
+    assert(out(2L) === ((255L + 0L + 0L, 0.0, 1.0)))
+    // interior: codes are round(0.5*255)=128 and round(0.25*255)=64
+    val (cs3, mse3, cos3) = out(3L)
+    assert(cs3 === 128L + 64L)
+    val d0 = 0.5 - 128.0 / 255.0
+    val d1 = 2.5 - 64.0 * 10.0 / 255.0
+    assert(mse3 === BigDecimal((d0 * d0 + d1 * d1 + 0.0) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cos3 > 0.999 && cos3 <= 1.0)
+  }
+
+  test("quantizeInt8 on real embeddings: codes bounded, reconstruction tight") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.quantizeInt8(real, "vec_id", "embedding", dim = 64)
+      .collect()
+    assert(rows.length === real.count())
+    rows.foreach { r =>
+      val (cs, mse, cos) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(cs >= 0L && cs <= 255L * 64L)
+      assert(mse >= 0.0)
+      // 8-bit per-dim grids keep the reconstruction essentially parallel
+      assert(cos > 0.999, s"vec ${r.getLong(0)} cos_q $cos")
+    }
+  }
+
   test("labelCentroidVectors reassembles dims in order") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = Similarity.labelCentroidVectors(real, "embedding", "label")

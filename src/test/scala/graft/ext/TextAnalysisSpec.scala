@@ -450,6 +450,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(100L) > s(1L) + 1.0, s"rare ${s(100L)} vs spam ${s(1L)}")
   }
 
+  test("bigramSurprisal matches the hand-computed conditional model") {
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // unigram contexts: a=3 b=2 x=1, V=3; bigrams: "a b"=1, "b a"=2
+    // doc1: -[ln((1+1)/(3+3)) + ln((2+1)/(2+3))]/2; doc2: -ln(3/5)
+    val s = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(s(1L) === ((2L, BigDecimal(
+        -(math.log(2.0 / 6.0) + math.log(3.0 / 5.0)) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(s(2L) === ((1L, BigDecimal(-math.log(3.0 / 5.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(!s.contains(3L), "a one-token doc has no bigrams")
+  }
+
+  test("bigramSurprisal: scrambled word order scores above natural order") {
+    // same vocabulary, same unigram counts — only the ORDER differs;
+    // the natural phrase repeats its bigrams, the scrambles don't
+    val phrase = "the cat sat on the mat"
+    val natural = (1 to 10).map(i => (i.toLong, phrase))
+    val scrambled = Seq(
+      (100L, "mat the on sat cat the"),
+      (101L, "sat mat the cat on the"))
+    val df = (natural ++ scrambled).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(100L) > s(1L) && s(101L) > s(1L),
+      s"scrambled ${s(100L)}/${s(101L)} vs natural ${s(1L)}")
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
