@@ -957,6 +957,15 @@ object SparkEntry {
       graft.ext.TextAnalysis.unigramSurprisal(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // --- Mixture rebalancing plan: the per-language keep fractions
+    // realizing the LARGEST corpus with exactly the target shares
+    // (bottleneck rule: T = min available/target). zh untargeted ->
+    // dropped (0.0); de is the binding constraint at these shares.
+    "q108_mixture_plan" -> ((s, dir) =>
+      graft.ext.Sampling.mixturePlan(
+        Tables.documents(s, dir), "lang", "n_chars",
+        Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1))),
+
     // --- Bigram-LM surprisal: −avg ln p̂(w2|w1), add-one smoothed —
     // the order-sensitive companion gate (word-salad built from common
     // words scores high here while passing the unigram gate).
@@ -2099,6 +2108,25 @@ object SparkEntry {
         |    AS surprisal
         |FROM tf JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    "q108_mixture_plan" ->
+      """WITH a AS (
+        |  SELECT lang AS g, CAST(sum(n_chars) AS DOUBLE) AS available,
+        |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.2
+        |      WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.1 END AS DOUBLE) AS ts
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT min(available / ts) AS t_max, sum(ts) AS covered
+        |  FROM a WHERE ts IS NOT NULL)
+        |SELECT g AS lang, available,
+        |  coalesce(ts, 0.0) AS target_share,
+        |  CASE WHEN ts IS NULL THEN 0.0
+        |       WHEN covered < 1.0 - 0.000001 THEN NULL
+        |       ELSE round(ts * t_max / available, 6) END AS keep_frac,
+        |  CASE WHEN ts IS NULL THEN 0.0
+        |       WHEN covered < 1.0 - 0.000001 THEN NULL
+        |       ELSE round(ts * t_max, 4) END AS kept
+        |FROM a, b""".stripMargin,
     "q107_bigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -83,6 +83,68 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mixture rebalancing plan: given target proportions per group
+    * (language, source, domain), compute the per-group keep fractions
+    * that realize the LARGEST corpus with exactly the target mixture —
+    * the planning step before every "rebalance the training mix" job.
+    *
+    * The bottleneck rule: the achievable total is
+    * T = min over targeted groups of available_g / target_g (the group
+    * whose supply runs out first caps everything), and each group then
+    * keeps target_g · T / available_g of its weight. Groups absent from
+    * `targets` get fraction 0 (dropped from the mix) — pass them
+    * explicitly to keep them. A targeted group with NO corpus supply
+    * makes the mixture infeasible: every targeted group then reports
+    * NULL keep_frac/kept (NULL, not 0.0 — "impossible", distinct from
+    * "dropped") so the caller cannot silently sample a skewed mix.
+    * Output per group:
+    * `available` (current weight), `target_share`, `keep_frac`
+    * (6 dp, the input [[stratifiedHashSample]] wants), `kept` (weight
+    * retained, 4 dp).
+    *
+    * Scale shape: one partial-aggregated groupBy over the corpus (the
+    * weight totals), then the group-count-sized plan table computes the
+    * bottleneck via a one-row broadcast min — the corpus is scanned
+    * once and never shuffled beyond the group agg. Deterministic: the
+    * only float ops are ·,/ (correctly-rounded IEEE), so a SQL oracle
+    * replays the plan exactly.
+    */
+  def mixturePlan(df: DataFrame, groupCol: String, weightCol: String,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "at least one target share")
+    require(targets.values.forall(v => v > 0.0),
+      s"target shares must be positive: $targets")
+    val shareSum = targets.values.sum
+    require(math.abs(shareSum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $shareSum")
+    val share = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, p)) =>
+        when(col("group") === lit(g), lit(p)).otherwise(acc)
+    }
+    val avail = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol).as("group"))
+      .agg(sum(col(weightCol)).cast("double").as("available"))
+      .withColumn("target_share", share)
+    // the bottleneck total: min available/target over targeted groups
+    // (a targeted group with no rows is absent here — handled below by
+    // the zero-coverage convention: T over present groups only)
+    val bottleneck = avail.filter(col("target_share").isNotNull)
+      .agg(min(col("available") / col("target_share")).as("t_max"),
+        sum(col("target_share")).as("covered"))
+    avail.crossJoin(broadcast(bottleneck))
+      .select(col("group").as(groupCol),
+        col("available"),
+        coalesce(col("target_share"), lit(0.0)).as("target_share"),
+        when(col("target_share").isNull, lit(0.0))
+          .when(col("covered") < 1.0 - 1e-6, lit(null).cast("double"))
+          .otherwise(round(col("target_share") * col("t_max")
+            / col("available"), 6)).as("keep_frac"),
+        when(col("target_share").isNull, lit(0.0))
+          .when(col("covered") < 1.0 - 1e-6, lit(null).cast("double"))
+          .otherwise(round(col("target_share") * col("t_max"), 4)).as("kept"))
+  }
+
   /** Exact k-quantile bucket per row (`bucket` ∈ 1..k) via `ntile` over
     * a GLOBAL order. Correct and oracle-checkable, but the empty
     * partitionBy serializes the sort into one task — fine for

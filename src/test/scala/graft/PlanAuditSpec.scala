@@ -90,10 +90,12 @@ class PlanAuditSpec extends SparkSpec {
   //    single-row-extent pattern as q71/q79/q97.
   //  - q107_bigram_surprisal: the one-row vocabulary-size aggregate (V)
   //    crossJoins onto the aggregated (doc, bigram) stream.
+  //  - q108_mixture_plan: the one-row bottleneck (t_max, covered)
+  //    aggregate crossJoins onto the group-count-sized plan table.
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
       "q91_tfidf", "q92_knn", "q97_surprisal",
-      "q106_quantize_int8", "q107_bigram_surprisal")
+      "q106_quantize_int8", "q107_bigram_surprisal", "q108_mixture_plan")
 
   test("q94 (nfc normalize): pure projection, zero exchanges") {
     assert(exchanges(plan("q94_nfc")) === 0,

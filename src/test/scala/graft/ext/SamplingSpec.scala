@@ -261,6 +261,54 @@ class SamplingSpec extends SparkSpec {
     assert(s === Set(1L))
   }
 
+  test("mixturePlan: bottleneck group pins the total, shares realized exactly") {
+    val df = Seq(
+      ("en", 1000.0), ("en", 1000.0),   // available: en 2000
+      ("fr", 300.0),                    // fr 300  <- bottleneck at 0.2
+      ("zh", 500.0)                     // untargeted -> dropped
+    ).toDF("lang", "w")
+    val plan = Sampling.mixturePlan(df, "lang", "w",
+        Map("en" -> 0.8, "fr" -> 0.2))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // T = min(2000/0.8, 300/0.2) = 1500; en keeps 0.8*1500/2000 = 0.6
+    assert(plan("en") === ((2000.0, 0.8, Some(0.6), Some(1200.0))))
+    assert(plan("fr") === ((300.0, 0.2, Some(1.0), Some(300.0)))) // consumed
+    assert(plan("zh") === ((500.0, 0.0, Some(0.0), Some(0.0)))) // dropped, not null
+    // realized mixture is exactly the target: kept_en/kept_fr = 4
+    assert(plan("en")._4.get / plan("fr")._4.get === 4.0)
+  }
+
+  test("mixturePlan: a targeted group with no supply reports NULL, not zero") {
+    val df = Seq(("en", 100.0)).toDF("lang", "w")
+    val plan = Sampling.mixturePlan(df, "lang", "w",
+        Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.isNullAt(3), r.isNullAt(4))).toMap
+    // fr has no corpus rows: the mixture is infeasible — en must NOT
+    // silently keep anything (a 0.0 would read as "dropped by plan")
+    assert(plan("en") === ((true, true)))
+  }
+
+  test("mixturePlan fractions drive stratifiedHashSample to the target mix") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
+    val targets = Map("en" -> 0.5, "de" -> 0.5)
+    val plan = Sampling.mixturePlan(docs, "lang", "n_chars", targets)
+      .filter($"target_share" > 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val sampled = Sampling.stratifiedHashSample(
+        docs, "doc_id", "lang", plan, defaultFraction = 0.0)
+      .groupBy("lang").agg(sum($"n_chars").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet === Set("en", "de"))
+    val total = sampled.values.sum.toDouble
+    // hash sampling is ~proportional, not exact: generous band
+    assert(math.abs(sampled("en") / total - 0.5) < 0.15,
+      s"realized en share ${sampled("en") / total}")
+  }
+
   test("output-name collisions fail loudly instead of clobbering data") {
     val df = Seq((1L, 2.0, 9, 9)).toDF("id", "w", "shard", "draw")
     val e1 = intercept[IllegalArgumentException] {
