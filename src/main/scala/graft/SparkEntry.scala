@@ -1027,6 +1027,13 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpanStats(
         Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4)),
 
+    // --- Content-defined chunking dedup: cut points from window-digest
+    // mod, so copied blocks chunk identically at ANY alignment; the
+    // shuffled stream is one row per ~64-char CHUNK, not per position.
+    "q109_cdc_chunks" -> ((s, dir) =>
+      graft.ext.Dedup.cdcChunkStats(
+        Tables.documents(s, dir), "doc_id", "text", w = 8, avgChunk = 64)),
+
     // --- Embedding-drift monitor: per-label centroid cosine between
     // two corpus slices in ONE scan (parity joins the centroid groupBy
     // key; only labels × 2 × dim rows shuffle). FULL OUTER on label:
@@ -2195,6 +2202,50 @@ object SparkEntry {
         |    THEN (octet_length(encode(text)) * 1000)
         |      // ((doc_id % 64 + 1) * 1600 * 4) END AS duration_ms
         |FROM documents""".stripMargin,
+    "q109_cdc_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS t, length(text) AS n FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(text) > 0),
+        |cut AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n >= 8 THEN
+        |      [p + 7 FOR p IN range(1, n - 6)
+        |        IF ('0x' || substr(md5(t[p:p+7]), 1, 8))::BIGINT % 64 = 0]
+        |    ELSE [] END AS cuts
+        |  FROM base),
+        |sp AS (
+        |  SELECT doc_id, t,
+        |    list_concat([1], [c + 1 FOR c IN cuts]) AS ss,
+        |    list_concat(cuts, [n]) AS es
+        |  FROM cut),
+        |ch AS (
+        |  SELECT doc_id, md5(t[ss[i]:es[i]]) AS dg,
+        |    CAST(es[i] - ss[i] + 1 AS BIGINT) AS len
+        |  FROM sp, unnest(generate_series(1, len(ss))) u(i)
+        |  WHERE es[i] >= ss[i]),
+        |dup AS (SELECT dg FROM ch GROUP BY 1 HAVING count(*) >= 2),
+        |agg AS (
+        |  SELECT ch.doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN dup.dg IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS n_dup_chunks,
+        |    sum(CASE WHEN dup.dg IS NOT NULL THEN ch.len ELSE 0 END)
+        |      AS dup_chunk_chars
+        |  FROM ch LEFT JOIN dup ON ch.dg = dup.dg GROUP BY 1)
+        |SELECT d.doc_id, length(d.text) AS n_chars,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    ELSE coalesce(agg.n_chunks, 0) END AS n_chunks,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    ELSE coalesce(agg.n_dup_chunks, 0) END AS n_dup_chunks,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    ELSE coalesce(agg.dup_chunk_chars, 0) END AS dup_chunk_chars,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |    WHEN length(d.text) > 0 THEN
+        |      round(coalesce(agg.dup_chunk_chars, 0) * 1.0
+        |        / length(d.text), 6)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM documents d
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     "q102_dup_spans" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS len FROM documents),

@@ -559,6 +559,105 @@ object Dedup {
           .otherwise(0.0).as("dup_frac"))
   }
 
+  // --------------------------------------------------------------------
+  // Content-defined chunking (CDC) dedup
+  // --------------------------------------------------------------------
+
+  /** Chunk-level duplication stats via content-defined chunking (the
+    * LBFS/FastCDC idea): each document splits where the digest of the
+    * `w`-char window ending a position ≡ 0 (mod `avgChunk`) — the cut
+    * points are a function of CONTENT, so a span copied between
+    * documents (or shifted within one) chunks IDENTICALLY regardless of
+    * alignment, and chunk-digest equality finds it. Chunks average
+    * ~`avgChunk` chars. Per doc: `n_chunks`, `n_dup_chunks` (chunks
+    * whose content occurs ≥2 times corpus-wide), `dup_chunk_chars`, and
+    * the `dup_frac` gate. The granularity ladder this completes:
+    * doc-level exact (q15) → chunk-level (THIS — finds copied blocks
+    * without paying per-position state) → window-level
+    * [[duplicatedSpanStats]] (exact char coverage, one row per sampled
+    * position).
+    *
+    * Scale shape: boundary detection, span assembly, and chunk
+    * digesting are ALL array expressions inside the scan — the text
+    * never leaves its partition. The only exploded (and shuffled)
+    * stream is one (id, chunk_digest, chunk_len) row per CHUNK —
+    * ~avgChunk× narrower than the per-position stream of
+    * [[duplicatedSpanStats]] — which collapses to digest counts,
+    * semi-joins the survivors back, and partial-aggregates per doc.
+    * All digests are md5 (+ the same conv-arithmetic as q102), so a
+    * SQL oracle replays every boundary and every chunk digest exactly.
+    *
+    * Documents shorter than `w` form one whole-doc chunk (still
+    * dedupable doc-to-doc). Null ids are excluded and report NULL
+    * stats (NULL ≠ clean, the [[duplicatedSpanStats]] convention);
+    * null/empty texts report zero chunks.
+    */
+  def cdcChunkStats(df: DataFrame, id: String, text: String,
+                    w: Int = 8, avgChunk: Int = 64): DataFrame = {
+    require(w >= 2, s"window must be >= 2 chars, got $w")
+    require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
+    val t = col("t")
+    val n = length(t)
+    // boundary: window [p, p+w) digest ≡ 0 (mod avgChunk) — cut AFTER
+    // the window, so chunk spans are [start, bound+w) / [bound+w, ...).
+    // Docs shorter than w have NO windows (explicit branch: sequence(1,0)
+    // would count DOWN) and fall through to one whole-doc chunk.
+    val positions = when(n >= w, sequence(lit(1), n - (w - 1)))
+      .otherwise(array().cast("array<integer>"))
+    val bounds = filter(
+      transform(positions,
+        p => struct(p.as("p"),
+          pmod(conv(substring(md5(substr(t, p, lit(w))), 1, 8), 16, 10)
+            .cast(LongType), lit(avgChunk.toLong)).as("m"))),
+      s => s.getField("m") === 0L)
+    val cuts = transform(bounds, b => b.getField("p") + (w - 1))
+    // starts = 1 :: cuts+1; ends = cuts :: n — overlapping boundaries
+    // (within w of each other) produce empty spans, filtered below
+    val starts = concat(array(lit(1)), transform(col("cuts"), c => c + 1))
+    val ends = concat(col("cuts"), array(n))
+    val spans = filter(
+      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+      se => se.getField("e") >= se.getField("s"))
+    val chunks = transform(col("spans"), se =>
+      struct(md5(substr(t, se.getField("s"),
+          se.getField("e") - se.getField("s") + 1)).as("d"),
+        (se.getField("e") - se.getField("s") + 1).cast(LongType).as("len")))
+    val perChunk = df
+      .filter(col(id).isNotNull && col(text).isNotNull && length(col(text)) > 0)
+      .select(col(id).as("id"), col(text).as("t"))
+      .withColumn("cuts", cuts)
+      .withColumn("spans", spans)
+      .select(col("id"), explode(chunks).as("c"))
+      .select(col("id"), col("c.d").as("d"), col("c.len").as("len"))
+      .localCheckpoint(eager = false) // feeds counts + the join back
+    val dupDigests = perChunk.groupBy("d").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("d")
+    val perDoc = perChunk
+      .join(dupDigests.withColumn("__dup", lit(1L)), Seq("d"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_chunks"),
+        sum(when(col("__dup").isNotNull, col("len")).otherwise(0L))
+          .as("dup_chunk_chars"))
+    df.select(col(id).as("id"), length(col(text)).as("n_chars"))
+      .join(perDoc.withColumnRenamed("id", "__did"),
+        col("id") === col("__did"), "left_outer")
+      .select(col("id").as(id), col("n_chars"),
+        when(col("id").isNull, lit(null))
+          .otherwise(coalesce(col("n_chunks"), lit(0L))).as("n_chunks"),
+        when(col("id").isNull, lit(null))
+          .otherwise(coalesce(col("n_dup_chunks"), lit(0L)))
+          .as("n_dup_chunks"),
+        when(col("id").isNull, lit(null))
+          .otherwise(coalesce(col("dup_chunk_chars"), lit(0L)))
+          .as("dup_chunk_chars"),
+        when(col("id").isNull, lit(null))
+          .when(col("n_chars") > 0,
+            round(coalesce(col("dup_chunk_chars"), lit(0L)) /
+              col("n_chars").cast(DoubleType), 6))
+          .otherwise(0.0).as("dup_frac"))
+  }
+
   def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
                          id: String, text: String,
                          ngram: Int = 8, minOverlap: Long = 1L): DataFrame = {

@@ -329,4 +329,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("cdcChunkStats: identical docs fully dup; cut points are content-defined") {
+    // long enough that the mod-16 boundary test cuts several chunks
+    val block = (1 to 30).map(i => f"token$i%02d").mkString(" ") // 260 chars
+    val df = Seq(
+      (1L, block),                 // identical pair: every chunk dups
+      (2L, block),
+      (3L, "entirely different content with no shared blocks at all ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(df, "doc_id", "text", w = 8, avgChunk = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (n1, d1, c1, f1) = out(1L)
+    assert(n1 > 1L, s"mod-16 cutting should split 260 chars, got $n1 chunk(s)")
+    assert(d1 === n1 && c1 === block.length.toLong && f1 === 1.0,
+      s"identical docs must be fully duplicated chunk-wise: $out")
+    assert(out(1L) === out(2L))
+    assert(out(3L)._2 === 0L && out(3L)._4 === 0.0)
+  }
+
+  test("cdcChunkStats: a copied block chunks identically at any alignment") {
+    val copied = (1 to 40).map(i => f"word$i%03d").mkString(" ") // 320 chars
+    val df = Seq(
+      (1L, copied + " plus a unique tail here"),
+      (2L, "a totally different and much longer prefix before! " + copied)
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(df, "doc_id", "text", w = 8, avgChunk = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // the block sits at offset 1 in doc1 and offset 53 in doc2: cut
+    // points inside it derive from content alone, so its interior
+    // chunks agree and dedupe despite the shifted alignment
+    assert(out(1L) > 0L && out(2L) > 0L,
+      s"shifted copy must still share interior chunks: $out")
+  }
+
+  test("cdcChunkStats: short docs form one whole-doc chunk; null id is NULL") {
+    val df = Seq(
+      (Some(1L), "tiny"), (Some(2L), "tiny"),  // < w: whole-doc chunks, dup
+      (Some(3L), "x"),                          // unique short doc
+      (Option.empty[Long], "tiny")              // null id: excluded
+    ).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunkStats(df, "doc_id", "text", w = 8, avgChunk = 16)
+      .collect()
+    val out = rows.filter(!_.isNullAt(0)).map(r => r.getLong(0) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) === ((1L, 1L, 4L, 1.0)))   // whole-doc chunk, duplicated
+    assert(out(2L) === out(1L))
+    assert(out(3L) === ((1L, 0L, 0L, 0.0)))
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(2) && nullRow.isNullAt(5),
+      "null-id doc must report NULL stats, and must NOT have joined the " +
+        "digest pool (its 'tiny' did not make doc 3 dirty)")
+  }
 }
