@@ -200,6 +200,84 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixture-plan law: kept weights realize exact target ratios, bottleneck exhausted") {
+    samples(Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(1.0, 500.0))), 4).foreach { data =>
+      val present = data.map(_._1).toSet
+      whenever(present === Set("a", "b", "c")) {
+        val df = data.toDF("g", "w")
+        val plan = graft.ext.Sampling.mixturePlan(df, "g", "w",
+            Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+          .collect().map(r => r.getString(0) ->
+            ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+          .toMap
+        plan.values.foreach { case (avail, _, frac, kept) =>
+          assert(frac >= 0.0 && frac <= 1.0)
+          // kept is rounded at 4 dp, so it may sit half a grid step
+          // above the exact available weight of the exhausted group
+          assert(kept <= avail + 5e-5, "cannot keep more than exists")
+        }
+        // ratios of kept weights == ratios of targets (up to rounding)
+        val (ka, kb, kc) = (plan("a")._4, plan("b")._4, plan("c")._4)
+        val t = ka + kb + kc
+        assert(math.abs(ka / t - 0.5) < 1e-3, s"a share ${ka / t}")
+        assert(math.abs(kb / t - 0.3) < 1e-3)
+        assert(math.abs(kc / t - 0.2) < 1e-3)
+        // the binding group is fully consumed
+        assert(plan.values.exists { case (avail, _, frac, _) =>
+          frac > 1.0 - 1e-6 }, s"no group exhausted: $plan")
+      }
+    }
+  }
+
+  test("cdc-chunk law: chunks conserve chars (dup_frac <= 1), dup iff shared") {
+    val texts = Gen.listOfN(8, Gen.listOfN(25,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "")).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(texts, 3).foreach { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("doc_id", "text")
+        val out = graft.ext.Dedup.cdcChunkStats(df, "doc_id", "text",
+            w = 8, avgChunk = 16)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getInt(1).toLong, r.getLong(2), r.getLong(4), r.getDouble(5))))
+          .toMap
+        // every doc appears exactly once with sane, conserving stats
+        assert(out.keySet === data.map(_._1).toSet)
+        out.foreach { case (id, (nChars, nChunks, dupChars, frac)) =>
+          assert(dupChars <= nChars, s"doc $id dup $dupChars > len $nChars")
+          assert(frac >= 0.0 && frac <= 1.0)
+          if (nChars > 0) assert(nChunks >= 1L)
+        }
+        // identical texts must be mutually fully duplicated
+        data.groupBy(_._2).values.filter(_.size >= 2).foreach { grp =>
+          grp.filter(_._2.nonEmpty).foreach { case (id, t) =>
+            assert(out(id)._4 === 1.0,
+              s"doc $id has an identical twin but dup_frac ${out(id)._4}")
+          }
+        }
+      }
+    }
+  }
+
+  test("bigram-surprisal law: non-negative, defined iff >= 2 tokens") {
+    samples(Gen.listOfN(10, Gen.listOfN(6,
+      Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))).map(
+      _.zipWithIndex.map { case (t, i) => (i.toLong, t) }), 3).foreach { data =>
+      whenever(data.nonEmpty) {
+        val df = data.toDF("doc_id", "text")
+        val out = graft.ext.TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+          .toMap
+        assert(out.keySet === data.map(_._1).toSet) // all docs have 6 tokens
+        out.values.foreach { case (n, s) =>
+          assert(n === 5L) // 6 tokens -> 5 bigrams
+          assert(s >= 0.0, s"surprisal $s negative")
+        }
+      }
+    }
+  }
+
   test("shuffle-shard law: every row lands in exactly one shard, pos dense") {
     samples(Gen.chooseNum(1, 9), 4).foreach { n =>
       val rows = spark.range(0, 300).toDF("id")
