@@ -309,6 +309,40 @@ class EventsSpec extends SparkSpec {
     assert(!pairsSeen.exists { case (x, y) => x == 2L || y == 2L })
   }
 
+  test("foreachBatch streaming curation: decontaminate each batch vs a static benchmark") {
+    // The ingest-time hygiene shape: every arriving micro-batch is
+    // scrubbed against the (static, driver-loaded) eval benchmark
+    // BEFORE it lands — the same decontaminate operator as q86, with
+    // the benchmark digests broadcast once per batch and the batch
+    // never shuffling. Contaminated docs must never reach the sink.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val landed = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val clean = graft.ext.Dedup.decontaminate(
+          batch, bench, "doc_id", "text", ngram = 5, minOverlap = 1L)
+        landed ++= clean.collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    mem.addData(
+      (1L, "prefix then the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "an entirely benign document about something else"))
+    q.processAllAvailable()
+    mem.addData(
+      (3L, "late leakage: the quick brown fox jumps over the lazy dog"),
+      (4L, "another clean one arriving in the second batch"))
+    q.processAllAvailable()
+    q.stop()
+    assert(landed.toSet === Set(2L, 4L),
+      s"contaminated docs 1 and 3 must be filtered at ingest, got $landed")
+  }
+
   test("stateless text gates run UNCHANGED on a stream (batch/stream reuse)") {
     // qualityScore / charEntropy are pure projections, so the same
     // operator that curates a batch corpus filters a live ingest stream
