@@ -318,6 +318,14 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // --- Product quantization: m codebook codes per vector (m·log2 k
+    // bits vs 32·dim — the compression that puts 1e9 vectors in RAM),
+    // plus the reconstruction audit. k-means training -> rows-only,
+    // the q40 convention; determinism + quality spec-asserted.
+    "q110_pq_encode" -> ((s, dir) =>
+      graft.ext.Similarity.pqQuantize(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+
     // --- Text: token statistics (whitespace + BPE-ish regex), map-side.
     "q22_token_counts" -> ((s, dir) =>
       graft.ext.TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),

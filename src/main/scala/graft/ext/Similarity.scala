@@ -363,6 +363,91 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // Product quantization (PQ codebook compression)
+  // --------------------------------------------------------------------
+
+  /** Product-quantization encode + reconstruction audit: the vector
+    * splits into `m` contiguous subvectors, each subspace trains its own
+    * `k`-codeword k-means codebook (on a hash-sample, like the IVF
+    * quantizer — never a full corpus pass per subspace), and every
+    * vector encodes to `m` small codes — m·log₂k bits instead of 32·dim
+    * (m=8, k=16: 4 bytes vs 256, the compression that puts 10⁹ vectors
+    * in RAM where [[quantizeInt8]]'s 4× cannot). Output: `codes` plus
+    * the same reconstruction metrics as [[quantizeInt8]] (`mse`,
+    * `cos_q` vs the codebook reconstruction) so the rate/distortion
+    * trade is measured, not assumed.
+    *
+    * Scale shape: training touches only the sample (m driver-sequenced
+    * k-means fits, each over sample × sub dims — the documented
+    * iterative-trainer pattern, like BPE); encoding is a map-side
+    * argmin over BROADCAST codebook literals (no UDF, stays in
+    * codegen), so the corpus is scanned once and never shuffles.
+    * Codebook literals are m·k·(dim/m) doubles — fine at the defaults;
+    * for k ≳ 256 move them to `ctx.addReferenceObj` (SCALE.md codegen
+    * lesson) before raising.
+    *
+    * k-means is not SQL-expressible, so this is a rows-only entry (the
+    * q40 convention): determinism and reconstruction quality are
+    * spec-asserted instead ([[SimilaritySpec]]).
+    */
+  def pqQuantize(df: DataFrame, id: String, vec: String, dim: Int,
+                 m: Int = 8, k: Int = 16,
+                 trainFraction: Double = 0.25,
+                 seed: Long = 42L): DataFrame = {
+    require(dim > 0 && m > 0 && dim % m == 0,
+      s"m ($m) must divide dim ($dim) into equal subvectors")
+    require(k >= 2, "need at least 2 codewords")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val sub = dim / m
+    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val minTrain = k * 4L
+    val trainSet = {
+      val s =
+        if (trainFraction >= 1.0) rows
+        else Sampling.hashSample(rows, "id", trainFraction)
+      if (s.limit(minTrain.toInt).count() >= minTrain) s else rows
+    }
+    trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val slices = trainSet.select(
+        array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
+      // seed + j: each subspace draws its own deterministic init
+      new KMeans().setK(k).setSeed(seed + j).setMaxIter(5)
+        .setFeaturesCol("features").fit(slices)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    trainSet.unpersist(blocking = false)
+
+    def codeOf(j: Int): Column = {
+      val sv = slice(col("v"), j * sub + 1, sub)
+      val dists = codebooks(j).zipWithIndex.map { case (cw, i) =>
+        val litC = array(cw.map(lit): _*)
+        struct(aggregate(zip_with(sv, litC, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d"), lit(i).as("c"))
+      }
+      sort_array(array(dists: _*)).getItem(0).getField("c")
+    }
+    val codes = array((0 until m).map(codeOf): _*)
+    // reconstruction = concat of the selected codewords per subspace
+    def deq(cs: Column): Column = concat((0 until m).map { j =>
+      val book = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
+      element_at(book, element_at(cs, j + 1) + 1)
+    }: _*)
+    rows.withColumn("codes", codes)
+      .withColumn("dq", deq(col("codes")))
+      .select(col("id").as(id), col("codes"),
+        round(aggregate(
+            zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x) / lit(dim.toDouble), 6).as("mse"),
+        round(dot(col("v"), col("dq")) /
+            (graft.functions.Vectors.norm(col("v")) *
+             graft.functions.Vectors.norm(col("dq"))), 6).as("cos_q"))
+  }
+
+  // --------------------------------------------------------------------
   // Scalar quantization (int8-style compression audit)
   // --------------------------------------------------------------------
 

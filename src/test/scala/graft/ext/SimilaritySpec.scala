@@ -213,6 +213,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqQuantize: deterministic codes, bounded, identical vectors agree") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.pqQuantize(real, "vec_id", "embedding", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.pqQuantize(real, "vec_id", "embedding", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a === b, "same seed must reproduce identical codes")
+    assert(a.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("pqQuantize: reconstruction tracks the vector; finer codebooks are tighter") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def meanStats(k: Int): (Double, Double) = {
+      val rows = Similarity.pqQuantize(real, "vec_id", "embedding",
+          dim = 64, m = 8, k = k)
+        .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+      (rows.map(_._1).sum / rows.length, rows.map(_._2).sum / rows.length)
+    }
+    val (mseCoarse, cosCoarse) = meanStats(k = 4)
+    val (mseFine, cosFine) = meanStats(k = 16)
+    // near-random fixtures are the PQ worst case (no cluster structure
+    // to exploit); the measured mean is ~0.63 at 8x16 on 64 dims —
+    // positive alignment, bounded below loosely. The rate/distortion
+    // ORDERING is the real invariant.
+    assert(cosFine > 0.5, s"PQ reconstruction should stay aligned, cos $cosFine")
+    assert(mseFine < mseCoarse,
+      s"16 codewords must beat 4: $mseFine vs $mseCoarse")
+    assert(cosFine >= cosCoarse - 1e-9)
+  }
+
   test("labelCentroidVectors reassembles dims in order") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = Similarity.labelCentroidVectors(real, "embedding", "label")
