@@ -318,6 +318,17 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // --- Corpus release diff: distinct contents added/removed/retained
+    // between two snapshots. Overlapping doc_id ranges model a real
+    // release (v1 = ids < 300, v2 = ids >= 100): the shared middle is
+    // the retained class, v1's head was dropped, v2's tail is new.
+    "q111_content_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Dedup.contentDiff(
+        docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 100),
+        "text")
+    }),
+
     // --- Product quantization: m codebook codes per vector (m·log2 k
     // bits vs 32·dim — the compression that puts 1e9 vectors in RAM),
     // plus the reconstruction audit. k-means training -> rows-only,
@@ -2210,6 +2221,20 @@ object SparkEntry {
         |    THEN (octet_length(encode(text)) * 1000)
         |      // ((doc_id % 64 + 1) * 1600 * 4) END AS duration_ms
         |FROM documents""".stripMargin,
+    "q111_content_diff" ->
+      """WITH o AS (
+        |  SELECT DISTINCT md5(text) AS d, 1 AS mo FROM documents
+        |  WHERE doc_id < 300),
+        |n AS (
+        |  SELECT DISTINCT md5(text) AS d, 1 AS mn FROM documents
+        |  WHERE doc_id >= 100)
+        |SELECT CASE
+        |    WHEN mo IS NOT NULL AND mn IS NOT NULL THEN 'retained'
+        |    WHEN mn IS NOT NULL THEN 'added'
+        |    ELSE 'removed' END AS status,
+        |  count(*) AS n_digests
+        |FROM o FULL OUTER JOIN n ON o.d IS NOT DISTINCT FROM n.d
+        |GROUP BY 1""".stripMargin,
     "q109_cdc_chunks" ->
       """WITH base AS (
         |  SELECT doc_id, text AS t, length(text) AS n FROM documents

@@ -559,6 +559,35 @@ object Dedup {
           .otherwise(0.0).as("dup_frac"))
   }
 
+  /** Content-level diff between two corpus snapshots: how many distinct
+    * document CONTENTS were added, removed, and retained from `oldDf`
+    * to `newDf` — the release audit an incremental pipeline runs
+    * between corpus versions ("what actually changed?"), where doc-id
+    * bookkeeping lies (re-ingested ids, renumbered shards) but content
+    * digests do not.
+    *
+    * Scale shape: both sides collapse to their distinct-digest catalogs
+    * map-side (the [[digestCatalog]] state the ingest pipeline already
+    * keeps), so the full-outer join compares two narrow digest streams —
+    * text never shuffles, and against a PERSISTED catalog the old side
+    * is a file-scan of slim state, not a recompute. md5 digests, so a
+    * SQL oracle replays the classification exactly.
+    */
+  def contentDiff(oldDf: DataFrame, newDf: DataFrame,
+                  text: String): DataFrame = {
+    val o = digestCatalog(oldDf, text).select(col("digest").as("__od"),
+      lit(1).as("__o"))
+    val n = digestCatalog(newDf, text).select(col("digest").as("__nd"),
+      lit(1).as("__n"))
+    // <=> : a NULL text digests to a NULL key, which an equi-join would
+    // orphan into a phantom added+removed pair (CLAUDE.md null-key rule)
+    o.join(n, col("__od") <=> col("__nd"), "full_outer")
+      .select(when(col("__o").isNotNull && col("__n").isNotNull, "retained")
+        .when(col("__n").isNotNull, "added")
+        .otherwise("removed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_digests"))
+  }
+
   // --------------------------------------------------------------------
   // Content-defined chunking (CDC) dedup
   // --------------------------------------------------------------------

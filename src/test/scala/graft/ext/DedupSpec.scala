@@ -330,6 +330,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("contentDiff classifies snapshot contents; null text is one content, not a phantom pair") {
+    val v1 = Seq((1L, "kept body"), (2L, "dropped body"), (3L, "kept body"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq((10L, "kept body"), (11L, "fresh body"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.contentDiff(v1, v2, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // distinct contents: v1 {kept, dropped, NULL}, v2 {kept, fresh, NULL}
+    // — ids 1 and 3 collapse to one content; NULL text matches NULL text
+    // (an equi-join would report it both added AND removed)
+    assert(out === Map("retained" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("cdcChunkStats: identical docs fully dup; cut points are content-defined") {
     // long enough that the mod-16 boundary test cuts several chunks
     val block = (1 to 30).map(i => f"token$i%02d").mkString(" ") // 260 chars
