@@ -329,6 +329,20 @@ object SparkEntry {
         "text")
     }),
 
+    // --- PQ-ADC approximate top-k: rank from 4-byte codes alone (the
+    // 1e9-vector scan shape); rows-only like its IVF sibling q40.
+    "q112_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // m = 4 subspaces: codebook training is m driver-sequenced
+      // k-means fits, the whole cost of this query at bench scale —
+      // 4×16-dim books keep the ADC shape at half the fits
+      graft.ext.Similarity.pqCosineTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64, m = 4)
+        .select(col("qid"), col("id"),
+          round(col("cosine_adc"), 6).as("cosine_adc"), col("rank"))
+    }),
+
     // --- Product quantization: m codebook codes per vector (m·log2 k
     // bits vs 32·dim — the compression that puts 1e9 vectors in RAM),
     // plus the reconstruction audit. k-means training -> rows-only,

@@ -390,16 +390,18 @@ object Similarity {
     * q40 convention): determinism and reconstruction quality are
     * spec-asserted instead ([[SimilaritySpec]]).
     */
-  def pqQuantize(df: DataFrame, id: String, vec: String, dim: Int,
-                 m: Int = 8, k: Int = 16,
-                 trainFraction: Double = 0.25,
-                 seed: Long = 42L): DataFrame = {
+  /** Train the per-subspace PQ codebooks on a hash-sample of `df` —
+    * shared by [[pqQuantize]] (compression audit) and [[pqCosineTopK]]
+    * (ADC search). Returns m codebooks of k codewords of dim/m doubles.
+    */
+  def trainPqCodebooks(df: DataFrame, id: String, vec: String, dim: Int,
+                       m: Int, k: Int, trainFraction: Double,
+                       seed: Long): Array[Array[Array[Double]]] = {
     require(dim > 0 && m > 0 && dim % m == 0,
       s"m ($m) must divide dim ($dim) into equal subvectors")
     require(k >= 2, "need at least 2 codewords")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val sub = dim / m
     val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
       .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
@@ -411,7 +413,7 @@ object Similarity {
       if (s.limit(minTrain.toInt).count() >= minTrain) s else rows
     }
     trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+    val books = (0 until m).map { j =>
       val slices = trainSet.select(
         array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
       // seed + j: each subspace draws its own deterministic init
@@ -420,24 +422,42 @@ object Similarity {
         .clusterCenters.map(_.toArray)
     }.toArray
     trainSet.unpersist(blocking = false)
+    books
+  }
 
-    def codeOf(j: Int): Column = {
-      val sv = slice(col("v"), j * sub + 1, sub)
-      val dists = codebooks(j).zipWithIndex.map { case (cw, i) =>
-        val litC = array(cw.map(lit): _*)
-        struct(aggregate(zip_with(sv, litC, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("d"), lit(i).as("c"))
-      }
-      sort_array(array(dists: _*)).getItem(0).getField("c")
+  /** Map-side PQ code assignment for one subspace: argmin squared
+    * distance over the broadcast codebook literals. */
+  private def pqCodeOf(codebook: Array[Array[Double]], sv: Column): Column = {
+    val dists = codebook.zipWithIndex.map { case (cw, i) =>
+      val litC = array(cw.map(lit): _*)
+      struct(aggregate(zip_with(sv, litC, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x).as("d"), lit(i).as("c"))
     }
-    val codes = array((0 until m).map(codeOf): _*)
-    // reconstruction = concat of the selected codewords per subspace
-    def deq(cs: Column): Column = concat((0 until m).map { j =>
-      val book = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
-      element_at(book, element_at(cs, j + 1) + 1)
+    sort_array(array(dists: _*)).getItem(0).getField("c")
+  }
+
+  /** Reconstruction from codes: concat of the selected codeword per
+    * subspace (codebooks enter the plan as nested array literals). */
+  private def pqReconstruct(books: Array[Array[Array[Double]]],
+                            cs: Column): Column =
+    concat(books.zipWithIndex.map { case (book, j) =>
+      val bookLit = array(book.map(cw => array(cw.map(lit): _*)): _*)
+      element_at(bookLit, element_at(cs, j + 1) + 1)
     }: _*)
+
+  def pqQuantize(df: DataFrame, id: String, vec: String, dim: Int,
+                 m: Int = 8, k: Int = 16,
+                 trainFraction: Double = 0.25,
+                 seed: Long = 42L): DataFrame = {
+    val codebooks = trainPqCodebooks(df, id, vec, dim, m, k,
+      trainFraction, seed)
+    val sub = dim / m
+    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val codes = array((0 until m).map(j =>
+      pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
     rows.withColumn("codes", codes)
-      .withColumn("dq", deq(col("codes")))
+      .withColumn("dq", pqReconstruct(codebooks, col("codes")))
       .select(col("id").as(id), col("codes"),
         round(aggregate(
             zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
@@ -445,6 +465,61 @@ object Similarity {
         round(dot(col("v"), col("dq")) /
             (graft.functions.Vectors.norm(col("v")) *
              graft.functions.Vectors.norm(col("dq"))), 6).as("cos_q"))
+  }
+
+  /** PQ-ADC approximate top-k: the corpus is ranked by the cosine of
+    * each query with the CODEBOOK RECONSTRUCTION of every corpus vector
+    * — computed from the m small codes alone (asymmetric distance
+    * computation). This is the scan shape that matters at 10⁹ vectors:
+    * after a one-time encode, the search reads m·log₂k BITS per corpus
+    * row (4 bytes at the defaults) instead of the 32·dim-bit vector,
+    * and the scoring expression touches only codes + broadcast
+    * codebook/query literals — no shuffle of anything corpus-sized
+    * (the candidate-free full-scan analog of [[ivfCosineTopK]]; compose
+    * with IVF cells to prune the scan when recall permits).
+    *
+    * The reconstruction norm is precomputed ONCE per corpus row at
+    * encode time, so per-(row, query) work is m code lookups + dim
+    * multiplies. Exact-rank verification of the returned candidates
+    * (re-scoring top-k' with true vectors) is the standard refinement;
+    * here the spec measures recall vs [[bruteForceTopK]] directly.
+    */
+  def pqCosineTopK(corpus: DataFrame, queries: DataFrame,
+                   id: String, vec: String, k: Int,
+                   dim: Int, m: Int = 8, kCodes: Int = 16,
+                   trainFraction: Double = 0.25,
+                   seed: Long = 42L): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, id, vec, dim, m, kCodes,
+      trainFraction, seed)
+    val sub = dim / m
+    val rows = corpus
+      .filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val codes = array((0 until m).map(j =>
+      pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
+    val encoded = rows.withColumn("codes", codes)
+      .withColumn("dq", pqReconstruct(codebooks, col("codes")))
+      .select(col("id"), col("codes"),
+        graft.functions.Vectors.norm(col("dq")).as("dqnorm"))
+      .localCheckpoint(eager = false) // encode once, not once per query
+    val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+    // ADC score: sum over subspaces of dot(codeword[code_j], q_sub_j)
+    // == dot(reconstruction, query), from codes alone
+    val adc = (0 until m).map { j =>
+      val bookLit = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
+      val cw = element_at(bookLit, element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(cw, slice(col("qv"), j * sub + 1, sub),
+        (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    }.reduce(_ + _)
+    val sims = encoded.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine_adc", adc / (col("dqnorm") * col("qnorm")))
+      .select("qid", "id", "cosine_adc")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine_adc").desc, col("id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine_adc", "rank")
   }
 
   // --------------------------------------------------------------------

@@ -243,6 +243,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cosFine >= cosCoarse - 1e-9)
   }
 
+  test("pqCosineTopK: ADC recall beats chance and tracks brute force") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(real, queries,
+        "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val adc = Similarity.pqCosineTopK(real, queries,
+        "vec_id", "embedding", k = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(adc.keySet === exact.keySet)
+    adc.values.foreach(s => assert(s.size === 10))
+    val recall = exact.map { case (q, ex) =>
+      (adc(q) & ex).size.toDouble / ex.size }.sum / exact.size
+    // 8x16 PQ on near-random 64-dim data: far above the ~5% a random
+    // top-10 of ~200 would hit, below exact — the rate/recall trade
+    assert(recall > 0.3, s"ADC recall $recall vs chance ~0.05")
+  }
+
   test("labelCentroidVectors reassembles dims in order") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val vecs = Similarity.labelCentroidVectors(real, "embedding", "label")
