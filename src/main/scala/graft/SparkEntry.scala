@@ -2196,7 +2196,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings
-        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |b AS (
         |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
         |  FROM e, unnest(generate_series(1, 64)) t(i) GROUP BY 1),

@@ -640,8 +640,11 @@ object Dedup {
             .cast(LongType), lit(avgChunk.toLong)).as("m"))),
       s => s.getField("m") === 0L)
     val cuts = transform(bounds, b => b.getField("p") + (w - 1))
-    // starts = 1 :: cuts+1; ends = cuts :: n — overlapping boundaries
-    // (within w of each other) produce empty spans, filtered below
+    // starts = 1 :: cuts+1; ends = cuts :: n. Cuts are strictly
+    // increasing, so interior spans are never empty; the one empty span
+    // is the TAIL when the last cut lands exactly at position n — the
+    // e >= s filter drops it (an md5('') phantom chunk would otherwise
+    // cross-match every doc ending on a boundary)
     val starts = concat(array(lit(1)), transform(col("cuts"), c => c + 1))
     val ends = concat(col("cuts"), array(n))
     val spans = filter(

@@ -63,10 +63,12 @@ object Sampling {
     * exhaustive, reproducible — the same key always lands in the same
     * split even across dataset versions. */
   def trainTestSplit(df: DataFrame, keyCol: String, testFraction: Double,
-                     salt: String = "graft"): DataFrame =
+                     salt: String = "graft"): DataFrame = {
+    requireFreeColumns(df, "trainTestSplit", "split")
     df.withColumn("split",
       when(sampleExpr(col(keyCol), testFraction, salt), lit("test"))
         .otherwise(lit("train")))
+  }
 
   /** Keep at most `k` rows per group, chosen by `order` (caller supplies
     * deterministic tiebreaks). The standard "cap documents per domain"
@@ -152,9 +154,11 @@ object Sampling {
     * [[quantileBuckets]] there.
     */
   def ntileBuckets(df: DataFrame, valueCol: String, tiebreak: String,
-                   k: Int): DataFrame =
+                   k: Int): DataFrame = {
+    requireFreeColumns(df, "ntileBuckets", "bucket")
     df.withColumn("bucket",
       ntile(k).over(Window.orderBy(col(valueCol).asc, col(tiebreak).asc)))
+  }
 
   /** Scale path for quantile bucketing: thresholds from one
     * `approx_percentile` pass (t-digest sketch, fully distributed),
@@ -165,6 +169,7 @@ object Sampling {
   def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
                       accuracy: Int = 10000): DataFrame = {
     require(k > 1, "k must be > 1")
+    requireFreeColumns(df, "quantileBuckets", "bucket")
     val probs = (1 until k).map(_.toDouble / k)
     val row = df.select(
       percentile_approx(col(valueCol),
@@ -208,6 +213,7 @@ object Sampling {
   def bucketByThresholds(df: DataFrame, valueCol: String,
                          thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    requireFreeColumns(df, "bucketByThresholds", "bucket")
     val k = thresholds.size + 1
     val bucket = thresholds.zipWithIndex.foldRight(lit(k): Column) {
       case ((t, i), acc) => when(col(valueCol) <= t, lit(i + 1)).otherwise(acc)

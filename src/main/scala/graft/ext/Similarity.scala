@@ -286,8 +286,9 @@ object Similarity {
     // each saved iteration is a full pass over the training sample
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features")
-    val model = km.fit(trainSet)
-    trainSet.unpersist(blocking = false)
+    val model =
+      try km.fit(trainSet)
+      finally trainSet.unpersist(blocking = false) // even on a failed fit
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     // assignment = argmin over broadcast centroid literals (euclidean);
@@ -403,7 +404,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
-    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
+    // NULL elements are excluded with the malformed rows: Spark's
+    // aggregate() fold propagates NULL where DuckDB's list_aggregate
+    // SKIPS it, so a partially-null vector would quantize to different
+    // sums in the two engines (and train/score as garbage regardless)
+    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
+        !exists(col(vec), x => x.isNull))
       .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
     val minTrain = k * 4L
     val trainSet = {
@@ -413,16 +419,16 @@ object Similarity {
       if (s.limit(minTrain.toInt).count() >= minTrain) s else rows
     }
     trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val books = (0 until m).map { j =>
-      val slices = trainSet.select(
-        array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
-      // seed + j: each subspace draws its own deterministic init
-      new KMeans().setK(k).setSeed(seed + j).setMaxIter(5)
-        .setFeaturesCol("features").fit(slices)
-        .clusterCenters.map(_.toArray)
-    }.toArray
-    trainSet.unpersist(blocking = false)
-    books
+    try {
+      (0 until m).map { j =>
+        val slices = trainSet.select(
+          array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
+        // seed + j: each subspace draws its own deterministic init
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(5)
+          .setFeaturesCol("features").fit(slices)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+    } finally trainSet.unpersist(blocking = false) // even on a failed fit
   }
 
   /** Map-side PQ code assignment for one subspace: argmin squared
@@ -452,7 +458,12 @@ object Similarity {
     val codebooks = trainPqCodebooks(df, id, vec, dim, m, k,
       trainFraction, seed)
     val sub = dim / m
-    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
+    // NULL elements are excluded with the malformed rows: Spark's
+    // aggregate() fold propagates NULL where DuckDB's list_aggregate
+    // SKIPS it, so a partially-null vector would quantize to different
+    // sums in the two engines (and train/score as garbage regardless)
+    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
+        !exists(col(vec), x => x.isNull))
       .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
     val codes = array((0 until m).map(j =>
       pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
@@ -513,7 +524,12 @@ object Similarity {
     }.reduce(_ + _)
     val sims = encoded.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine_adc", adc / (col("dqnorm") * col("qnorm")))
+      // NULL, not 0/0: a zero-norm reconstruction or query would give
+      // NaN, which Spark orders ABOVE every real cosine — the junk row
+      // would take rank 1. desc puts nulls last instead.
+      .withColumn("cosine_adc",
+        when(col("dqnorm") * col("qnorm") > 0,
+          adc / (col("dqnorm") * col("qnorm"))))
       .select("qid", "id", "cosine_adc")
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine_adc").desc, col("id").asc)
@@ -554,7 +570,12 @@ object Similarity {
                    levels: Int = 255): DataFrame = {
     require(dim > 0, "dim must be positive")
     require(levels >= 1, "levels must be >= 1")
-    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim)
+    // NULL elements are excluded with the malformed rows: Spark's
+    // aggregate() fold propagates NULL where DuckDB's list_aggregate
+    // SKIPS it, so a partially-null vector would quantize to different
+    // sums in the two engines (and train/score as garbage regardless)
+    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
+        !exists(col(vec), x => x.isNull))
       .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
     val bounds = rows
       .select(posexplode(col("v")))

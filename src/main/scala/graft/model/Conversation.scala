@@ -36,8 +36,12 @@ final case class DatasetMetadata(
     dataTypes: Map[String, String]) {
 
   def toStructType: StructType =
-    StructType.fromDDL(columns.map(c =>
-      s"`$c` ${dataTypes.getOrElse(c, "string")}").mkString(", "))
+    if (columns.isEmpty) new StructType()
+    else StructType.fromDDL(columns.map { c =>
+      // a literal backtick in a column name must double inside the
+      // quoted DDL identifier or fromDDL throws
+      s"`${c.replace("`", "``")}` ${dataTypes.getOrElse(c, "string")}"
+    }.mkString(", "))
 }
 
 object DatasetMetadata {

@@ -36,21 +36,22 @@ object NLTranslator {
     * A query that names its own columns ignores history entirely. */
   def translate(text: String, context: ConversationContext): StructuredQuery = {
     val schema = context.datasetMetadata.toStructType
-    val inherited =
-      if (mentionedColumns(text.toLowerCase, schema).nonEmpty) Seq.empty
+    // resolve mentions ONCE; translateWith receives them so the
+    // inherit-or-not decision and the translation can never disagree
+    val own = mentionedColumns(text.toLowerCase, schema)
+    val mentioned =
+      if (own.nonEmpty) own
       else context.history.reverseIterator
         .map(t => mentionedColumns(t.query.toLowerCase, schema))
         .find(_.nonEmpty).getOrElse(Seq.empty)
-    translateWith(text, schema, inherited)
+    translateWith(text, schema, mentioned)
   }
 
   private def translateWith(text: String, schema: StructType,
-                            inherited: Seq[String]): StructuredQuery = {
+                            resolved: Seq[String]): StructuredQuery = {
     val q = text.toLowerCase
-    val mentioned = {
-      val own = mentionedColumns(q, schema)
-      if (own.nonEmpty) own else inherited
-    }
+    val mentioned =
+      if (resolved.nonEmpty) resolved else mentionedColumns(q, schema)
 
     def numericCols: Seq[String] =
       schema.fields.filter(f => QueryCompiler.isNumeric(f.dataType)).map(_.name).toSeq

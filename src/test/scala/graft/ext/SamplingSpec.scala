@@ -323,6 +323,19 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSamplePerGroup(df, "id", "w", "shard", 1)
     }
     assert(e3.getMessage.contains("draw"))
+    val df2 = Seq((1L, 2.0, "x", 9)).toDF("id", "w", "split", "bucket")
+    assert(intercept[IllegalArgumentException] {
+      Sampling.trainTestSplit(df2, "id", 0.2)
+    }.getMessage.contains("split"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.ntileBuckets(df2, "w", "id", 2)
+    }.getMessage.contains("bucket"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.bucketByThresholds(df2, "w", Seq(1.0))
+    }.getMessage.contains("bucket"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.quantileBuckets(df2, "w", 2)
+    }.getMessage.contains("bucket"))
   }
 
   test("weightedSample at roundTo=12 stays proportional for ~1e5 weights") {

@@ -178,6 +178,11 @@ class NLTranslatorSpec extends SparkSpec {
     // addTurn is immutable and advances updatedAt
     assert(ctx.history.size === 1 && fresh.history.isEmpty)
     assert(ctx.updatedAt === t0.plusSeconds(1) && ctx.createdAt === t0)
+    // hostile column names round-trip (backtick doubles in DDL) and an
+    // empty card yields an empty schema, not a parse error
+    val weird = DatasetMetadata(Seq("a`b"), 1L, Map("a`b" -> "string"))
+    assert(weird.toStructType.fieldNames.toSeq === Seq("a`b"))
+    assert(DatasetMetadata(Nil, 0L, Map.empty).toStructType.isEmpty)
   }
 
   test("'<agg> X by Y' produces a grouped aggregate") {
