@@ -999,6 +999,17 @@ object SparkEntry {
         Tables.documents(s, dir), "lang", "n_chars",
         Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1))),
 
+    // --- Cross-corpus surprisal (CCNet-style perplexity filter):
+    // corpus docs (id >= 100) scored under the unigram model of the
+    // "clean reference" slice (id < 100) — boilerplate dominating the
+    // target cannot make itself look normal, and OOV terms surface.
+    "q113_ref_surprisal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.TextAnalysis.crossCorpusSurprisal(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+        "doc_id", "text")
+    }),
+
     // --- Bigram-LM surprisal: −avg ln p̂(w2|w1), add-one smoothed —
     // the order-sensitive companion gate (word-salad built from common
     // words scores high here while passing the unigram gate).
@@ -2167,6 +2178,26 @@ object SparkEntry {
         |       WHEN covered < 1.0 - 0.000001 THEN NULL
         |       ELSE round(ts * t_max, 4) END AS kept
         |FROM a, b""".stripMargin,
+    "q113_ref_surprisal" ->
+      """WITH ttoks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+        |  FROM documents WHERE doc_id >= 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY 1, 2),
+        |rc AS (
+        |  SELECT term, count(*) AS rc FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+        |    FROM documents WHERE doc_id < 100) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS total, count(*) AS v FROM rc)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN rc.rc IS NULL THEN tf ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(0.0 - sum(tf * ln((coalesce(rc.rc, 0) + 1.0) / (total + v)))
+        |    / sum(tf), 4) AS ref_surprisal
+        |FROM tf LEFT JOIN rc USING (term) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     "q107_bigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -812,6 +812,43 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Cross-corpus surprisal (the CCNet-style perplexity filter): each
+    * TARGET document scored under the unigram model of a separate
+    * REFERENCE corpus — score docs against clean text (Wikipedia-class)
+    * instead of against the corpus being cleaned, so boilerplate that
+    * dominates the target cannot make itself look normal (the
+    * self-scored [[unigramSurprisal]] blind spot). Model:
+    * p̂(t) = (count_ref(t)+1) / (total_ref + V_ref), with V_ref the
+    * reference vocabulary; target-only terms fall to the OOV floor
+    * 1/(total_ref + V_ref) and raise the score — exactly what a
+    * quality gate wants from out-of-domain gibberish.
+    *
+    * Scale shape: the reference collapses to its vocabulary-sized count
+    * table once; the target's aggregated (doc, term) stream LEFT-joins
+    * it (null count → 0, the OOV floor) with totals broadcast — both
+    * corpora are scanned once and only vocabulary/aggregated streams
+    * shuffle, so a small clean reference scores a 100 TB target.
+    */
+  def crossCorpusSurprisal(target: DataFrame, reference: DataFrame,
+                           id: String, text: String): DataFrame = {
+    val tf = termFrequencies(target, id, text)
+    val rc = termStream(reference, id, text)
+      .groupBy("term").agg(count(lit(1)).as("rc"))
+      .localCheckpoint(eager = false) // feeds the join + the totals
+    val totals = rc.agg(sum(col("rc")).as("total"), count(lit(1)).as("v"))
+    tf.join(rc, Seq("term"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id").as(id))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("rc").isNull, col("tf")).otherwise(0L)).as("n_oov"),
+        // 0.0 - x: the unary-minus −0.0 repr trap (q97 convention)
+        round(lit(0.0) -
+            sum(col("tf") * log((coalesce(col("rc"), lit(0L)) + 1.0)
+              / (col("total") + col("v"))))
+            / sum(col("tf")), 4)
+          .as("ref_surprisal"))
+  }
+
   /** Mean bigram surprisal per document: −avg ln p̂(w₂|w₁) with
     * add-one-smoothed conditional probabilities p̂(w₂|w₁) =
     * (count(w₁w₂)+1) / (count(w₁)+V) — the order-sensitive companion to

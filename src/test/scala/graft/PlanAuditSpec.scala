@@ -95,11 +95,13 @@ class PlanAuditSpec extends SparkSpec {
   //  - q112_pq_topk: q20's broadcast-queries pattern over the ENCODED
   //    corpus (codes, not vectors) — linear scan by design, that is
   //    the ADC point.
+  //  - q113_ref_surprisal: the one-row reference-totals aggregate
+  //    (total, V) crossJoins onto the aggregated (doc, term) stream.
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
       "q91_tfidf", "q92_knn", "q97_surprisal",
       "q106_quantize_int8", "q107_bigram_surprisal", "q108_mixture_plan",
-      "q112_pq_topk")
+      "q112_pq_topk", "q113_ref_surprisal")
 
   test("q94 (nfc normalize): pure projection, zero exchanges") {
     assert(exchanges(plan("q94_nfc")) === 0,

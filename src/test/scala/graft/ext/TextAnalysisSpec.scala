@@ -450,6 +450,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(100L) > s(1L) + 1.0, s"rare ${s(100L)} vs spam ${s(1L)}")
   }
 
+  test("crossCorpusSurprisal: reference model scores target, OOV floors") {
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text") // rc: a=2 b=1; V=2, total=3
+    val tgt = Seq((10L, "a b"), (11L, "zz zz")).toDF("doc_id", "text")
+    val s = TextAnalysis.crossCorpusSurprisal(tgt, ref, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 10: -[ln((2+1)/5) + ln((1+1)/5)]/2 ; no OOV
+    assert(s(10L) === ((2L, 0L, BigDecimal(
+        -(math.log(3.0 / 5.0) + math.log(2.0 / 5.0)) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // doc 11: both tokens OOV -> floor 1/5 each
+    assert(s(11L) === ((2L, 2L, BigDecimal(-math.log(1.0 / 5.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("crossCorpusSurprisal: target-dominant boilerplate cannot normalize itself") {
+    // 20 copies of the same template dominate the TARGET; the reference
+    // is clean prose. Self-scoring (unigramSurprisal on the target)
+    // rates the template as normal; reference-scoring flags it.
+    val template = "click here to win a prize now"
+    val tgt = ((1 to 20).map(i => (i.toLong, template)) :+
+      (100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "the cat sat on the mat and the dog lay by the door"),
+      (2L, "a quiet morning with tea and the cat by the window")
+    ).toDF("doc_id", "text")
+    val self = TextAnalysis.unigramSurprisal(tgt, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cross = TextAnalysis.crossCorpusSurprisal(tgt, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // self-scored: the template looks MORE normal than real prose
+    assert(self(1L) < self(100L))
+    // reference-scored: the template is flagged, prose is not
+    assert(cross(1L) > cross(100L),
+      s"template ${cross(1L)} must out-score prose ${cross(100L)}")
+  }
+
   test("bigramSurprisal matches the hand-computed conditional model") {
     val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"))
       .toDF("doc_id", "text")
