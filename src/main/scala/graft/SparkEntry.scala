@@ -999,6 +999,14 @@ object SparkEntry {
         Tables.documents(s, dir), "lang", "n_chars",
         Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.2, "es" -> 0.1))),
 
+    // --- Context-window chunking: overlapping <=64-token windows per
+    // doc (stride 56) — long-doc preparation for a fixed-context
+    // model; pure map-side, one output row per chunk.
+    "q114_token_chunks" -> ((s, dir) =>
+      graft.ext.TextAnalysis.chunkByTokens(
+        Tables.documents(s, dir), "doc_id", "text",
+        maxTokens = 64, overlap = 8)),
+
     // --- Cross-corpus surprisal (CCNet-style perplexity filter):
     // corpus docs (id >= 100) scored under the unigram model of the
     // "clean reference" slice (id < 100) — boilerplate dominating the
@@ -2178,6 +2186,21 @@ object SparkEntry {
         |       WHEN covered < 1.0 - 0.000001 THEN NULL
         |       ELSE round(ts * t_max, 4) END AS kept
         |FROM a, b""".stripMargin,
+    "q114_token_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, ts, unnest(generate_series(0,
+        |    greatest(CAST(floor((len(ts) - 9) * 1.0 / 56) AS INTEGER), 0)))
+        |    AS i
+        |  FROM t WHERE len(ts) >= 1)
+        |SELECT doc_id, i + 1 AS chunk_idx,
+        |  least(64, len(ts) - (i * 56 + 1) + 1) AS n_tokens,
+        |  array_to_string(ts[i * 56 + 1 : i * 56 + 64], ' ') AS chunk_text
+        |FROM s""".stripMargin,
     "q113_ref_surprisal" ->
       """WITH ttoks AS (
         |  SELECT doc_id,

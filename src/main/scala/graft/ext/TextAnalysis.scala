@@ -812,6 +812,47 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Context-window chunking: each document splits into overlapping
+    * windows of at most `maxTokens` whitespace tokens (stride =
+    * maxTokens − overlap) — how long documents are prepared for a
+    * fixed-context model without discarding their tails, with `overlap`
+    * tokens of continuity across the cut. Chunk text is the token span
+    * re-joined with single spaces (tokenization is whitespace-class, so
+    * intra-token bytes are preserved; inter-token whitespace is
+    * normalized — the property the downstream tokenizer sees anyway).
+    * Start positions stop at n − overlap, so a final window is emitted
+    * only when it contributes tokens no earlier window carried; a doc
+    * of ≤ maxTokens tokens is one chunk; zero-token docs emit nothing.
+    *
+    * Scale shape: pure map-side — the token array, window starts, and
+    * chunk reassembly are array expressions inside the scan, and the
+    * output explode is one row per CHUNK. No shuffle at any corpus
+    * size; at 100 TB this runs at scan speed.
+    */
+  def chunkByTokens(df: DataFrame, id: String, text: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap ($overlap) must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    df.filter(col(text).isNotNull)
+      .select(col(id).as("id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("id"), col("ts"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(((size(col("ts")) - lit(overlap) - 1) / lit(stride))
+              .cast("int"), lit(0))),
+          i => i * stride + 1)))
+      .select(col("id").as(id), (col("pos") + 1).as("chunk_idx"),
+        least(lit(maxTokens), size(col("ts")) - col("col") + 1)
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("ts"), col("col"), lit(maxTokens)))
+          .as("chunk_text"))
+  }
+
   /** Cross-corpus surprisal (the CCNet-style perplexity filter): each
     * TARGET document scored under the unigram model of a separate
     * REFERENCE corpus — score docs against clean text (Wikipedia-class)

@@ -450,6 +450,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(100L) > s(1L) + 1.0, s"rare ${s(100L)} vs spam ${s(1L)}")
   }
 
+  test("chunkByTokens: overlapping windows cover every token exactly") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = Seq(
+      (1L, toks.mkString(" ")),     // 10 tokens, max 8 ov 4 -> 2 chunks
+      (2L, "a b c"),                // fits in one window
+      (3L, ""),                     // zero tokens: no chunks
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        maxTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    // starts 1 and 5: [t1..t8], [t5..t10]; start 9 would add nothing new
+    assert(out((1L, 1)) === ((8, toks.take(8).mkString(" "))))
+    assert(out((1L, 2)) === ((6, toks.drop(4).mkString(" "))))
+    assert(out((2L, 1)) === ((3, "a b c")))
+    assert(out.keySet === Set((1L, 1), (1L, 2), (2L, 1)))
+    // coverage: the union of chunk tokens is the doc, in order
+    val covered = Seq(out((1L, 1))._2.split(" "), out((1L, 2))._2.split(" "))
+      .flatten.distinct
+    assert(covered === toks)
+  }
+
   test("crossCorpusSurprisal: reference model scores target, OOV floors") {
     val ref = Seq((1L, "a a b")).toDF("doc_id", "text") // rc: a=2 b=1; V=2, total=3
     val tgt = Seq((10L, "a b"), (11L, "zz zz")).toDF("doc_id", "text")
