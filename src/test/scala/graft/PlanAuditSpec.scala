@@ -103,6 +103,36 @@ class PlanAuditSpec extends SparkSpec {
       "q106_quantize_int8", "q107_bigram_surprisal", "q108_mixture_plan",
       "q112_pq_topk", "q113_ref_surprisal")
 
+  test("q114 (token chunks): pure map-side, zero exchanges") {
+    assert(exchanges(plan("q114_token_chunks")) === 0,
+      "window starts + chunk reassembly are array expressions in the scan")
+  }
+
+  test("q106 (int8 quantize): bounds broadcast back, corpus never shuffles") {
+    val p = plan("q106_quantize_int8")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must meet the bounds only via broadcast:\n$p")
+  }
+
+  test("q109 (cdc chunks): text never shuffles, only chunk digests do") {
+    val p = plan("q109_cdc_chunks")
+    // every exchange in this plan must carry digest/count columns, not
+    // the text column — chunking happens inside the scan
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val exchangeBlocks = p.split("Exchange").drop(1)
+    exchangeBlocks.take(4).foreach { b =>
+      val head = b.linesIterator.take(1).mkString
+      assert(!head.contains("t#") || head.contains("hashpartitioning"),
+        s"an exchange must not ship raw text:\n$head")
+    }
+  }
+
+  test("q113 (ref surprisal): aggregated streams only, totals broadcast") {
+    val p = plan("q113_ref_surprisal")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row reference totals must broadcast:\n$p")
+  }
+
   test("q94 (nfc normalize): pure projection, zero exchanges") {
     assert(exchanges(plan("q94_nfc")) === 0,
       "normalization is codegen work inside the scan")
