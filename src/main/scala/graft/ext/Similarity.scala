@@ -503,8 +503,13 @@ object Similarity {
     val codebooks = trainPqCodebooks(corpus, id, vec, dim, m, kCodes,
       trainFraction, seed)
     val sub = dim / m
+    // same null-element exclusion as pqQuantize: a partially-null
+    // vector would deterministically encode to codeword 0 (NULL
+    // distances sort first) and earn a plausible cosine — search and
+    // encode must agree on corpus membership
     val rows = corpus
-      .filter(col(vec).isNotNull && size(col(vec)) === dim)
+      .filter(col(vec).isNotNull && size(col(vec)) === dim &&
+        !exists(col(vec), x => x.isNull))
       .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
     val codes = array((0 until m).map(j =>
       pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)

@@ -55,10 +55,13 @@ object NLTranslator {
 
     def numericCols: Seq[String] =
       schema.fields.filter(f => QueryCompiler.isNumeric(f.dataType)).map(_.name).toSeq
-    def target: String =
+    // Option, not .head: an EMPTY schema card is a legal context
+    // (DatasetMetadata(Nil, ...)), and an aggregate/sort over it must
+    // degrade to an operation-less query, not throw head-of-empty
+    def targetOpt: Option[String] =
       mentioned.headOption
         .orElse(numericCols.headOption)
-        .getOrElse(schema.fields.head.name)
+        .orElse(schema.fields.headOption.map(_.name))
 
     // "<agg> X by Y" / "<agg> X per Y": group on the column mentioned
     // after by/per, aggregate the other mentioned (or first numeric) one.
@@ -69,11 +72,12 @@ object NLTranslator {
         case Some(g) =>
           val measure = mentioned.filterNot(_ == g).headOption
             .orElse(numericCols.filterNot(_ == g).headOption)
-            .getOrElse(schema.fields.head.name)
+            .getOrElse(schema.fields.head.name) // g matched, so nonempty
           StructuredQuery(QueryIntent.Aggregate,
             operations = Seq(GroupBy(g), mk(measure)))
         case None =>
-          StructuredQuery(QueryIntent.Aggregate, operations = Seq(mk(target)))
+          StructuredQuery(QueryIntent.Aggregate,
+            operations = targetOpt.map(mk).toSeq)
       }
     }
 
@@ -90,7 +94,8 @@ object NLTranslator {
           operations = mentioned.headOption.map(GroupBy).toSeq)
       else if (q.contains("sort") || q.contains("order by"))
         StructuredQuery(QueryIntent.Sort,
-          operations = Seq(SortBy(target, ascending = !q.contains("desc"))))
+          operations = targetOpt
+            .map(SortBy(_, ascending = !q.contains("desc"))).toSeq)
       else if (q.contains("chart") || q.contains("plot") || q.contains("visuali"))
         StructuredQuery(QueryIntent.Visualize, columns = mentioned)
       else if (fs.nonEmpty && mentioned.nonEmpty)

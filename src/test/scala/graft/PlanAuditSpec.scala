@@ -114,23 +114,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must meet the bounds only via broadcast:\n$p")
   }
 
-  test("q109 (cdc chunks): text never shuffles, only chunk digests do") {
+  test("q109 (cdc chunks): no exchange partitions on the text column") {
     val p = plan("q109_cdc_chunks")
-    // every exchange in this plan must carry digest/count columns, not
-    // the text column — chunking happens inside the scan
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    val exchangeBlocks = p.split("Exchange").drop(1)
-    exchangeBlocks.take(4).foreach { b =>
-      val head = b.linesIterator.take(1).mkString
-      assert(!head.contains("t#") || head.contains("hashpartitioning"),
-        s"an exchange must not ship raw text:\n$head")
-    }
+    // formatted explain puts each exchange's partitioning on its own
+    // "Arguments: hashpartitioning(...)" line; the cdc text column is
+    // aliased exactly `t`, so `t#<id>` appearing there (word-bounded —
+    // `cnt#`/`count#` must not match) would mean raw text shuffling.
+    // Chunking happens inside the scan: only d#/id# may key exchanges.
+    val textKeyed = """hashpartitioning\([^)\n]*(?<![\w])t#\d""".r
+      .findFirstIn(p)
+    assert(textKeyed.isEmpty,
+      s"an exchange partitions on the raw text column: $textKeyed\n$p")
+    assert("""hashpartitioning\([^)\n]*\bd#\d""".r.findFirstIn(p).nonEmpty,
+      s"the digest-count exchange should exist (else the pin went stale):\n$p")
   }
 
-  test("q113 (ref surprisal): aggregated streams only, totals broadcast") {
+  test("q113 (ref surprisal): the one-row totals broadcast as identity") {
     val p = plan("q113_ref_surprisal")
-    assert(p.contains("BroadcastExchange"),
-      s"the one-row reference totals must broadcast:\n$p")
+    // the totals crossJoin broadcasts with IdentityBroadcastMode — a
+    // plain `contains(BroadcastExchange)` would be satisfied by the
+    // term join's HashedRelation broadcast and pin nothing
+    assert(p.contains("IdentityBroadcastMode"),
+      s"the one-row reference totals must broadcast (identity mode):\n$p")
   }
 
   test("q94 (nfc normalize): pure projection, zero exchanges") {

@@ -183,6 +183,12 @@ class NLTranslatorSpec extends SparkSpec {
     val weird = DatasetMetadata(Seq("a`b"), 1L, Map("a`b" -> "string"))
     assert(weird.toStructType.fieldNames.toSeq === Seq("a`b"))
     assert(DatasetMetadata(Nil, 0L, Map.empty).toStructType.isEmpty)
+    // translation over an empty card is total: aggregate/sort degrade
+    // to operation-less queries instead of throwing head-of-empty
+    val emptyCtx = ConversationContext.create("c3", "job1",
+      DatasetMetadata(Nil, 0L, Map.empty), t0)
+    assert(NLTranslator.translate("average?", emptyCtx).operations.isEmpty)
+    assert(NLTranslator.translate("sort it", emptyCtx).operations.isEmpty)
   }
 
   test("'<agg> X by Y' produces a grouped aggregate") {
