@@ -773,8 +773,13 @@ object SparkEntry {
     "q71_resample" -> ((s, dir) => {
       val r = graft.streaming.Events.resampleFfill(
         Tables.events(s, dir), "ts", "event_type", "value", stepSeconds = 3600L)
+      // floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): a bin avg of 2-dp
+      // values can land exactly on a 4-dp half (e.g. 1512.12/32 =
+      // 47.25375), where Spark rounds the shortest decimal REPR (up)
+      // but DuckDB rounds the actual double (down). The scaled-floor
+      // form is IEEE-exact ops on the same double — identical in both.
       r.select(col("event_type"), col("bin"), col("n_events"),
-        round(col("value_ffill"), 4).as("value_ffill"))
+        (floor(col("value_ffill") * 1e4 + 0.5) / 1e4).as("value_ffill"))
     }),
 
     // --- Cross join (deliberately dimension×dimension only): the
@@ -1964,7 +1969,9 @@ object SparkEntry {
         |  SELECT event_type,
         |    CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600)
         |         AS TIMESTAMP) AS bin,
-        |    count(*) AS n, avg(value) AS v
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,9))) AS DOUBLE)
+        |      / count(value) AS v
         |  FROM events GROUP BY 1, 2),
         |bounds AS (SELECT min(bin) AS mn, max(bin) AS mx FROM b),
         |spine AS (
@@ -1976,8 +1983,9 @@ object SparkEntry {
         |  FROM spine s LEFT JOIN b
         |    ON s.event_type = b.event_type AND s.bin = b.bin)
         |SELECT event_type, bin, n_events,
-        |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
-        |    ORDER BY bin ROWS UNBOUNDED PRECEDING), 4) AS value_ffill
+        |  floor(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bin ROWS UNBOUNDED PRECEDING) * 1e4 + 0.5) / 1e4
+        |    AS value_ffill
         |FROM j""".stripMargin,
     "q72_cross" ->
       """SELECT r_name, n_name, n_regionkey = r_regionkey AS in_region

@@ -66,7 +66,15 @@ object Events {
     val binned = df
       .select(col(keyCol), binSec.as("bin_sec"), col(valueCol).as("__v"))
       .groupBy(keyCol, "bin_sec")
-      .agg(count(lit(1)).as("n_events"), avg(col("__v")).as("__avg"))
+      .agg(count(lit(1)).as("n_events"),
+        // NOT avg(double): float sums depend on accumulation order, so
+        // the same bin can differ in the last ulp across engines AND
+        // across Spark partitionings — and a 4-dp round at a half-point
+        // flips (seen at sf0.1). The decimal sum is EXACT (order-free);
+        // the single double divide is correctly-rounded IEEE, so every
+        // engine/run produces the identical double.
+        (sum(col("__v").cast("decimal(30,9)")).cast("double") /
+          count(col("__v"))).as("__avg"))
     val bounds = binned.agg(min(col("bin_sec")).as("__mn"),
       max(col("bin_sec")).as("__mx"))
     val spine = df.select(col(keyCol)).distinct()
