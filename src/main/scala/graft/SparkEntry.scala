@@ -2197,7 +2197,7 @@ object SparkEntry {
     "q114_token_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    list_filter(string_split_regex(text, '[ \t\n\f\r]+'),
         |      x -> x <> '') AS ts
         |  FROM documents WHERE text IS NOT NULL),
         |s AS (
@@ -2281,10 +2281,14 @@ object SparkEntry {
         |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
         |  round(list_aggregate([(v[i] - dq[i]) * (v[i] - dq[i])
         |      FOR i IN range(1, 65)], 'sum') / 64.0, 6) AS mse,
-        |  round(list_aggregate([v[i] * dq[i] FOR i IN range(1, 65)], 'sum')
+        |  CASE WHEN
+        |      sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, 65)], 'sum'))
+        |    * sqrt(list_aggregate([dq[i] * dq[i] FOR i IN range(1, 65)], 'sum'))
+        |      > 0
+        |  THEN round(list_aggregate([v[i] * dq[i] FOR i IN range(1, 65)], 'sum')
         |    / (sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, 65)], 'sum'))
         |     * sqrt(list_aggregate([dq[i] * dq[i] FOR i IN range(1, 65)], 'sum'))),
-        |    6) AS cos_q
+        |    6) END AS cos_q
         |FROM d""".stripMargin,
     "q101_wav_meta" ->
       """SELECT doc_id AS media_id,

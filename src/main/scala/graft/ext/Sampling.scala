@@ -96,11 +96,11 @@ object Sampling {
     * keeps target_g · T / available_g of its weight. Groups absent from
     * `targets` get fraction 0 (dropped from the mix) — pass them
     * explicitly to keep them. A targeted group with NO corpus supply
-    * makes the mixture infeasible: every targeted group then reports
-    * NULL keep_frac/kept (NULL, not 0.0 — "impossible", distinct from
-    * "dropped") so the caller cannot silently sample a skewed mix.
-    * Output per group:
-    * `available` (current weight), `target_share`, `keep_frac`
+    * makes the mixture infeasible (T = 0): it gets its OWN output row
+    * with `available` 0 and NULL keep_frac/kept — the caller sees
+    * exactly WHICH group is short — and every supplied group keeps 0,
+    * so nothing can be silently sampled at a skewed mix. Output per
+    * group: `available` (current weight), `target_share`, `keep_frac`
     * (6 dp, the input [[stratifiedHashSample]] wants), `kept` (weight
     * retained, 4 dp).
     *
@@ -119,32 +119,36 @@ object Sampling {
     val shareSum = targets.values.sum
     require(math.abs(shareSum - 1.0) < 1e-9,
       s"target shares must sum to 1, got $shareSum")
-    val share = targets.foldLeft(lit(null).cast("double")) {
-      case (acc, (g, p)) =>
-        when(col("group") === lit(g), lit(p)).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the targets as a (tiny, driver-sized) table: a FULL OUTER against
+    // the corpus totals gives a targeted-but-absent group its own row
+    // (available 0) instead of silently dropping it from the report
+    val tgt = targets.toSeq.toDF("__tg", "__ts")
     val avail = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .groupBy(col(groupCol).as("group"))
       .agg(sum(col(weightCol)).cast("double").as("available"))
-      .withColumn("target_share", share)
-    // the bottleneck total: min available/target over targeted groups
-    // (a targeted group with no rows is absent here — handled below by
-    // the zero-coverage convention: T over present groups only)
-    val bottleneck = avail.filter(col("target_share").isNotNull)
-      .agg(min(col("available") / col("target_share")).as("t_max"),
-        sum(col("target_share")).as("covered"))
+      .join(broadcast(tgt), col("group") <=> col("__tg"), "full_outer")
+      .select(coalesce(col("group"), col("__tg")).as("group"),
+        coalesce(col("available"), lit(0.0)).as("available"),
+        col("__ts").as("ts"))
+    // the bottleneck total: min available/target over targeted groups.
+    // A zero-supply targeted group contributes 0, so T = 0 and every
+    // supplied group keeps nothing — infeasibility is self-enforcing.
+    val bottleneck = avail.filter(col("ts").isNotNull)
+      .agg(min(col("available") / col("ts")).as("t_max"))
     avail.crossJoin(broadcast(bottleneck))
       .select(col("group").as(groupCol),
         col("available"),
-        coalesce(col("target_share"), lit(0.0)).as("target_share"),
-        when(col("target_share").isNull, lit(0.0))
-          .when(col("covered") < 1.0 - 1e-6, lit(null).cast("double"))
-          .otherwise(round(col("target_share") * col("t_max")
+        coalesce(col("ts"), lit(0.0)).as("target_share"),
+        when(col("ts").isNull, lit(0.0))
+          .when(col("available") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("ts") * col("t_max")
             / col("available"), 6)).as("keep_frac"),
-        when(col("target_share").isNull, lit(0.0))
-          .when(col("covered") < 1.0 - 1e-6, lit(null).cast("double"))
-          .otherwise(round(col("target_share") * col("t_max"), 4)).as("kept"))
+        when(col("ts").isNull, lit(0.0))
+          .when(col("available") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("ts") * col("t_max"), 4)).as("kept"))
   }
 
   /** Exact k-quantile bucket per row (`bucket` ∈ 1..k) via `ntile` over

@@ -404,21 +404,22 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
-    // NULL elements are excluded with the malformed rows: Spark's
-    // aggregate() fold propagates NULL where DuckDB's list_aggregate
-    // SKIPS it, so a partially-null vector would quantize to different
-    // sums in the two engines (and train/score as garbage regardless)
-    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
-        !exists(col(vec), x => x.isNull))
-      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val rows = pqRows(df, id, vec, dim)
     val minTrain = k * 4L
-    val trainSet = {
-      val s =
-        if (trainFraction >= 1.0) rows
-        else Sampling.hashSample(rows, "id", trainFraction)
-      if (s.limit(minTrain.toInt).count() >= minTrain) s else rows
-    }
-    trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // persist BEFORE the existence check so the limit-count starts
+    // populating the cache instead of costing a whole extra sample scan
+    val sample =
+      if (trainFraction >= 1.0) rows
+      else Sampling.hashSample(rows, "id", trainFraction)
+    sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val trainSet =
+      if ((sample eq rows) ||
+          sample.limit(minTrain.toInt).count() >= minTrain) sample
+      else {
+        sample.unpersist(blocking = false)
+        rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        rows
+      }
     try {
       (0 until m).map { j =>
         val slices = trainSet.select(
@@ -430,6 +431,19 @@ object Similarity {
       }.toArray
     } finally trainSet.unpersist(blocking = false) // even on a failed fit
   }
+
+  /** The quantizable-row projection shared by training, encode, and
+    * search — ONE definition so they always agree on corpus membership.
+    * NULL elements are excluded with the malformed rows: Spark's
+    * `aggregate()` fold propagates NULL where DuckDB's `list_aggregate`
+    * SKIPS it, so a partially-null vector would quantize to different
+    * sums in the two engines (and train/score as garbage regardless).
+    */
+  private def pqRows(df: DataFrame, id: String, vec: String,
+                     dim: Int): DataFrame =
+    df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
+        !exists(col(vec), x => x.isNull))
+      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
 
   /** Map-side PQ code assignment for one subspace: argmin squared
     * distance over the broadcast codebook literals. */
@@ -458,13 +472,7 @@ object Similarity {
     val codebooks = trainPqCodebooks(df, id, vec, dim, m, k,
       trainFraction, seed)
     val sub = dim / m
-    // NULL elements are excluded with the malformed rows: Spark's
-    // aggregate() fold propagates NULL where DuckDB's list_aggregate
-    // SKIPS it, so a partially-null vector would quantize to different
-    // sums in the two engines (and train/score as garbage regardless)
-    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
-        !exists(col(vec), x => x.isNull))
-      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val rows = pqRows(df, id, vec, dim)
     val codes = array((0 until m).map(j =>
       pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
     rows.withColumn("codes", codes)
@@ -473,9 +481,14 @@ object Similarity {
         round(aggregate(
             zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
             lit(0.0), (a, x) => a + x) / lit(dim.toDouble), 6).as("mse"),
-        round(dot(col("v"), col("dq")) /
+        // NULL, not 0/0: an all-zero vector or reconstruction gives
+        // NaN, which diverges from the oracle and out-ranks everything
+        // in downstream windows (CLAUDE.md NaN rule)
+        round(when(graft.functions.Vectors.norm(col("v")) *
+            graft.functions.Vectors.norm(col("dq")) > 0,
+          dot(col("v"), col("dq")) /
             (graft.functions.Vectors.norm(col("v")) *
-             graft.functions.Vectors.norm(col("dq"))), 6).as("cos_q"))
+             graft.functions.Vectors.norm(col("dq")))), 6).as("cos_q"))
   }
 
   /** PQ-ADC approximate top-k: the corpus is ranked by the cosine of
@@ -503,14 +516,7 @@ object Similarity {
     val codebooks = trainPqCodebooks(corpus, id, vec, dim, m, kCodes,
       trainFraction, seed)
     val sub = dim / m
-    // same null-element exclusion as pqQuantize: a partially-null
-    // vector would deterministically encode to codeword 0 (NULL
-    // distances sort first) and earn a plausible cosine — search and
-    // encode must agree on corpus membership
-    val rows = corpus
-      .filter(col(vec).isNotNull && size(col(vec)) === dim &&
-        !exists(col(vec), x => x.isNull))
-      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val rows = pqRows(corpus, id, vec, dim)
     val codes = array((0 until m).map(j =>
       pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
     val encoded = rows.withColumn("codes", codes)
@@ -575,13 +581,7 @@ object Similarity {
                    levels: Int = 255): DataFrame = {
     require(dim > 0, "dim must be positive")
     require(levels >= 1, "levels must be >= 1")
-    // NULL elements are excluded with the malformed rows: Spark's
-    // aggregate() fold propagates NULL where DuckDB's list_aggregate
-    // SKIPS it, so a partially-null vector would quantize to different
-    // sums in the two engines (and train/score as garbage regardless)
-    val rows = df.filter(col(vec).isNotNull && size(col(vec)) === dim &&
-        !exists(col(vec), x => x.isNull))
-      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+    val rows = pqRows(df, id, vec, dim)
     val bounds = rows
       .select(posexplode(col("v")))
       .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
@@ -612,9 +612,12 @@ object Similarity {
             (a, i) => a + (x(i) - element_at(col("dq"), i + 1)) *
               (x(i) - element_at(col("dq"), i + 1))) / lit(dim.toDouble), 6)
           .as("mse"),
-        round(dot(col("v"), col("dq")) /
+        // same NULL-on-zero-norm guard as pqQuantize (CLAUDE.md NaN rule)
+        round(when(graft.functions.Vectors.norm(col("v")) *
+            graft.functions.Vectors.norm(col("dq")) > 0,
+          dot(col("v"), col("dq")) /
             (graft.functions.Vectors.norm(col("v")) *
-             graft.functions.Vectors.norm(col("dq"))), 6)
+             graft.functions.Vectors.norm(col("dq")))), 6)
           .as("cos_q"))
   }
 }

@@ -835,7 +835,10 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap ($overlap) must be in [0, maxTokens)")
     val stride = maxTokens - overlap
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+    // NO lower(): unlike the counting/scoring ops, chunking EMITS the
+    // text — case-folding here would corrupt every chunk the pipeline
+    // produces (whitespace splitting needs no normalization)
+    val toks = filter(split(col(text), "[ \\t\\n\\f\\r]+"),
       t => length(t) > 0)
     df.filter(col(text).isNotNull)
       .select(col(id).as("id"), toks.as("ts"))

@@ -58,6 +58,12 @@ object Events {
     * per-key window is the same one shuffle the final ffill needs anyway.
     * Gap bins report n_events = 0 and carry the filled value.
     */
+  /** DOMAIN NOTE: bin averages use an exact decimal(30,9) sum (see the
+    * agg comment), which bounds `valueCol`: per-bin sums past ~10²¹
+    * overflow (an ANSI error, not a silent wrap) and values are
+    * pre-rounded at 9 fractional digits. Telemetry/price-scale metrics
+    * fit with room; renormalize first if your units do not.
+    */
   def resampleFfill(df: DataFrame, tsCol: String, keyCol: String,
                     valueCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")

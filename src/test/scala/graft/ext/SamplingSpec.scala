@@ -281,15 +281,20 @@ class SamplingSpec extends SparkSpec {
     assert(plan("en")._4.get / plan("fr")._4.get === 4.0)
   }
 
-  test("mixturePlan: a targeted group with no supply reports NULL, not zero") {
+  test("mixturePlan: a zero-supply targeted group gets its own NULL row, T = 0") {
     val df = Seq(("en", 100.0)).toDF("lang", "w")
-    val plan = Sampling.mixturePlan(df, "lang", "w",
-        Map("en" -> 0.5, "fr" -> 0.5))
-      .collect().map(r => r.getString(0) ->
-        (r.isNullAt(3), r.isNullAt(4))).toMap
-    // fr has no corpus rows: the mixture is infeasible — en must NOT
-    // silently keep anything (a 0.0 would read as "dropped by plan")
-    assert(plan("en") === ((true, true)))
+    val rows = Sampling.mixturePlan(df, "lang", "w",
+        Map("en" -> 0.5, "fr" -> 0.5)).collect()
+    val plan = rows.map(r => r.getString(0) ->
+      ((r.getDouble(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // fr has no corpus rows: it appears ANYWAY (available 0, NULL plan)
+    // so the caller sees which group is short; the bottleneck T = 0
+    // makes en keep exactly nothing — the mix cannot silently skew
+    assert(plan.keySet === Set("en", "fr"))
+    assert(plan("fr") === ((0.0, None, None)))
+    assert(plan("en") === ((100.0, Some(0.0), Some(0.0))))
   }
 
   test("mixturePlan fractions drive stratifiedHashSample to the target mix") {

@@ -462,6 +462,13 @@ class TextAnalysisSpec extends SparkSpec {
         maxTokens = 8, overlap = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
         ((r.getInt(2), r.getString(3)))).toMap
+    // chunking EMITS text: case must survive (counting ops fold, this
+    // one must not)
+    val cased = TextAnalysis.chunkByTokens(
+        Seq((9L, "The CEO of IBM")).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 8)
+      .collect().map(_.getString(3))
+    assert(cased.toSeq === Seq("The CEO of IBM"))
     // starts 1 and 5: [t1..t8], [t5..t10]; start 9 would add nothing new
     assert(out((1L, 1)) === ((8, toks.take(8).mkString(" "))))
     assert(out((1L, 2)) === ((6, toks.drop(4).mkString(" "))))
