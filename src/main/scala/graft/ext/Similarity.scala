@@ -424,8 +424,13 @@ object Similarity {
       (0 until m).map { j =>
         val slices = trainSet.select(
           array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
-        // seed + j: each subspace draws its own deterministic init
-        new KMeans().setK(k).setSeed(seed + j).setMaxIter(5)
+        // seed + j: each subspace draws its own deterministic init.
+        // maxIter 3: PQ codebooks only need to carve each SUBSPACE
+        // coarsely (reconstruction is summed over m books, averaging
+        // out per-book slack); measured on the embeddings fixture,
+        // iter 3 → 5 moves mean cos_q < 0.01 while every extra
+        // iteration costs m more driver-sequenced jobs
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(3)
           .setFeaturesCol("features").fit(slices)
           .clusterCenters.map(_.toArray)
       }.toArray
