@@ -17,6 +17,17 @@ import graft.query.{NLTranslator, QueryCompiler}
   */
 object SparkEntry {
 
+  /** PQ codebooks captured when q110/q112 run (training is
+    * seeded-deterministic, so the capture is a pure function of the
+    * data dir). [[Verify]] runs every query BEFORE dumping
+    * [[oracleSql]], so the dynamic PQ oracles see the books that
+    * actually encoded the dump; if the queries never ran (partial
+    * local `only` runs) the entries are simply omitted and the driver
+    * falls back to its rows-only record — never a stale or wrong SQL.
+    */
+  @volatile private var pqBooks110: Option[Array[Array[Array[Double]]]] = None
+  @volatile private var pqBooks112: Option[Array[Array[Array[Double]]]] = None
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -330,26 +341,42 @@ object SparkEntry {
     }),
 
     // --- PQ-ADC approximate top-k: rank from 4-byte codes alone (the
-    // 1e9-vector scan shape); rows-only like its IVF sibling q40.
+    // 1e9-vector scan shape). Training is seeded-deterministic, so the
+    // trained books are CAPTURED and replayed as a DuckDB literal table
+    // (the q24 pattern) — full hash oracle, not rows-only.
     "q112_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // m = 4 subspaces: codebook training is m driver-sequenced
       // k-means fits, the whole cost of this query at bench scale —
       // 4×16-dim books keep the ADC shape at half the fits
-      graft.ext.Similarity.pqCosineTopK(
+      val books = graft.ext.Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 4, k = 16,
+        trainFraction = 0.25, seed = 42L)
+      pqBooks112 = Some(books)
+      graft.ext.Similarity.pqCosineTopKWith(
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, dim = 64, m = 4)
+          k = 10, dim = 64, books)
         .select(col("qid"), col("id"),
-          round(col("cosine_adc"), 6).as("cosine_adc"), col("rank"))
+          graft.functions.Rounding.reprRound6(col("cosine_adc"))
+            .as("cosine_adc"), col("rank"))
     }),
 
     // --- Product quantization: m codebook codes per vector (m·log2 k
     // bits vs 32·dim — the compression that puts 1e9 vectors in RAM),
-    // plus the reconstruction audit. k-means training -> rows-only,
-    // the q40 convention; determinism + quality spec-asserted.
-    "q110_pq_encode" -> ((s, dir) =>
-      graft.ext.Similarity.pqQuantize(
-        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)),
+    // plus the reconstruction audit. Codes dump as a "-"-joined STRING:
+    // an array column would crash the driver's rows-only sort (pandas
+    // can't order ndarrays — seen in CORRECTNESS_r04), and the captured
+    // codebooks give the oracle a full argmin-encode replay anyway.
+    "q110_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = graft.ext.Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 8, k = 16,
+        trainFraction = 0.25, seed = 42L)
+      pqBooks110 = Some(books)
+      graft.ext.Similarity.pqQuantizeWith(emb, "vec_id", "embedding", 64, books)
+        .select(col("vec_id"), concat_ws("-", col("codes")).as("codes"),
+          col("mse"), col("cos_q"))
+    }),
 
     // --- Text: token statistics (whitespace + BPE-ish regex), map-side.
     "q22_token_counts" -> ((s, dir) =>
@@ -937,9 +964,12 @@ object SparkEntry {
       Tables.orders(s, dir)
         .groupBy("o_orderpriority")
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          graft.functions.Rounding.reprRound4(
+            expr("percentile(o_totalprice, 0.25)")).as("p25"),
+          graft.functions.Rounding.reprRound4(
+            expr("percentile(o_totalprice, 0.5)")).as("median"),
+          graft.functions.Rounding.reprRound4(
+            expr("percentile(o_totalprice, 0.75)")).as("p75"),
           count(lit(1)).as("n"))),
 
     // --- TF-IDF keyword extraction: top-3 characteristic terms per doc
@@ -1260,7 +1290,129 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Column names/aliases MUST match the Spark output exactly.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    pqBooks110.map(b => "q110_pq_encode" -> pqEncodeOracleSql(b)) ++
+    pqBooks112.map(b => "q112_pq_topk" -> pqTopkOracleSql(b))
+
+  /** The DuckDB codebook literal shared by the two PQ oracles: one row
+    * per (subspace j, code c) with the codeword as a DOUBLE[] —
+    * Double.toString is shortest-repr and round-trips, and the
+    * explicit CAST stops DuckDB from typing short literals as DECIMAL
+    * (decimal arithmetic would diverge from the engine's doubles).
+    */
+  private def pqCodebookCte(books: Array[Array[Array[Double]]]): String = {
+    val rows = books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) =>
+        s"($j, $c, [${cw.mkString(", ")}])"
+      }
+    }.mkString(",\n    ")
+    s"""cb AS (
+       |  SELECT j, c, CAST(cw AS DOUBLE[]) AS cw FROM (VALUES
+       |    $rows) t(j, c, cw))""".stripMargin
+  }
+
+  /** Valid-row projection matching Similarity.pqRows: 64-dim, no null
+    * elements, cast to double. */
+  private val pqRowsCte: String =
+    """r AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)""".stripMargin
+
+  /** Argmin encode replay: squared distance per (vector, subspace,
+    * codeword) with the engine's exact fold order, ties to the lower
+    * code (the sort_array struct order). `sub` = dim / m. */
+  private def pqEncodeCtes(sub: Int): String =
+    s"""dist AS (
+       |  SELECT r.vec_id, cb.j, cb.c, cb.cw,
+       |    list_aggregate([(r.v[cb.j*$sub + i] - cb.cw[i])
+       |        * (r.v[cb.j*$sub + i] - cb.cw[i])
+       |      FOR i IN range(1, ${sub + 1})], 'sum') AS dd
+       |  FROM r, cb),
+       |best AS (
+       |  SELECT vec_id, j, c, cw,
+       |    row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY dd ASC, c ASC) AS rn
+       |  FROM dist)""".stripMargin
+
+  /** q110 replay: captured codebooks → argmin codes ("-"-joined, the
+    * driver-sortable dump shape) + mse/cos_q audits, every float
+    * snapped with the repr-robust floor form the engine uses. */
+  private def pqEncodeOracleSql(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val sub = 64 / m
+    s"""WITH ${pqCodebookCte(books)},
+       |$pqRowsCte,
+       |${pqEncodeCtes(sub)},
+       |enc AS (
+       |  SELECT vec_id,
+       |    string_agg(c::VARCHAR, '-' ORDER BY j) AS codes,
+       |    flatten(list(cw ORDER BY j)) AS dq
+       |  FROM best WHERE rn = 1 GROUP BY vec_id)
+       |SELECT r.vec_id, e.codes,
+       |  floor(list_aggregate([(r.v[i] - e.dq[i]) * (r.v[i] - e.dq[i])
+       |      FOR i IN range(1, 65)], 'sum') / 64.0 * 1e6 + 0.5) / 1e6 AS mse,
+       |  CASE WHEN sqrt(list_aggregate([r.v[i] * r.v[i]
+       |        FOR i IN range(1, 65)], 'sum'))
+       |      * sqrt(list_aggregate([e.dq[i] * e.dq[i]
+       |        FOR i IN range(1, 65)], 'sum')) > 0
+       |    THEN floor(list_aggregate([r.v[i] * e.dq[i]
+       |        FOR i IN range(1, 65)], 'sum')
+       |      / (sqrt(list_aggregate([r.v[i] * r.v[i]
+       |          FOR i IN range(1, 65)], 'sum'))
+       |        * sqrt(list_aggregate([e.dq[i] * e.dq[i]
+       |          FOR i IN range(1, 65)], 'sum')))
+       |      * 1e6 + 0.5) / 1e6
+       |  END AS cos_q
+       |FROM r JOIN enc e ON r.vec_id = e.vec_id""".stripMargin
+  }
+
+  /** q112 replay: encode the corpus from the captured books, then the
+    * ADC score — per-subspace partial dots summed in subspace order,
+    * the engine's exact float order — over reconstruction/query norms,
+    * ranked desc with id tiebreak. */
+  private def pqTopkOracleSql(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val sub = 64 / m
+    val adcTerms = (0 until m).map { j =>
+      s"""list_aggregate([e.cws[${j + 1}][i] * q.qv[${j * sub} + i]
+         |        FOR i IN range(1, ${sub + 1})], 'sum')""".stripMargin
+    }.mkString("\n      + ")
+    s"""WITH ${pqCodebookCte(books)},
+       |$pqRowsCte,
+       |${pqEncodeCtes(sub)},
+       |enc AS (
+       |  SELECT vec_id, list(cw ORDER BY j) AS cws,
+       |    flatten(list(cw ORDER BY j)) AS dq
+       |  FROM best WHERE rn = 1 GROUP BY vec_id),
+       |encn AS (
+       |  SELECT vec_id, cws,
+       |    sqrt(list_aggregate([dq[i] * dq[i] FOR i IN range(1, 65)], 'sum'))
+       |      AS dqnorm
+       |  FROM enc),
+       |qn AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+       |    sqrt(list_aggregate([CAST(embedding AS DOUBLE[])[i]
+       |        * CAST(embedding AS DOUBLE[])[i] FOR i IN range(1, 65)], 'sum'))
+       |      AS qnorm
+       |  FROM embeddings WHERE vec_id < 5),
+       |s AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |    CASE WHEN e.dqnorm * q.qnorm > 0 THEN
+       |      ($adcTerms)
+       |      / (e.dqnorm * q.qnorm) END AS cosine_adc
+       |  FROM encn e, qn q WHERE e.vec_id <> q.qid),
+       |rk AS (
+       |  SELECT qid, id, cosine_adc,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine_adc DESC NULLS LAST, id ASC) AS rank
+       |  FROM s)
+       |SELECT qid, id, floor(cosine_adc * 1e6 + 0.5) / 1e6 AS cosine_adc, rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+  }
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -2355,8 +2507,8 @@ object SparkEntry {
         |    ELSE coalesce(agg.dup_chunk_chars, 0) END AS dup_chunk_chars,
         |  CASE WHEN d.doc_id IS NULL THEN NULL
         |    WHEN length(d.text) > 0 THEN
-        |      round(coalesce(agg.dup_chunk_chars, 0) * 1.0
-        |        / length(d.text), 6)
+        |      floor(coalesce(agg.dup_chunk_chars, 0) * 1.0
+        |        / length(d.text) * 1e6 + 0.5) / 1e6
         |    ELSE 0.0 END AS dup_frac
         |FROM documents d
         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
@@ -2473,14 +2625,14 @@ object SparkEntry {
     "q99_winsorized" ->
       """WITH b AS (
         |  SELECT o_orderpriority,
-        |    round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
-        |    round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+        |    floor(quantile_cont(o_totalprice, 0.05) * 1e4 + 0.5) / 1e4 AS lo,
+        |    floor(quantile_cont(o_totalprice, 0.95) * 1e4 + 0.5) / 1e4 AS hi
         |  FROM orders WHERE o_totalprice IS NOT NULL
         |  GROUP BY 1)
         |SELECT o.o_orderpriority, count(*) AS n,
-        |  round(avg(o.o_totalprice), 4) AS mean,
-        |  round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 4)
-        |    AS winsorized_mean,
+        |  floor(avg(o.o_totalprice) * 1e4 + 0.5) / 1e4 AS mean,
+        |  floor(avg(least(greatest(o.o_totalprice, b.lo), b.hi)) * 1e4 + 0.5)
+        |    / 1e4 AS winsorized_mean,
         |  min(b.lo) AS lo, min(b.hi) AS hi
         |FROM orders o JOIN b
         |  ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
@@ -2514,8 +2666,10 @@ object SparkEntry {
     "q95_iqr_outliers" ->
       """WITH q AS (
         |  SELECT l_returnflag,
-        |    round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-        |    round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |    floor(quantile_cont(l_extendedprice, 0.25) * 1e4 + 0.5) / 1e4
+        |      AS p25,
+        |    floor(quantile_cont(l_extendedprice, 0.75) * 1e4 + 0.5) / 1e4
+        |      AS p75
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
         |  GROUP BY 1),
         |f AS (
@@ -2533,9 +2687,9 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q74_grouped_quantiles" ->
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
-        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  floor(quantile_cont(o_totalprice, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 1e4 + 0.5) / 1e4 AS median,
+        |  floor(quantile_cont(o_totalprice, 0.75) * 1e4 + 0.5) / 1e4 AS p75,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q83_strip_boilerplate" ->

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
+import graft.functions.Rounding.reprRound6
+
 /** Deduplication operators for large-scale training-data pipelines.
   *
   * The reference has no dedup of any kind (SURVEY.md §2.3 "not
@@ -685,8 +687,8 @@ object Dedup {
           .as("dup_chunk_chars"),
         when(col("id").isNull, lit(null))
           .when(col("n_chars") > 0,
-            round(coalesce(col("dup_chunk_chars"), lit(0L)) /
-              col("n_chars").cast(DoubleType), 6))
+            reprRound6(coalesce(col("dup_chunk_chars"), lit(0L)) /
+              col("n_chars").cast(DoubleType)))
           .otherwise(0.0).as("dup_frac"))
   }
 

@@ -473,9 +473,21 @@ object Similarity {
   def pqQuantize(df: DataFrame, id: String, vec: String, dim: Int,
                  m: Int = 8, k: Int = 16,
                  trainFraction: Double = 0.25,
-                 seed: Long = 42L): DataFrame = {
-    val codebooks = trainPqCodebooks(df, id, vec, dim, m, k,
-      trainFraction, seed)
+                 seed: Long = 42L): DataFrame =
+    pqQuantizeWith(df, id, vec, dim,
+      trainPqCodebooks(df, id, vec, dim, m, k, trainFraction, seed))
+
+  /** [[pqQuantize]] against caller-supplied codebooks — the split that
+    * lets one seeded training pass serve encode, search, AND an
+    * external replay (the codebooks are plain literals, so a SQL
+    * oracle can re-run argmin-encode + both audits bit-exactly).
+    * Metrics snapped with the repr-robust floor form, not `round`
+    * ([[graft.functions.Rounding]]).
+    */
+  def pqQuantizeWith(df: DataFrame, id: String, vec: String, dim: Int,
+                     codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
     val rows = pqRows(df, id, vec, dim)
     val codes = array((0 until m).map(j =>
@@ -483,17 +495,18 @@ object Similarity {
     rows.withColumn("codes", codes)
       .withColumn("dq", pqReconstruct(codebooks, col("codes")))
       .select(col("id").as(id), col("codes"),
-        round(aggregate(
+        graft.functions.Rounding.reprRound6(aggregate(
             zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x) / lit(dim.toDouble), 6).as("mse"),
+            lit(0.0), (a, x) => a + x) / lit(dim.toDouble)).as("mse"),
         // NULL, not 0/0: an all-zero vector or reconstruction gives
         // NaN, which diverges from the oracle and out-ranks everything
         // in downstream windows (CLAUDE.md NaN rule)
-        round(when(graft.functions.Vectors.norm(col("v")) *
-            graft.functions.Vectors.norm(col("dq")) > 0,
-          dot(col("v"), col("dq")) /
-            (graft.functions.Vectors.norm(col("v")) *
-             graft.functions.Vectors.norm(col("dq")))), 6).as("cos_q"))
+        graft.functions.Rounding.reprRound6(
+          when(graft.functions.Vectors.norm(col("v")) *
+              graft.functions.Vectors.norm(col("dq")) > 0,
+            dot(col("v"), col("dq")) /
+              (graft.functions.Vectors.norm(col("v")) *
+               graft.functions.Vectors.norm(col("dq"))))).as("cos_q"))
   }
 
   /** PQ-ADC approximate top-k: the corpus is ranked by the cosine of
@@ -517,9 +530,17 @@ object Similarity {
                    id: String, vec: String, k: Int,
                    dim: Int, m: Int = 8, kCodes: Int = 16,
                    trainFraction: Double = 0.25,
-                   seed: Long = 42L): DataFrame = {
-    val codebooks = trainPqCodebooks(corpus, id, vec, dim, m, kCodes,
-      trainFraction, seed)
+                   seed: Long = 42L): DataFrame =
+    pqCosineTopKWith(corpus, queries, id, vec, k, dim,
+      trainPqCodebooks(corpus, id, vec, dim, m, kCodes, trainFraction, seed))
+
+  /** [[pqCosineTopK]] against caller-supplied codebooks (see
+    * [[pqQuantizeWith]] for why the split exists). */
+  def pqCosineTopKWith(corpus: DataFrame, queries: DataFrame,
+                       id: String, vec: String, k: Int, dim: Int,
+                       codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
     val rows = pqRows(corpus, id, vec, dim)
     val codes = array((0 until m).map(j =>

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Rounding.reprRound4
+
 /** Dataset profiling — the reference's "insights" engine
   * (`/root/reference/src/services/processor.rs:264-456`), redesigned for
   * distributed execution.
@@ -292,18 +294,21 @@ object Profiler {
     * compared against them): pass 1 aggregates exact quartiles per
     * group; the group-sized fence table then BROADCASTS back onto the
     * scan, so pass 2 is one partial-aggregated count — the big side
-    * never shuffles. The QUARTILES are rounded to 4 dp (same rationale
-    * as [[graft.ext.Sampling.exactQuantileThresholds]]: last-ulp
-    * interpolation differences between engines cannot flip a boundary)
-    * and the fences are then composed WITHOUT further rounding: on
-    * 2-dp inputs the quarter-interpolated quartiles are exact 4-dp
-    * decimals (rounding them is an identity), while the composite
-    * fence p25 − f·IQR is an exact 5-dp decimal — rounding THAT at
-    * 4 dp sits on a decimal half-way point whose direction differs
-    * across engines/builds. Since +,−,× are correctly rounded IEEE
-    * ops, both engines produce bit-identical fence doubles from the
-    * identical rounded quartiles, so an external SQL oracle replays
-    * the counts exactly.
+    * never shuffles. The QUARTILES are snapped to 4 dp with the
+    * repr-robust `floor(x·10⁴ + 0.5)/10⁴` (NOT `round(x, 4)`: Spark
+    * rounds the shortest decimal REPR via BigDecimal.valueOf while
+    * DuckDB rounds the double VALUE, and the two disagree exactly at
+    * repr half-points — this query sat hash-red on the driver board
+    * three rounds running on that class). The floor form is the same
+    * correctly-rounded IEEE op sequence in every engine, and on 2-dp
+    * inputs the quarter-interpolated quartiles put x·10⁴ within an
+    * ulp of a multiple of 25 — never near the half-integer where
+    * floor could flip — so even a last-ulp interpolation difference
+    * between `percentile` and `quantile_cont` lands on the same
+    * snapped value. The fences are then composed WITHOUT further
+    * rounding: +,−,× are correctly rounded IEEE ops, so both engines
+    * produce bit-identical fence doubles from the identical snapped
+    * quartiles and an external SQL oracle replays the counts exactly.
     * Exact `percentile` holds per-group values in the aggregation
     * buffer; at unbounded group sizes pass `exact = false` to switch
     * the quartile pass to `approx_percentile`, leaving pass 2
@@ -316,7 +321,7 @@ object Profiler {
       if (exact) percentile(col(valueCol), lit(frac))
       else approx_percentile(col(valueCol), lit(frac), lit(10000))
     val fences = rows.groupBy(groupCol)
-      .agg(round(q(0.25), 4).as("p25"), round(q(0.75), 4).as("p75"))
+      .agg(reprRound4(q(0.25)).as("p25"), reprRound4(q(0.75)).as("p75"))
       .select(col(groupCol).as("__g"),
         (col("p25") - lit(factor) * (col("p75") - col("p25"))).as("lo"),
         (col("p75") + lit(factor) * (col("p75") - col("p25"))).as("hi"))
@@ -335,23 +340,25 @@ object Profiler {
     * quantile band before averaging — the robust mean a metrics
     * pipeline reports when heavy tails (a few giant documents, a
     * runaway price) would otherwise dominate. Same two-pass broadcast
-    * shape as [[iqrOutliersDF]] (and the same pre-rounded clip bounds
-    * so an external SQL oracle replays the clipping exactly); reports
-    * the raw mean alongside so the tail's pull is visible.
+    * shape as [[iqrOutliersDF]], and the same repr-robust
+    * `floor(x·10⁴+0.5)/10⁴` snap on the clip bounds AND the reported
+    * means (`round(x, 4)` is a different function per engine at repr
+    * half-points — see [[iqrOutliersDF]]); reports the raw mean
+    * alongside so the tail's pull is visible.
     */
   def winsorizedStatsDF(df: DataFrame, groupCol: String, valueCol: String,
                         p: Double = 0.05): DataFrame = {
     require(p > 0 && p < 0.5, s"p must be in (0, 0.5), got $p")
     val rows = df.filter(col(valueCol).isNotNull)
     val bounds = rows.groupBy(groupCol)
-      .agg(round(percentile(col(valueCol), lit(p)), 4).as("lo"),
-        round(percentile(col(valueCol), lit(1 - p)), 4).as("hi"))
+      .agg(reprRound4(percentile(col(valueCol), lit(p))).as("lo"),
+        reprRound4(percentile(col(valueCol), lit(1 - p))).as("hi"))
       .withColumnRenamed(groupCol, "__g")
     rows.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
-        round(avg(col(valueCol)), 4).as("mean"),
-        round(avg(least(greatest(col(valueCol), col("lo")), col("hi"))), 4)
+        reprRound4(avg(col(valueCol))).as("mean"),
+        reprRound4(avg(least(greatest(col(valueCol), col("lo")), col("hi"))))
           .as("winsorized_mean"),
         min(col("lo")).as("lo"),
         min(col("hi")).as("hi"))
