@@ -2502,9 +2502,11 @@ object SparkEntry {
         |  CASE WHEN d.doc_id IS NULL THEN NULL
         |    ELSE coalesce(agg.n_chunks, 0) END AS n_chunks,
         |  CASE WHEN d.doc_id IS NULL THEN NULL
-        |    ELSE coalesce(agg.n_dup_chunks, 0) END AS n_dup_chunks,
+        |    ELSE CAST(coalesce(agg.n_dup_chunks, 0) AS BIGINT)
+        |    END AS n_dup_chunks,
         |  CASE WHEN d.doc_id IS NULL THEN NULL
-        |    ELSE coalesce(agg.dup_chunk_chars, 0) END AS dup_chunk_chars,
+        |    ELSE CAST(coalesce(agg.dup_chunk_chars, 0) AS BIGINT)
+        |    END AS dup_chunk_chars,
         |  CASE WHEN d.doc_id IS NULL THEN NULL
         |    WHEN length(d.text) > 0 THEN
         |      floor(coalesce(agg.dup_chunk_chars, 0) * 1.0
@@ -2678,8 +2680,10 @@ object SparkEntry {
         |    p75 + 1.5 * (p75 - p25) AS hi
         |  FROM q)
         |SELECT l.l_returnflag, count(*) AS n,
-        |  sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS n_below,
-        |  sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS n_above,
+        |  CAST(sum(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above,
         |  min(f.lo) AS lo, min(f.hi) AS hi
         |FROM lineitem l JOIN f
         |  ON l.l_returnflag IS NOT DISTINCT FROM f.l_returnflag
