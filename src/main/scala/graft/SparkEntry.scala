@@ -27,6 +27,7 @@ object SparkEntry {
     */
   @volatile private var pqBooks110: Option[Array[Array[Array[Double]]]] = None
   @volatile private var pqBooks112: Option[Array[Array[Array[Double]]]] = None
+  @volatile private var pqBooks115: Option[Array[Array[Array[Double]]]] = None
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -323,9 +324,10 @@ object SparkEntry {
     // rows-only — recall vs brute force asserted in SimilaritySpec).
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // library-default nProbe (8/16): the spec's 0.9 recall floor
       graft.ext.Similarity.ivfCosineTopK(
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
-          nCells = 16, nProbe = 6)
+          nCells = 16)
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
@@ -376,6 +378,27 @@ object SparkEntry {
       graft.ext.Similarity.pqQuantizeWith(emb, "vec_id", "embedding", 64, books)
         .select(col("vec_id"), concat_ws("-", col("codes")).as("codes"),
           col("mse"), col("cos_q"))
+    }),
+
+    // --- PQ-ADC search + exact re-rank: codes-only scan keeps
+    // k*refine candidates, true vectors re-score ONLY those (broadcast
+    // candidate ids — full vectors never shuffle). The two-stage shape
+    // every production ANN runs at 1e9 vectors; recall floor 0.9 in
+    // SimilaritySpec. Same captured-codebook oracle replay as q112.
+    "q115_pq_refined" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // m=16/refine=16: what the near-random fixture needs for the 0.9
+      // recall floor (SimilaritySpec has the measured sweep)
+      val books = graft.ext.Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 16, k = 16,
+        trainFraction = 0.25, seed = 42L)
+      pqBooks115 = Some(books)
+      graft.ext.Similarity.pqCosineTopKRefinedWith(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64, books, refine = 16)
+        .select(col("qid"), col("id"),
+          graft.functions.Rounding.reprRound6(col("cosine")).as("cosine"),
+          col("rank"))
     }),
 
     // --- Text: token statistics (whitespace + BPE-ish regex), map-side.
@@ -1292,7 +1315,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = staticOracleSql ++
     pqBooks110.map(b => "q110_pq_encode" -> pqEncodeOracleSql(b)) ++
-    pqBooks112.map(b => "q112_pq_topk" -> pqTopkOracleSql(b))
+    pqBooks112.map(b => "q112_pq_topk" -> pqTopkOracleSql(b)) ++
+    pqBooks115.map(b => "q115_pq_refined" -> pqRefinedOracleSql(b))
 
   /** The DuckDB codebook literal shared by the two PQ oracles: one row
     * per (subspace j, code c) with the codeword as a DOUBLE[] —
@@ -1368,18 +1392,19 @@ object SparkEntry {
        |FROM r JOIN enc e ON r.vec_id = e.vec_id""".stripMargin
   }
 
-  /** q112 replay: encode the corpus from the captured books, then the
-    * ADC score — per-subspace partial dots summed in subspace order,
-    * the engine's exact float order — over reconstruction/query norms,
-    * ranked desc with id tiebreak. */
-  private def pqTopkOracleSql(books: Array[Array[Array[Double]]]): String = {
+  /** The shared ADC-ranking WITH-body (through CTE `rk`): encode the
+    * corpus from the captured books, then the ADC score — per-subspace
+    * partial dots summed in subspace order, the engine's exact float
+    * order — over reconstruction/query norms, ranked desc with id
+    * tiebreak. */
+  private def pqAdcCtes(books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val sub = 64 / m
     val adcTerms = (0 until m).map { j =>
       s"""list_aggregate([e.cws[${j + 1}][i] * q.qv[${j * sub} + i]
          |        FOR i IN range(1, ${sub + 1})], 'sum')""".stripMargin
     }.mkString("\n      + ")
-    s"""WITH ${pqCodebookCte(books)},
+    s"""${pqCodebookCte(books)},
        |$pqRowsCte,
        |${pqEncodeCtes(sub)},
        |enc AS (
@@ -1407,10 +1432,42 @@ object SparkEntry {
        |  SELECT qid, id, cosine_adc,
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY cosine_adc DESC NULLS LAST, id ASC) AS rank
-       |  FROM s)
+       |  FROM s)""".stripMargin
+  }
+
+  /** q112 replay: ADC ranking, top-10 per query. */
+  private def pqTopkOracleSql(books: Array[Array[Array[Double]]]): String =
+    s"""WITH ${pqAdcCtes(books)}
        |SELECT qid, id, floor(cosine_adc * 1e6 + 0.5) / 1e6 AS cosine_adc, rank
        |FROM rk WHERE rank <= 10""".stripMargin
-  }
+
+  /** q115 replay: ADC top-(k·refine) candidates, then the exact-cosine
+    * re-rank over TRUE vectors — candidates only, the engine's
+    * broadcast-rerank shape. */
+  private def pqRefinedOracleSql(books: Array[Array[Array[Double]]],
+                                 kRefine: Int = 160): String =
+    s"""WITH ${pqAdcCtes(books)},
+       |cand AS (SELECT qid, id FROM rk WHERE rank <= $kRefine),
+       |cn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, 65)], 'sum'))
+       |      AS nv
+       |  FROM r),
+       |ex AS (
+       |  SELECT cand.qid, cand.id,
+       |    CASE WHEN cn.nv * qn.qnorm > 0 THEN
+       |      list_aggregate([cn.v[i] * qn.qv[i] FOR i IN range(1, 65)], 'sum')
+       |      / (cn.nv * qn.qnorm) END AS cosine
+       |  FROM cand
+       |  JOIN cn ON cn.vec_id = cand.id
+       |  JOIN qn ON qn.qid = cand.qid),
+       |exrk AS (
+       |  SELECT qid, id, cosine,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC NULLS LAST, id ASC) AS rank
+       |  FROM ex)
+       |SELECT qid, id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine, rank
+       |FROM exrk WHERE rank <= 10""".stripMargin
 
   private def staticOracleSql: Map[String, String] = Map(
     "q1_agg" ->

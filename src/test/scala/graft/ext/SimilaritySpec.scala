@@ -59,12 +59,39 @@ class SimilaritySpec extends SparkSpec {
     val queries = real.filter($"vec_id" < 5L)
     val exact = Similarity.bruteForceTopK(real, queries, "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // library DEFAULTS must clear 0.9 even on this near-random table
+    // (the worst case for a coarse quantizer): measured recall@10 is
+    // 0.54/0.80/0.94/0.98 at nProbe 4/6/8/10 of 16 cells
     val ivf = Similarity.ivfCosineTopK(real, queries, "vec_id", "embedding", 10,
-        nCells = 16, nProbe = 6)
+        nCells = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
     info(f"IVF recall@10 = $recall%.3f")
-    assert(recall >= 0.4, s"recall $recall below floor")
+    assert(recall >= 0.9, s"recall $recall below floor")
+  }
+
+  test("pq exact-rerank refinement lifts ADC recall to >= 0.9") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 5L)
+    val exact = Similarity.bruteForceTopK(real, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // m=16/refine=16: the near-random fixture needs the finest books
+    // (measured: m=4/8/16 ADC = 0.14/0.34/0.40; refined at m=16 =
+    // 0.76/0.92/1.00 for refine 4/8/16) — real clustered corpora clear
+    // the floor at far smaller settings
+    val books = Similarity.trainPqCodebooks(real, "vec_id", "embedding",
+      dim = 64, m = 16, k = 16, trainFraction = 0.25, seed = 42L)
+    val adc = Similarity.pqCosineTopKWith(real, queries,
+        "vec_id", "embedding", 10, 64, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.pqCosineTopKRefinedWith(real, queries,
+        "vec_id", "embedding", 10, 64, books, refine = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (exact intersect adc).size.toDouble / exact.size
+    val refRecall = (exact intersect refined).size.toDouble / exact.size
+    info(f"PQ ADC recall@10 = $adcRecall%.3f, refined = $refRecall%.3f")
+    assert(refRecall >= 0.9, s"refined recall $refRecall below floor")
+    assert(refRecall >= adcRecall, "refinement must never lose recall")
   }
 
   test("lsh recall on the real embeddings table (sf0.001) vs brute force") {
