@@ -471,16 +471,33 @@ object Dedup {
     * blank corpus doc as eval leakage. */
   private def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
                                 id: String, text: String,
-                                ngram: Int): DataFrame = {
+                                ngram: Int): DataFrame =
+    contaminationHitsAgainst(corpus,
+      benchmarkDigests(benchmark, id, text, ngram), id, text, ngram)
+
+  /** The benchmark's distinct shingle-digest catalog (one `d` md5
+    * column) — the broadcast side of every contamination check.
+    * Compute (and persist) this ONCE per benchmark and feed it to
+    * [[decontaminateAgainstDigests]] when the corpus arrives in many
+    * pieces (a micro-batched ingest stream, per-shard passes): the
+    * eval suite is digested a single time instead of once per piece.
+    */
+  def benchmarkDigests(benchmark: DataFrame, id: String, text: String,
+                       ngram: Int = 8): DataFrame =
+    shinglesDF(benchmark, id, text, ngram)
+      .filter(length(col("shingle")) > 0)
+      .select(md5(col("shingle")).as("d")).distinct()
+
+  private def contaminationHitsAgainst(corpus: DataFrame,
+                                       digests: DataFrame,
+                                       id: String, text: String,
+                                       ngram: Int): DataFrame = {
     val c = shinglesDF(corpus, id, text, ngram)
       .filter(length(col("shingle")) > 0)
       .select(col("id"), md5(col("shingle")).as("d"))
-    val b = shinglesDF(benchmark, id, text, ngram)
-      .filter(length(col("shingle")) > 0)
-      .select(md5(col("shingle")).as("d")).distinct()
     // shinglesDF is distinct per doc, so the count is distinct shared
     // shingles without a second dedup
-    c.join(broadcast(b), Seq("d"), "left_semi")
+    c.join(broadcast(digests), Seq("d"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
@@ -721,7 +738,22 @@ object Dedup {
                     id: String, text: String,
                     ngram: Int = 8, minOverlap: Long = 1L): DataFrame = {
     require(ngram >= 1, "ngram must be >= 1")
-    val dirty = contaminationHits(corpus, benchmark, id, text, ngram)
+    decontaminateAgainstDigests(corpus,
+      benchmarkDigests(benchmark, id, text, ngram),
+      id, text, ngram, minOverlap)
+  }
+
+  /** [[decontaminate]] against a pre-built [[benchmarkDigests]]
+    * catalog — the split that lets a streaming ingest
+    * ([[graft.streaming.Events.streamingDecontaminate]]) digest the
+    * benchmark once and scrub every micro-batch against the cached
+    * catalog. */
+  def decontaminateAgainstDigests(corpus: DataFrame, digests: DataFrame,
+                                  id: String, text: String,
+                                  ngram: Int = 8,
+                                  minOverlap: Long = 1L): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    val dirty = contaminationHitsAgainst(corpus, digests, id, text, ngram)
       .filter(col("n_shared_ngrams") >= minOverlap)
       .withColumnRenamed("id", "__hid")
     corpus.join(dirty, corpus(id) <=> dirty("__hid"), "left_anti")

@@ -156,6 +156,58 @@ object Events {
     * `spark.read.parquet(out)` (the read honors the log) and rewrite to
     * a separate lake directory, e.g. with `Sinks.writeRangeSorted`.
     */
+  /** Ingest-time decontamination, packaged: every arriving micro-batch
+    * of documents is scrubbed against the eval benchmark BEFORE it
+    * lands, so contaminated docs never reach the corpus at all (the
+    * streaming half of the q86 batch operator).
+    *
+    * Scale shape: the benchmark's shingle-digest catalog is built ONCE
+    * and persisted — each micro-batch only digests ITSELF and left-semi
+    * joins the broadcast catalog ([[graft.ext.Dedup.benchmarkDigests]]);
+    * the batch never shuffles and the eval suite is never re-read.
+    *
+    * Restart contract: after a crash between a batch's write and its
+    * checkpoint commit, Structured Streaming REPLAYS that batch into
+    * [[decontaminateBatchWriter]] with the SAME batchId — the writer
+    * overwrites its own `batch_id=<id>` partition, so replay is
+    * idempotent and a doc is never landed twice (no-double-apply;
+    * spec-asserted). Read the result with `spark.read.parquet(outDir)`
+    * (`batch_id` surfaces as a partition column — per-batch provenance
+    * for free). The digest cache lives until the SparkSession ends;
+    * unpersist it via the returned query's `stop()` caller if the
+    * benchmark is rotated.
+    */
+  def streamingDecontaminate(stream: DataFrame, benchmark: DataFrame,
+                             id: String, text: String,
+                             outDir: String, checkpointDir: String,
+                             ngram: Int = 8, minOverlap: Long = 1L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val digests = graft.ext.Dedup.benchmarkDigests(benchmark, id, text, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val writer = decontaminateBatchWriter(digests, id, text, outDir,
+      ngram, minOverlap)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writer)
+      .start()
+  }
+
+  /** The idempotent per-batch body of [[streamingDecontaminate]],
+    * exposed so the replay contract is directly testable: calling it
+    * twice with the same batchId must land each surviving doc once. */
+  def decontaminateBatchWriter(digests: DataFrame, id: String,
+                               text: String, outDir: String,
+                               ngram: Int, minOverlap: Long)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.ext.Dedup
+        .decontaminateAgainstDigests(batch, digests, id, text,
+          ngram, minOverlap)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      ()
+    }
+
   def streamToParquet(df: DataFrame, outDir: String,
                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
