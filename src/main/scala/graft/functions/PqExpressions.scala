@@ -1,0 +1,277 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native Catalyst expressions for product-quantization encode/score.
+  *
+  * The composed-Column formulation (per-codeword `aggregate(zip_with(…))`
+  * distances inside a `sort_array(array(struct(…)))` argmin, times m
+  * subspaces) inlines every codebook double as a codegen LITERAL —
+  * m·k·dim ≈ 1–2k literals per operator, the exact anti-pattern
+  * CLAUDE.md records (seconds of JIT per plan, re-paid on every
+  * recompute). These expressions keep the codebooks OUT of the source
+  * via `ctx.addReferenceObj` and emit one primitive loop; semantics are
+  * bit-identical to the composed form (same left-to-right float folds,
+  * same lowest-code tie-break), so the captured-codebook SQL oracles
+  * replay unchanged.
+  *
+  * Codebooks are `m × k × (dim/m)` doubles; vectors are dense
+  * `array<double>` (null ELEMENTS unsupported — callers pre-filter, see
+  * Similarity.pqRows).
+  */
+private[graft] object PqExpressions {
+  def validate(books: Array[Array[Array[Double]]]): Unit = {
+    require(books.nonEmpty && books(0).nonEmpty && books(0)(0).nonEmpty,
+      "pq: codebooks must be non-empty (m x k x sub)")
+    require(books.forall(b => b.length == books(0).length &&
+        b.forall(_.length == books(0)(0).length)),
+      "pq: codebooks must be rectangular")
+  }
+}
+
+/** `array<int>` of m PQ codes: per subspace, the argmin-squared-distance
+  * codeword (ties to the LOWEST code, the sort_array struct-order rule).
+  * Distance is the same left-to-right `0.0 + Σ(x−y)²` fold as the
+  * composed form, so codes are bit-for-bit reproducible. */
+final case class PqEncodeExpr(child: Expression,
+                              books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  PqExpressions.validate(books)
+
+  private def m: Int = books.length
+  private def sub: Int = books(0)(0).length
+  private def dim: Int = m * sub
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, child)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${x.numElements()} != dim $dim")
+    }
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = x.getDouble(j * sub + i) - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bs = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val cw = ctx.freshName("cw")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector length " + $v.numElements() + " != dim $dim");
+         |}
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $bs[$j].length; $c++) {
+         |    double[] $cw = $bs[$j][$c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $diff = $v.getDouble($j * $sub + $i) - $cw[$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** `array<double>` reconstruction: the selected codeword per subspace,
+  * concatenated — codebook values verbatim, no arithmetic. */
+final case class PqReconstructExpr(child: Expression,
+                                   books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  PqExpressions.validate(books)
+
+  private def m: Int = books.length
+  private def sub: Int = books(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_reconstruct requires array<int> codes, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_reconstruct"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cs = input.asInstanceOf[ArrayData]
+    if (cs.numElements() != m) {
+      throw new IllegalArgumentException(
+        s"pq_reconstruct: ${cs.numElements()} codes != m $m")
+    }
+    val out = new Array[Double](m * sub)
+    var j = 0
+    while (j < m) {
+      val cw = books(j)(cs.getInt(j))
+      System.arraycopy(cw, 0, out, j * sub, sub)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cs => {
+      val bs = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($cs.numElements() != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_reconstruct: " + $cs.numElements() + " codes != m $m");
+         |}
+         |double[] $out = new double[${m * sub}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  System.arraycopy($bs[$j][$cs.getInt($j)], 0, $out, $j * $sub, $sub);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstructExpr =
+    copy(child = newChild)
+}
+
+/** ADC partial-dot score: Σ_j (Σ_i books[j][codes[j]][i] · q[j·sub+i]),
+  * inner folds left-to-right and the outer sum in subspace order
+  * (s₀ + s₁ + …, no leading 0.0) — the exact float order of the
+  * composed per-subspace `aggregate(...).reduce(_ + _)` form, so the
+  * SQL oracle's per-subspace `list_aggregate` terms replay it. */
+final case class PqAdcExpr(left: Expression, right: Expression,
+                           books: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  PqExpressions.validate(books)
+
+  private def m: Int = books.length
+  private def sub: Int = books(0)(0).length
+  private def dim: Int = m * sub
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<int> codes, array<double> query), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val cs = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[ArrayData]
+    if (cs.numElements() != m || q.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"pq_adc: got ${cs.numElements()} codes / ${q.numElements()} dims, " +
+          s"want $m / $dim")
+    }
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val cw = books(j)(cs.getInt(j))
+      var s = 0.0
+      var i = 0
+      while (i < sub) { s += cw(i) * q.getDouble(j * sub + i); i += 1 }
+      total = if (j == 0) s else total + s
+      j += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cs, q) => {
+      val bs = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      val total = ctx.freshName("total")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val cw = ctx.freshName("cw")
+      s"""
+         |if ($cs.numElements() != $m || $q.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc: got " + $cs.numElements() + " codes / " +
+         |    $q.numElements() + " dims, want $m / $dim");
+         |}
+         |double $total = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double[] $cw = $bs[$j][$cs.getInt($j)];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    $s += $cw[$i] * $q.getDouble($j * $sub + $i);
+         |  }
+         |  $total = ($j == 0) ? $s : ($total + $s);
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for the PQ expressions. */
+object Pq {
+  /** m argmin codes for an `array<double>` vector (codegen'd). */
+  def encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncodeExpr(Bridge.expression(v), books))
+
+  /** Codebook reconstruction of an `array<int>` codes column. */
+  def reconstruct(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqReconstructExpr(Bridge.expression(codes), books))
+
+  /** ADC dot of codes against a query vector (codegen'd). */
+  def adc(codes: Column, query: Column,
+          books: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcExpr(Bridge.expression(codes),
+      Bridge.expression(query), books))
+}

@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkSpec {
       s"hash sampling must stay map-side, got plan:\n$p")
   }
 
+  test("q55 (grouping sets): one exchange, of PARTIAL aggregates only") {
+    // r4 flagged an apparent 2.7x regression; clean re-runs showed
+    // steady-state ~1.4s with the delta = first-run codegen + board
+    // load. The plan property that must not regress: Expand feeds a
+    // map-side partial HashAggregate, so the single shuffle carries
+    // (groups x sets) partial rows, never the expanded corpus.
+    val p = plan("q55_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan as Expand")
+    // formatted explain prints each operator twice (tree + detail), so
+    // one Exchange node => count 2 (the q86 counting convention)
+    assert(exchanges(p) === 2,
+      s"exactly one exchange node (partial->final agg):\n$p")
+    assert(p.contains("partial_count"),
+      "partial aggregation must run map-side before the exchange")
+  }
+
   test("q57 (text cleaning): pure projection, zero exchanges") {
     val p = plan("q57_clean")
     assert(exchanges(p) === 0, "cleaning is a map-side projection")
@@ -95,13 +111,15 @@ class PlanAuditSpec extends SparkSpec {
   //  - q112_pq_topk: q20's broadcast-queries pattern over the ENCODED
   //    corpus (codes, not vectors) — linear scan by design, that is
   //    the ADC point.
+  //  - q115_pq_refined: stage 1 IS q112's scan; stage 2 is candidate-
+  //    bounded broadcast equi-joins (k·refine rows per query).
   //  - q113_ref_surprisal: the one-row reference-totals aggregate
   //    (total, V) crossJoins onto the aggregated (doc, term) stream.
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
       "q91_tfidf", "q92_knn", "q97_surprisal",
       "q106_quantize_int8", "q107_bigram_surprisal", "q108_mixture_plan",
-      "q112_pq_topk", "q113_ref_surprisal")
+      "q112_pq_topk", "q113_ref_surprisal", "q115_pq_refined")
 
   test("q114 (token chunks): pure map-side, zero exchanges") {
     assert(exchanges(plan("q114_token_chunks")) === 0,
