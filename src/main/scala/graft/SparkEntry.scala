@@ -2385,22 +2385,29 @@ object SparkEntry {
         |FROM tf JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
     "q108_mixture_plan" ->
-      """WITH a AS (
-        |  SELECT lang AS g, CAST(sum(n_chars) AS DOUBLE) AS available,
-        |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.2
-        |      WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.1 END AS DOUBLE) AS ts
+      // mirrors the engine's FULL OUTER exactly: a targeted-but-absent
+      // group gets its own (available 0, NULL plan) row and drives
+      // t_max to 0 (infeasibility self-enforcing), instead of the old
+      // covered-share heuristic that NULLed every present group
+      """WITH t(g, ts) AS (VALUES
+        |    ('en', 0.5), ('fr', 0.2), ('de', 0.2), ('es', 0.1)),
+        |c AS (
+        |  SELECT lang AS g, CAST(sum(n_chars) AS DOUBLE) AS available
         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
         |  GROUP BY 1),
-        |b AS (
-        |  SELECT min(available / ts) AS t_max, sum(ts) AS covered
-        |  FROM a WHERE ts IS NOT NULL)
+        |a AS (
+        |  SELECT coalesce(c.g, t.g) AS g,
+        |    coalesce(c.available, 0.0) AS available,
+        |    CAST(t.ts AS DOUBLE) AS ts
+        |  FROM c FULL OUTER JOIN t ON c.g IS NOT DISTINCT FROM t.g),
+        |b AS (SELECT min(available / ts) AS t_max FROM a WHERE ts IS NOT NULL)
         |SELECT g AS lang, available,
         |  coalesce(ts, 0.0) AS target_share,
         |  CASE WHEN ts IS NULL THEN 0.0
-        |       WHEN covered < 1.0 - 0.000001 THEN NULL
+        |       WHEN available = 0.0 THEN NULL
         |       ELSE round(ts * t_max / available, 6) END AS keep_frac,
         |  CASE WHEN ts IS NULL THEN 0.0
-        |       WHEN covered < 1.0 - 0.000001 THEN NULL
+        |       WHEN available = 0.0 THEN NULL
         |       ELSE round(ts * t_max, 4) END AS kept
         |FROM a, b""".stripMargin,
     "q114_token_chunks" ->

@@ -125,9 +125,13 @@ object Sampling {
     // the corpus totals gives a targeted-but-absent group its own row
     // (available 0) instead of silently dropping it from the report
     val tgt = targets.toSeq.toDF("__tg", "__ts")
+    // group key CAST to string before meeting the string target keys:
+    // an int/long group column would otherwise implicitly cast against
+    // "en"-style targets, match nothing, and report an all-dropped plan
+    // with no error (packGreedy's convention)
     val avail = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .groupBy(col(groupCol).as("group"))
+      .groupBy(col(groupCol).cast("string").as("group"))
       .agg(sum(col(weightCol)).cast("double").as("available"))
       .join(broadcast(tgt), col("group") <=> col("__tg"), "full_outer")
       .select(coalesce(col("group"), col("__tg")).as("group"),

@@ -431,6 +431,11 @@ object Similarity {
       // materialize the shared cache ONCE before the concurrent fits —
       // otherwise m first-passes race to compute the same partitions
       val n = trainSet.count()
+      // fail loudly on a degenerate corpus: KMeans(k) over fewer than
+      // k points would "train" duplicate/short codebooks silently and
+      // every downstream encode would be plausible-but-meaningless
+      require(n >= k,
+        s"PQ training needs >= $k vectors per codebook, corpus has $n")
       // a sampled trainer drowns in per-task scheduling (m books ×
       // iters × init passes, each a job over 32 near-empty scan-floor
       // partitions): size the fit input at ~8k rows/task off the count

@@ -177,7 +177,11 @@ object QueryJson {
       ds.set[JsonNode]("data", vals)
       root.putObject("options")
     } else {
-      // no chartable columns: table config (conversation.rs:271-286)
+      // no chartable columns: table config (conversation.rs:271-286).
+      // Cells serialize as typed JSON VALUES (the reference's serde
+      // to_string() rendering: null -> null, arrays -> [1.0], numbers
+      // bare) — String.valueOf would emit "null" and Scala's
+      // WrappedArray(...) toString instead.
       root.put("type", "table")
       val data = root.putObject("data")
       val cols = data.putArray("columns")
@@ -185,10 +189,40 @@ object QueryJson {
       val rows = data.putArray("rows")
       df.limit(maxLabels).collect().foreach { r =>
         val arr = rows.addArray()
-        df.columns.indices.foreach(i => arr.add(String.valueOf(r.get(i))))
+        df.columns.indices.foreach(i => arr.add(cellNode(r.get(i))))
       }
       root.putObject("options")
     }
     mapper.writeValueAsString(root)
+  }
+
+  /** One table cell as a typed JSON node (see the table branch above).
+    * Temporal and other scalar types render via toString — their SQL
+    * text form, quoted, matching the reference's string rendering. */
+  private def cellNode(v: Any): JsonNode = v match {
+    case null => mapper.nullNode()
+    case s: String => mapper.getNodeFactory.textNode(s)
+    case i: java.lang.Integer => mapper.getNodeFactory.numberNode(i.intValue())
+    case l: java.lang.Long => mapper.getNodeFactory.numberNode(l.longValue())
+    case d: java.lang.Double => mapper.getNodeFactory.numberNode(d.doubleValue())
+    case f: java.lang.Float => mapper.getNodeFactory.numberNode(f.floatValue())
+    case s: java.lang.Short => mapper.getNodeFactory.numberNode(s.shortValue())
+    case b: java.lang.Byte => mapper.getNodeFactory.numberNode(b.byteValue())
+    case b: java.lang.Boolean => mapper.getNodeFactory.booleanNode(b.booleanValue())
+    case bd: java.math.BigDecimal => mapper.getNodeFactory.numberNode(bd)
+    case bd: scala.math.BigDecimal => mapper.getNodeFactory.numberNode(bd.bigDecimal)
+    case seq: scala.collection.Seq[_] =>
+      val a = mapper.createArrayNode(); seq.foreach(x => a.add(cellNode(x))); a
+    case arr: Array[_] =>
+      val a = mapper.createArrayNode(); arr.foreach(x => a.add(cellNode(x))); a
+    case m: scala.collection.Map[_, _] =>
+      val o = mapper.createObjectNode()
+      m.foreach { case (k, x) => o.set[JsonNode](String.valueOf(k), cellNode(x)) }
+      o
+    case r: org.apache.spark.sql.Row =>
+      val a = mapper.createArrayNode()
+      (0 until r.length).foreach(i => a.add(cellNode(r.get(i))))
+      a
+    case other => mapper.getNodeFactory.textNode(other.toString)
   }
 }
