@@ -28,6 +28,9 @@ object SparkEntry {
   @volatile private var pqBooks110: Option[Array[Array[Array[Double]]]] = None
   @volatile private var pqBooks112: Option[Array[Array[Array[Double]]]] = None
   @volatile private var pqBooks115: Option[Array[Array[Array[Double]]]] = None
+  @volatile private var ivfCentroids40: Option[Array[Array[Double]]] = None
+  @volatile private var ivfPq116
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -320,15 +323,23 @@ object SparkEntry {
         .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
-    // --- Similarity: IVF ANN (k-means coarse quantizer + cell probing;
-    // rows-only — recall vs brute force asserted in SimilaritySpec).
+    // --- Similarity: IVF ANN (k-means coarse quantizer + cell probing).
+    // Training is seeded-deterministic, so the centroids are CAPTURED
+    // and the whole assign/probe/rank replays in DuckDB — full hash
+    // oracle, no longer rows-only. Recall floor in SimilaritySpec.
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val ctrs = graft.ext.Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nCells = 16,
+        trainFraction = 0.25, seed = 42L)
+      ivfCentroids40 = Some(ctrs)
       // library-default nProbe (8/16): the spec's 0.9 recall floor
-      graft.ext.Similarity.ivfCosineTopK(
-          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
-          nCells = 16)
-        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+      graft.ext.Similarity.ivfCosineTopKWith(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 8, ctrs)
+        .select(col("qid"), col("id"),
+          graft.functions.Rounding.reprRound6(col("cosine")).as("cosine"),
+          col("rank"))
     }),
 
     // --- Corpus release diff: distinct contents added/removed/retained
@@ -396,6 +407,27 @@ object SparkEntry {
       graft.ext.Similarity.pqCosineTopKRefinedWith(
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, dim = 64, books, refine = 16)
+        .select(col("qid"), col("id"),
+          graft.functions.Rounding.reprRound6(col("cosine")).as("cosine"),
+          col("rank"))
+    }),
+
+    // --- IVF-PQ ANN (the FAISS IVFADC composition): one scan builds
+    // the (cell, codes, norm) index; queries probe nProbe cells, score
+    // members from CODES alone, exact-rerank the ADC top-(k*refine).
+    // Both trainers captured -> full DuckDB replay oracle.
+    "q116_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ctrs = graft.ext.Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nCells = 16,
+        trainFraction = 0.25, seed = 42L)
+      val books = graft.ext.Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", dim = 64, m = 16, k = 16,
+        trainFraction = 0.25, seed = 42L)
+      ivfPq116 = Some((ctrs, books))
+      graft.ext.Similarity.ivfPqTopKWith(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dim = 64, nProbe = 8, ctrs, books, refine = 16)
         .select(col("qid"), col("id"),
           graft.functions.Rounding.reprRound6(col("cosine")).as("cosine"),
           col("rank"))
@@ -1316,7 +1348,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = staticOracleSql ++
     pqBooks110.map(b => "q110_pq_encode" -> pqEncodeOracleSql(b)) ++
     pqBooks112.map(b => "q112_pq_topk" -> pqTopkOracleSql(b)) ++
-    pqBooks115.map(b => "q115_pq_refined" -> pqRefinedOracleSql(b))
+    pqBooks115.map(b => "q115_pq_refined" -> pqRefinedOracleSql(b)) ++
+    ivfCentroids40.map(c => "q40_ivf_topk" -> ivfTopkOracleSql(c)) ++
+    ivfPq116.map { case (c, b) => "q116_ivf_pq" -> ivfPqOracleSql(c, b) }
 
   /** The DuckDB codebook literal shared by the two PQ oracles: one row
     * per (subspace j, code c) with the codeword as a DOUBLE[] —
@@ -1392,21 +1426,24 @@ object SparkEntry {
        |FROM r JOIN enc e ON r.vec_id = e.vec_id""".stripMargin
   }
 
-  /** The shared ADC-ranking WITH-body (through CTE `rk`): encode the
-    * corpus from the captured books, then the ADC score — per-subspace
-    * partial dots summed in subspace order, the engine's exact float
-    * order — over reconstruction/query norms, ranked desc with id
-    * tiebreak. */
-  private def pqAdcCtes(books: Array[Array[Array[Double]]]): String = {
+  /** The per-subspace ADC partial-dot terms (left-assoc sum in
+    * subspace order — the engine's exact float order); expects table
+    * aliases `e` (cws) and `q` (qv). */
+  private def pqAdcTerms(books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val sub = 64 / m
-    val adcTerms = (0 until m).map { j =>
+    (0 until m).map { j =>
       s"""list_aggregate([e.cws[${j + 1}][i] * q.qv[${j * sub} + i]
          |        FOR i IN range(1, ${sub + 1})], 'sum')""".stripMargin
     }.mkString("\n      + ")
+  }
+
+  /** Everything up to scoring: codebooks, valid rows, argmin encode,
+    * reconstruction norms (`encn`), and query vectors+norms (`qn`). */
+  private def pqEncNormCtes(books: Array[Array[Array[Double]]]): String =
     s"""${pqCodebookCte(books)},
        |$pqRowsCte,
-       |${pqEncodeCtes(sub)},
+       |${pqEncodeCtes(64 / books.length)},
        |enc AS (
        |  SELECT vec_id, list(cw ORDER BY j) AS cws,
        |    flatten(list(cw ORDER BY j)) AS dq
@@ -1421,11 +1458,17 @@ object SparkEntry {
        |    sqrt(list_aggregate([CAST(embedding AS DOUBLE[])[i]
        |        * CAST(embedding AS DOUBLE[])[i] FOR i IN range(1, 65)], 'sum'))
        |      AS qnorm
-       |  FROM embeddings WHERE vec_id < 5),
+       |  FROM embeddings WHERE vec_id < 5)""".stripMargin
+
+  /** The shared ADC-ranking WITH-body (through CTE `rk`): encode the
+    * corpus from the captured books, then the ADC score over
+    * reconstruction/query norms, ranked desc with id tiebreak. */
+  private def pqAdcCtes(books: Array[Array[Array[Double]]]): String =
+    s"""${pqEncNormCtes(books)},
        |s AS (
        |  SELECT q.qid, e.vec_id AS id,
        |    CASE WHEN e.dqnorm * q.qnorm > 0 THEN
-       |      ($adcTerms)
+       |      (${pqAdcTerms(books)})
        |      / (e.dqnorm * q.qnorm) END AS cosine_adc
        |  FROM encn e, qn q WHERE e.vec_id <> q.qid),
        |rk AS (
@@ -1433,7 +1476,6 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY cosine_adc DESC NULLS LAST, id ASC) AS rank
        |  FROM s)""".stripMargin
-  }
 
   /** q112 replay: ADC ranking, top-10 per query. */
   private def pqTopkOracleSql(books: Array[Array[Array[Double]]]): String =
@@ -1444,10 +1486,10 @@ object SparkEntry {
   /** q115 replay: ADC top-(k·refine) candidates, then the exact-cosine
     * re-rank over TRUE vectors — candidates only, the engine's
     * broadcast-rerank shape. */
-  private def pqRefinedOracleSql(books: Array[Array[Array[Double]]],
-                                 kRefine: Int = 160): String =
-    s"""WITH ${pqAdcCtes(books)},
-       |cand AS (SELECT qid, id FROM rk WHERE rank <= $kRefine),
+  /** The exact-rerank tail shared by q115/q116: ADC candidates from
+    * `rk`, true-vector cosine, final top-10. */
+  private def rerankTailSql(kRefine: Int): String =
+    s"""cand AS (SELECT qid, id FROM rk WHERE rank <= $kRefine),
        |cn AS (
        |  SELECT vec_id, v,
        |    sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, 65)], 'sum'))
@@ -1468,6 +1510,112 @@ object SparkEntry {
        |  FROM ex)
        |SELECT qid, id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine, rank
        |FROM exrk WHERE rank <= 10""".stripMargin
+
+  private def pqRefinedOracleSql(books: Array[Array[Array[Double]]],
+                                 kRefine: Int = 160): String =
+    s"""WITH ${pqAdcCtes(books)},
+       |${rerankTailSql(kRefine)}""".stripMargin
+
+  /** q116 replay: IVF cell assignment + probing composed with the ADC
+    * scoring (restricted to probed cells) and the exact-rerank tail. */
+  private def ivfPqOracleSql(centroids: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]],
+                             nProbe: Int = 8, kRefine: Int = 160): String =
+    s"""WITH ${ivfCtrCte(centroids)},
+       |${pqEncNormCtes(books)},
+       |cda AS (
+       |  SELECT r.vec_id, ctr.cell,
+       |    list_aggregate([(r.v[i] - ctr.cv[i]) * (r.v[i] - ctr.cv[i])
+       |      FOR i IN range(1, 65)], 'sum') AS dd
+       |  FROM r, ctr),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd ASC, cell ASC) AS rn FROM cda)
+       |  WHERE rn = 1),
+       |qd AS (
+       |  SELECT qn.qid, ctr.cell,
+       |    list_aggregate([(qn.qv[i] - ctr.cv[i]) * (qn.qv[i] - ctr.cv[i])
+       |      FOR i IN range(1, 65)], 'sum') AS dd
+       |  FROM qn, ctr),
+       |qc AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dd ASC, cell ASC) AS rn FROM qd)
+       |  WHERE rn <= $nProbe),
+       |s AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |    CASE WHEN e.dqnorm * q.qnorm > 0 THEN
+       |      (${pqAdcTerms(books)})
+       |      / (e.dqnorm * q.qnorm) END AS cosine_adc
+       |  FROM encn e
+       |  JOIN assign a ON a.vec_id = e.vec_id
+       |  JOIN qc ON qc.cell = a.cell
+       |  JOIN qn q ON q.qid = qc.qid
+       |  WHERE e.vec_id <> q.qid),
+       |rk AS (
+       |  SELECT qid, id, cosine_adc,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine_adc DESC NULLS LAST, id ASC) AS rank
+       |  FROM s),
+       |${rerankTailSql(kRefine)}""".stripMargin
+
+  /** q40 replay: captured centroids → per-vector cell assignment
+    * (argmin euclid, ties to the lower cell), per-query nProbe nearest
+    * cells, exact cosine over the probed members, ranked desc with id
+    * tiebreak — the engine's exact float fold orders throughout. */
+  /** The centroid literal CTE shared by the IVF oracles. */
+  private def ivfCtrCte(centroids: Array[Array[Double]]): String = {
+    val rows = centroids.zipWithIndex
+      .map { case (cv, cell) => s"($cell, [${cv.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""ctr AS (
+       |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv FROM (VALUES
+       |    $rows) t(cell, cv))""".stripMargin
+  }
+
+  private def ivfTopkOracleSql(centroids: Array[Array[Double]],
+                               nProbe: Int = 8): String = {
+    s"""WITH ${ivfCtrCte(centroids)},
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |cd AS (
+       |  SELECT c.vec_id, ctr.cell,
+       |    list_aggregate([(c.v[i] - ctr.cv[i]) * (c.v[i] - ctr.cv[i])
+       |      FOR i IN range(1, 65)], 'sum') AS dd
+       |  FROM c, ctr),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd ASC, cell ASC) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |qc AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd ASC, cell ASC) AS rn FROM cd WHERE vec_id < 5)
+       |  WHERE rn <= $nProbe),
+       |cn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, 65)], 'sum'))
+       |      AS nv
+       |  FROM c),
+       |sims AS (
+       |  SELECT qc.qid, a.vec_id AS id,
+       |    list_aggregate([cv2.v[i] * qv.v[i] FOR i IN range(1, 65)], 'sum')
+       |      / (cv2.nv * qv.nv) AS cosine
+       |  FROM assign a
+       |  JOIN qc ON a.cell = qc.cell
+       |  JOIN cn cv2 ON cv2.vec_id = a.vec_id
+       |  JOIN cn qv ON qv.vec_id = qc.qid
+       |  WHERE a.vec_id <> qc.qid),
+       |rk AS (
+       |  SELECT qid, id, cosine,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC NULLS LAST, id ASC) AS rank
+       |  FROM sims)
+       |SELECT qid, id, floor(cosine * 1e6 + 0.5) / 1e6 AS cosine, rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+  }
 
   private def staticOracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -267,14 +267,14 @@ object Similarity {
     * Clustered real-embedding corpora reach the same recall at lower
     * nProbe; tune DOWN for those, not up from here.
     */
-  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame,
-                    id: String, vec: String, k: Int,
-                    nCells: Int = 16, nProbe: Int = 8,
-                    trainFraction: Double = 0.25,
-                    seed: Long = 42L): DataFrame = {
+  /** Train the IVF coarse-quantizer centroids on a hash-sample of the
+    * corpus (seeded, deterministic — capturable for SQL oracle replay,
+    * like [[trainPqCodebooks]]). */
+  def trainIvfCentroids(corpus: DataFrame, id: String, vec: String,
+                        nCells: Int = 16, trainFraction: Double = 0.25,
+                        seed: Long = 42L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
 
     val c = prep(corpus, id, vec, "id", "v", "norm")
       .withColumn("features", array_to_vector(col("v")))
@@ -296,26 +296,34 @@ object Similarity {
     val model =
       try km.fit(trainSet)
       finally trainSet.unpersist(blocking = false) // even on a failed fit
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    model.clusterCenters.map(_.toArray)
+  }
 
-    // assignment = argmin over broadcast centroid literals (euclidean);
-    // expressed as a sorted struct array, no UDF
-    def cellOf(vCol: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (ctr, i) =>
-        val lit_c = array(ctr.map(lit): _*)
-        val diff2 = aggregate(zip_with(vCol, lit_c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(diff2.as("d"), lit(i).as("cell"))
-      }
-      sort_array(array(dists: _*))
-    }
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, k: Int,
+                    nCells: Int = 16, nProbe: Int = 8,
+                    trainFraction: Double = 0.25,
+                    seed: Long = 42L): DataFrame =
+    ivfCosineTopKWith(corpus, queries, id, vec, k, nProbe,
+      trainIvfCentroids(corpus, id, vec, nCells, trainFraction, seed))
 
+  /** [[ivfCosineTopK]] against caller-supplied centroids (see
+    * [[pqQuantizeWith]] for why the split exists). */
+  def ivfCosineTopKWith(corpus: DataFrame, queries: DataFrame,
+                        id: String, vec: String, k: Int, nProbe: Int,
+                        centroids: Array[Array[Double]]): DataFrame = {
+    val c = prep(corpus, id, vec, "id", "v", "norm")
+
+    // assignment / probing = the ivf_cells codegen expression
+    // (centroids ride addReferenceObj, not 1k inlined literals;
+    // same (dist, cell) order as the old sorted-struct form)
     val assigned = c.select(col("id"), col("v"), col("norm"),
-      cellOf(col("v")).getItem(0).getField("cell").as("cell"))
+      element_at(graft.functions.Pq.ivfCells(col("v"), centroids, 1), 1)
+        .as("cell"))
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
-      .withColumn("cells", slice(cellOf(col("qv")), 1, nProbe))
       .select(col("qid"), col("qv"), col("qnorm"),
-        explode(transform(col("cells"), s => s.getField("cell"))).as("cell"))
+        explode(graft.functions.Pq.ivfCells(col("qv"), centroids, nProbe))
+          .as("cell"))
 
     val sims = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
@@ -629,6 +637,15 @@ object Similarity {
     val cand = pqCosineTopKWith(corpus, queries, id, vec, k * refine,
         dim, codebooks)
       .select("qid", "id")
+    exactRerank(corpus, queries, id, vec, k, dim, cand)
+  }
+
+  /** Stage 2 of every refined ANN: exact cosine over the (qid, id)
+    * candidate set only — candidate ids and queries broadcast, true
+    * vectors read map-side exactly once, never shuffled. */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+                          id: String, vec: String, k: Int, dim: Int,
+                          cand: DataFrame): DataFrame = {
     val c = prep(pqRows(corpus, id, vec, dim), "id", "v", "id", "v", "norm")
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
     val sims = c.join(broadcast(cand), Seq("id"))
@@ -643,6 +660,68 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
+  }
+
+  /** IVF-PQ ANN (the FAISS "IVFADC" composition — the shape a 10⁹-
+    * vector index actually runs): ONE corpus scan builds the index
+    * projection (cell, m codes, reconstruction norm); a query then
+    * touches only its `nProbe` cells' members, scores them from CODES
+    * alone (ADC), and exact-reranks the ADC top-(k·refine) with true
+    * vectors. Cost per query = (probed fraction of corpus) code
+    * lookups + k·refine true-vector reads — both knobs independent:
+    * `nProbe` buys candidate RECALL (which cells are seen at all),
+    * `refine` buys ranking precision within them.
+    *
+    * Scale shape: the index projection is codes-only (≈ cell +
+    * m·log₂kCodes bits + 8B norm per row) and never reshuffles; query
+    * cells and candidate ids broadcast; the full vectors are read
+    * map-side once at encode and once for the candidate rerank.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                id: String, vec: String, k: Int, dim: Int,
+                nCells: Int = 16, nProbe: Int = 8,
+                m: Int = 8, kCodes: Int = 16,
+                trainFraction: Double = 0.25,
+                seed: Long = 42L, refine: Int = 8): DataFrame =
+    ivfPqTopKWith(corpus, queries, id, vec, k, dim, nProbe,
+      trainIvfCentroids(corpus, id, vec, nCells, trainFraction, seed),
+      trainPqCodebooks(corpus, id, vec, dim, m, kCodes, trainFraction, seed),
+      refine)
+
+  /** [[ivfPqTopK]] against caller-supplied centroids + codebooks (see
+    * [[pqQuantizeWith]] for why the split exists). */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame,
+                    id: String, vec: String, k: Int, dim: Int,
+                    nProbe: Int, centroids: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]],
+                    refine: Int): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val rows = pqRows(corpus, id, vec, dim)
+    val index = rows
+      .withColumn("cell",
+        element_at(graft.functions.Pq.ivfCells(col("v"), centroids, 1), 1))
+      .withColumn("codes", graft.functions.Pq.encode(col("v"), codebooks))
+      .select(col("id"), col("cell"), col("codes"),
+        graft.functions.Vectors.norm(
+          graft.functions.Pq.reconstruct(col("codes"), codebooks))
+          .as("dqnorm"))
+      .localCheckpoint(eager = false) // the index: built once, probed per query
+    val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+      .select(col("qid"), col("qv"), col("qnorm"),
+        explode(graft.functions.Pq.ivfCells(col("qv"), centroids, nProbe))
+          .as("cell"))
+    val adcTop = index.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      // NULL, not 0/0 — the pqCosineTopK NaN-rank rule
+      .withColumn("cosine_adc",
+        when(col("dqnorm") * col("qnorm") > 0,
+          graft.functions.Pq.adc(col("codes"), col("qv"), codebooks) /
+            (col("dqnorm") * col("qnorm"))))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine_adc").desc, col("id").asc)))
+      .filter(col("rank") <= k * refine)
+      .select("qid", "id")
+    exactRerank(corpus, queries, id, vec, k, dim, adcTop)
   }
 
   // --------------------------------------------------------------------

@@ -259,6 +259,113 @@ final case class PqAdcExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** The `take` nearest coarse-quantizer cells for a vector, ordered by
+  * (squared euclidean distance asc, cell asc) — the sort_array struct
+  * order of the composed form, same left-to-right distance folds.
+  * `take` = 1 is corpus assignment; `take` = nProbe is query probing. */
+final case class IvfCellsExpr(child: Expression,
+                              centroids: Array[Array[Double]],
+                              take: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids(0).nonEmpty,
+    "ivf_cells: centroids must be non-empty")
+  require(centroids.forall(_.length == centroids(0).length),
+    "ivf_cells: centroids must be rectangular")
+  require(take >= 1 && take <= centroids.length,
+    s"ivf_cells: take must be in [1, ${centroids.length}], got $take")
+
+  private def dim: Int = centroids(0).length
+  private def n: Int = centroids.length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireDoubleArrays(prettyName, child)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"ivf_cells: vector length ${x.numElements()} != dim $dim")
+    }
+    val d = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ctr = centroids(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val diff = x.getDouble(i) - ctr(i)
+        s += diff * diff
+        i += 1
+      }
+      d(c) = s
+      c += 1
+    }
+    // selection of the `take` smallest by (d, cell): n is small (the
+    // cell count), so O(take·n) beats sort bookkeeping
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](n)
+    var t = 0
+    while (t < take) {
+      var best = -1
+      var c2 = 0
+      while (c2 < n) {
+        if (!used(c2) && (best < 0 || d(c2) < d(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(t) = best
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      val d = ctx.freshName("d")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val diff = ctx.freshName("diff")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val c2 = ctx.freshName("c2")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_cells: vector length " + $v.numElements() + " != dim $dim");
+         |}
+         |double[] $d = new double[$n];
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $diff = $v.getDouble($i) - $cs[$c][$i];
+         |    $s += $diff * $diff;
+         |  }
+         |  $d[$c] = $s;
+         |}
+         |int[] $out = new int[$take];
+         |boolean[] $used = new boolean[$n];
+         |for (int $t = 0; $t < $take; $t++) {
+         |  int $best = -1;
+         |  for (int $c2 = 0; $c2 < $n; $c2++) {
+         |    if (!$used[$c2] && ($best < 0 || $d[$c2] < $d[$best])) $best = $c2;
+         |  }
+         |  $used[$best] = true;
+         |  $out[$t] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellsExpr =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the PQ expressions. */
 object Pq {
   /** m argmin codes for an `array<double>` vector (codegen'd). */
@@ -274,4 +381,9 @@ object Pq {
           books: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqAdcExpr(Bridge.expression(codes),
       Bridge.expression(query), books))
+
+  /** The `take` nearest IVF cells, ordered (dist asc, cell asc). */
+  def ivfCells(v: Column, centroids: Array[Array[Double]],
+               take: Int): Column =
+    Bridge.column(IvfCellsExpr(Bridge.expression(v), centroids, take))
 }

@@ -82,6 +82,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 2)
   }
 
+  test("q116 (ivf-pq): cell joins are broadcast-equi, index never sort-merges") {
+    val p = plan("q116_ivf_pq")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the codes-only index must meet queries/candidates via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"probing must stay an equi-join on cell:\n$p")
+  }
+
   test("q19 (blocked cosine pairs): hash joins only, no nested loop") {
     val p = plan("q19_cosine_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

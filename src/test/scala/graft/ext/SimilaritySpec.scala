@@ -94,6 +94,26 @@ class SimilaritySpec extends SparkSpec {
     assert(refRecall >= adcRecall, "refinement must never lose recall")
   }
 
+  test("ivfPq (IVFADC) recall >= 0.9 at the q116 settings") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 5L)
+    val exact = Similarity.bruteForceTopK(real, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ctrs = Similarity.trainIvfCentroids(real, "vec_id", "embedding",
+      nCells = 16, trainFraction = 0.25, seed = 42L)
+    val books = Similarity.trainPqCodebooks(real, "vec_id", "embedding",
+      dim = 64, m = 16, k = 16, trainFraction = 0.25, seed = 42L)
+    // measured sweep (m, nProbe, refine) -> recall: (8,8,16)=0.90,
+    // (16,8,8)=0.90, (16,8,16)=0.94 (the probing ceiling — exact IVF at
+    // nProbe=8 is also 0.94), (16,12,16)=1.00
+    val got = Similarity.ivfPqTopKWith(real, queries, "vec_id", "embedding",
+        10, 64, 8, ctrs, books, refine = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 = $recall%.3f")
+    assert(recall >= 0.9, s"recall $recall below floor")
+  }
+
   test("lsh recall on the real embeddings table (sf0.001) vs brute force") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = real.filter($"vec_id" < 5L)
