@@ -473,31 +473,41 @@ object Dedup {
                                 id: String, text: String,
                                 ngram: Int): DataFrame =
     contaminationHitsAgainst(corpus,
-      benchmarkDigests(benchmark, id, text, ngram), id, text, ngram)
+      benchmarkDigests(benchmark, id, text, ngram), id, text)
 
-  /** The benchmark's distinct shingle-digest catalog (one `d` md5
-    * column) — the broadcast side of every contamination check.
-    * Compute (and persist) this ONCE per benchmark and feed it to
-    * [[decontaminateAgainstDigests]] when the corpus arrives in many
-    * pieces (a micro-batched ingest stream, per-shard passes): the
-    * eval suite is digested a single time instead of once per piece.
+  /** A benchmark digest catalog: the distinct shingle digests (one `d`
+    * md5 column) PLUS the ngram they were built with. The pair travels
+    * together on purpose: a scrub that shingled the corpus at a
+    * different width than the catalog would collide on (essentially)
+    * nothing, and a fully contaminated corpus would pass "clean" with
+    * no error — the exact silent-audit-pass failure the null-key rule
+    * also guards against. */
+  final case class DigestCatalog(digests: DataFrame, ngram: Int)
+
+  /** The benchmark's digest catalog — the broadcast side of every
+    * contamination check. Compute (and persist the inner frame) ONCE
+    * per benchmark and feed it to [[decontaminateAgainstDigests]] when
+    * the corpus arrives in many pieces (a micro-batched ingest stream,
+    * per-shard passes): the eval suite is digested a single time
+    * instead of once per piece.
     */
   def benchmarkDigests(benchmark: DataFrame, id: String, text: String,
-                       ngram: Int = 8): DataFrame =
-    shinglesDF(benchmark, id, text, ngram)
-      .filter(length(col("shingle")) > 0)
-      .select(md5(col("shingle")).as("d")).distinct()
+                       ngram: Int = 8): DigestCatalog =
+    DigestCatalog(
+      shinglesDF(benchmark, id, text, ngram)
+        .filter(length(col("shingle")) > 0)
+        .select(md5(col("shingle")).as("d")).distinct(),
+      ngram)
 
   private def contaminationHitsAgainst(corpus: DataFrame,
-                                       digests: DataFrame,
-                                       id: String, text: String,
-                                       ngram: Int): DataFrame = {
-    val c = shinglesDF(corpus, id, text, ngram)
+                                       catalog: DigestCatalog,
+                                       id: String, text: String): DataFrame = {
+    val c = shinglesDF(corpus, id, text, catalog.ngram)
       .filter(length(col("shingle")) > 0)
       .select(col("id"), md5(col("shingle")).as("d"))
     // shinglesDF is distinct per doc, so the count is distinct shared
     // shingles without a second dedup
-    c.join(broadcast(digests), Seq("d"), "left_semi")
+    c.join(broadcast(catalog.digests), Seq("d"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
@@ -740,20 +750,21 @@ object Dedup {
     require(ngram >= 1, "ngram must be >= 1")
     decontaminateAgainstDigests(corpus,
       benchmarkDigests(benchmark, id, text, ngram),
-      id, text, ngram, minOverlap)
+      id, text, minOverlap)
   }
 
   /** [[decontaminate]] against a pre-built [[benchmarkDigests]]
     * catalog — the split that lets a streaming ingest
     * ([[graft.streaming.Events.streamingDecontaminate]]) digest the
     * benchmark once and scrub every micro-batch against the cached
-    * catalog. */
-  def decontaminateAgainstDigests(corpus: DataFrame, digests: DataFrame,
+    * catalog. The corpus shingles at the CATALOG's ngram — the width
+    * cannot be supplied separately, so it cannot mismatch. */
+  def decontaminateAgainstDigests(corpus: DataFrame,
+                                  catalog: DigestCatalog,
                                   id: String, text: String,
-                                  ngram: Int = 8,
                                   minOverlap: Long = 1L): DataFrame = {
-    require(ngram >= 1, "ngram must be >= 1")
-    val dirty = contaminationHitsAgainst(corpus, digests, id, text, ngram)
+    require(catalog.ngram >= 1, "ngram must be >= 1")
+    val dirty = contaminationHitsAgainst(corpus, catalog, id, text)
       .filter(col("n_shared_ngrams") >= minOverlap)
       .withColumnRenamed("id", "__hid")
     corpus.join(dirty, corpus(id) <=> dirty("__hid"), "left_anti")

@@ -146,13 +146,17 @@ object Sampling {
       .select(col("group").as(groupCol),
         col("available"),
         coalesce(col("ts"), lit(0.0)).as("target_share"),
+        // repr-robust snap, not round: Spark rounds the shortest
+        // decimal repr, SQL engines the value — they flip at repr
+        // half-points (the q95 class; graft.functions.Rounding)
         when(col("ts").isNull, lit(0.0))
           .when(col("available") === 0.0, lit(null).cast("double"))
-          .otherwise(round(col("ts") * col("t_max")
-            / col("available"), 6)).as("keep_frac"),
+          .otherwise(graft.functions.Rounding.reprRound6(
+            col("ts") * col("t_max") / col("available"))).as("keep_frac"),
         when(col("ts").isNull, lit(0.0))
           .when(col("available") === 0.0, lit(null).cast("double"))
-          .otherwise(round(col("ts") * col("t_max"), 4)).as("kept"))
+          .otherwise(graft.functions.Rounding.reprRound4(
+            col("ts") * col("t_max"))).as("kept"))
   }
 
   /** Exact k-quantile bucket per row (`bucket` ∈ 1..k) via `ntile` over

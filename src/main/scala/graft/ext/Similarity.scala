@@ -327,7 +327,12 @@ object Similarity {
 
     val sims = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      // NULL, not 0/0 — the pqCosineTopK NaN-rank rule (a zero-norm
+      // vector would take rank 1 AND floor-snap to a fake 0.0 in the
+      // dump while the oracle keeps NaN)
+      .withColumn("cosine",
+        when(col("norm") * col("qnorm") > 0,
+          dot(col("v"), col("qv")) / (col("norm") * col("qnorm"))))
       .select("qid", "id", "cosine")
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id").asc)
     sims.withColumn("rank", row_number().over(w))

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * (Half-up toward +∞ for negatives — differs from HALF_UP's
   * away-from-zero only AT a half-point, where `round` was already
   * engine-dependent; consistency across engines is the contract.)
+  *
+  * NaN is NOT part of the contract: Spark's `floor` returns BIGINT and
+  * maps NaN to 0 while SQL engines' DOUBLE floor keeps NaN — a NaN
+  * reaching this snap dumps a plausible-looking 0.0 from the engine
+  * and NaN from the oracle. Guard every 0/0-capable expression with
+  * `when(denom > 0, ...)` BEFORE snapping (the CLAUDE.md NaN rule —
+  * null propagates through floor identically in both engines).
   */
 object Rounding {
   /** `floor(x·10ᵈ + 0.5)/10ᵈ` — see object doc. `digits` ∈ [1, 15]. */

@@ -173,37 +173,51 @@ object Events {
     * idempotent and a doc is never landed twice (no-double-apply;
     * spec-asserted). Read the result with `spark.read.parquet(outDir)`
     * (`batch_id` surfaces as a partition column — per-batch provenance
-    * for free). The digest cache lives until the SparkSession ends;
-    * unpersist it via the returned query's `stop()` caller if the
-    * benchmark is rotated.
+    * for free). The digest cache is released automatically when THIS
+    * query terminates (a listener keyed on the query id unpersists it
+    * and removes itself), so rotating benchmarks — stop, restart with
+    * a new suite — never accumulates orphaned cached catalogs.
     */
   def streamingDecontaminate(stream: DataFrame, benchmark: DataFrame,
                              id: String, text: String,
                              outDir: String, checkpointDir: String,
                              ngram: Int = 8, minOverlap: Long = 1L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val digests = graft.ext.Dedup.benchmarkDigests(benchmark, id, text, ngram)
+    val catalog = graft.ext.Dedup.benchmarkDigests(benchmark, id, text, ngram)
+    catalog.digests
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val writer = decontaminateBatchWriter(digests, id, text, outDir,
-      ngram, minOverlap)
-    stream.writeStream
+    val writer = decontaminateBatchWriter(catalog, id, text, outDir,
+      minOverlap)
+    val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch(writer)
       .start()
+    val mgr = stream.sparkSession.streams
+    mgr.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      private val self = this
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          catalog.digests.unpersist(blocking = false)
+          mgr.removeListener(self)
+        }
+    })
+    query
   }
 
   /** The idempotent per-batch body of [[streamingDecontaminate]],
     * exposed so the replay contract is directly testable: calling it
     * twice with the same batchId must land each surviving doc once. */
-  def decontaminateBatchWriter(digests: DataFrame, id: String,
-                               text: String, outDir: String,
-                               ngram: Int, minOverlap: Long)
+  def decontaminateBatchWriter(catalog: graft.ext.Dedup.DigestCatalog,
+                               id: String, text: String, outDir: String,
+                               minOverlap: Long)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       graft.ext.Dedup
-        .decontaminateAgainstDigests(batch, digests, id, text,
-          ngram, minOverlap)
+        .decontaminateAgainstDigests(batch, catalog, id, text, minOverlap)
         .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       ()
     }

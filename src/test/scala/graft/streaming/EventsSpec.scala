@@ -368,9 +368,9 @@ class EventsSpec extends SparkSpec {
     // the restart contract, exercised directly: a crash between write
     // and checkpoint commit makes foreachBatch REPLAY the batch with
     // the SAME batchId — the writer must overwrite, not append
-    val digests = graft.ext.Dedup.benchmarkDigests(bench, "doc_id", "text", 5)
+    val catalog = graft.ext.Dedup.benchmarkDigests(bench, "doc_id", "text", 5)
     val writer = Events.decontaminateBatchWriter(
-      digests, "doc_id", "text", out, 5, 1L)
+      catalog, "doc_id", "text", out, 1L)
     val batch1 = Seq(
       (3L, "late leakage: the quick brown fox jumps over the lazy dog"),
       (4L, "another clean one arriving in the second batch"))
