@@ -1575,7 +1575,9 @@ object SparkEntry {
        |  SELECT qn.qid, ctr.cell,
        |    list_aggregate([(qn.qv[i] - ctr.cv[i]) * (qn.qv[i] - ctr.cv[i])
        |      FOR i IN range(1, 65)], 'sum') AS dd
-       |  FROM qn, ctr),
+       |  FROM qn, ctr
+       |  WHERE qn.qv IS NOT NULL AND len(qn.qv) = 64
+       |    AND len(list_filter(qn.qv, x -> x IS NULL)) = 0),
        |qc AS (
        |  SELECT qid, cell FROM (
        |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
@@ -1617,7 +1619,8 @@ object SparkEntry {
     s"""WITH ${ivfCtrCte(centroids)},
        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |      FROM embeddings
-       |      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |      WHERE embedding IS NOT NULL AND len(embedding) = 64
+       |        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |cd AS (
        |  SELECT c.vec_id, ctr.cell,
        |    list_aggregate([(c.v[i] - ctr.cv[i]) * (c.v[i] - ctr.cv[i])

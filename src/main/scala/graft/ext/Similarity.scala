@@ -312,7 +312,14 @@ object Similarity {
   def ivfCosineTopKWith(corpus: DataFrame, queries: DataFrame,
                         id: String, vec: String, k: Int, nProbe: Int,
                         centroids: Array[Array[Double]]): DataFrame = {
+    // valid rows only, BOTH sides (the pqRows rule): without the
+    // filter one malformed vector throws inside ivf_cells and kills
+    // the whole corpus scan; the q40 oracle mirrors the filter
+    val dim = centroids(0).length
+    def valid(v: Column): Column =
+      size(v) === dim && !exists(v, x => x.isNull)
     val c = prep(corpus, id, vec, "id", "v", "norm")
+      .filter(valid(col("v")))
 
     // assignment / probing = the ivf_cells codegen expression
     // (centroids ride addReferenceObj, not 1k inlined literals;
@@ -321,6 +328,7 @@ object Similarity {
       element_at(graft.functions.Pq.ivfCells(col("v"), centroids, 1), 1)
         .as("cell"))
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+      .filter(valid(col("qv")))
       .select(col("qid"), col("qv"), col("qnorm"),
         explode(graft.functions.Pq.ivfCells(col("qv"), centroids, nProbe))
           .as("cell"))
@@ -711,7 +719,10 @@ object Similarity {
           graft.functions.Pq.reconstruct(col("codes"), codebooks))
           .as("dqnorm"))
       .localCheckpoint(eager = false) // the index: built once, probed per query
+    // query validity mirrors the corpus's pqRows rule (and the q116
+    // oracle): a malformed query must drop, not crash the probe scan
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+      .filter(size(col("qv")) === dim && !exists(col("qv"), x => x.isNull))
       .select(col("qid"), col("qv"), col("qnorm"),
         explode(graft.functions.Pq.ivfCells(col("qv"), centroids, nProbe))
           .as("cell"))
