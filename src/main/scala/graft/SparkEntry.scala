@@ -352,7 +352,7 @@ object SparkEntry {
       val ctrs = memoTrain(s"ivf16:$dir") {
         graft.ext.Similarity.trainIvfCentroids(
           emb, "vec_id", "embedding", nCells = 16,
-          trainFraction = 0.25, seed = 42L)
+          trainFraction = 0.25, seed = 42L, dim = 64)
       }
       // library-default nProbe (8/16): the spec's 0.9 recall floor
       val nProbe = 8
@@ -451,7 +451,7 @@ object SparkEntry {
       val ctrs = memoTrain(s"ivf16:$dir") {
         graft.ext.Similarity.trainIvfCentroids(
           emb, "vec_id", "embedding", nCells = 16,
-          trainFraction = 0.25, seed = 42L)
+          trainFraction = 0.25, seed = 42L, dim = 64)
       }
       val books = memoTrain(s"pq16:$dir") {
         graft.ext.Similarity.trainPqCodebooks(
@@ -1496,7 +1496,9 @@ object SparkEntry {
        |    sqrt(list_aggregate([CAST(embedding AS DOUBLE[])[i]
        |        * CAST(embedding AS DOUBLE[])[i] FOR i IN range(1, 65)], 'sum'))
        |      AS qnorm
-       |  FROM embeddings WHERE vec_id < 5)""".stripMargin
+       |  FROM embeddings WHERE vec_id < 5
+       |    AND embedding IS NOT NULL AND len(embedding) = 64
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)""".stripMargin
 
   /** The shared ADC-ranking WITH-body (through CTE `rk`): encode the
     * corpus from the captured books, then the ADC score over

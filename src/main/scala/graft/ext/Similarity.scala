@@ -272,11 +272,19 @@ object Similarity {
     * like [[trainPqCodebooks]]). */
   def trainIvfCentroids(corpus: DataFrame, id: String, vec: String,
                         nCells: Int = 16, trainFraction: Double = 0.25,
-                        seed: Long = 42L): Array[Array[Double]] = {
+                        seed: Long = 42L, dim: Int = -1): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val c = prep(corpus, id, vec, "id", "v", "norm")
+    // valid rows only (the pqRows rule, matching the search-path
+    // filters): one malformed vector in the train sample would crash
+    // the KMeans fit. Callers that know the corpus dim pass it; the
+    // default infers it from the first null-free row (one limit-1 job).
+    val noNulls = prep(corpus, id, vec, "id", "v", "norm")
+      .filter(col("v").isNotNull && !exists(col("v"), x => x.isNull))
+    val d = if (dim > 0) dim
+            else noNulls.select(size(col("v"))).head().getInt(0)
+    val c = noNulls.filter(size(col("v")) === d)
       .withColumn("features", array_to_vector(col("v")))
     val minTrain = nCells * 4L
     val trainSet = {
@@ -591,7 +599,11 @@ object Similarity {
           graft.functions.Pq.reconstruct(col("codes"), codebooks))
           .as("dqnorm"))
       .localCheckpoint(eager = false) // encode once, not once per query
+    // query validity mirrors the corpus's pqRows rule (and the q112
+    // oracle's qn CTE): a malformed query must drop, not crash the
+    // ADC scan inside PqAdcExpr
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
+      .filter(size(col("qv")) === dim && !exists(col("qv"), x => x.isNull))
     // ADC score: sum over subspaces of dot(codeword[code_j], q_sub_j)
     // == dot(reconstruction, query), from codes alone
     val adc = graft.functions.Pq.adc(col("codes"), col("qv"), codebooks)
@@ -697,7 +709,7 @@ object Similarity {
                 trainFraction: Double = 0.25,
                 seed: Long = 42L, refine: Int = 8): DataFrame =
     ivfPqTopKWith(corpus, queries, id, vec, k, dim, nProbe,
-      trainIvfCentroids(corpus, id, vec, nCells, trainFraction, seed),
+      trainIvfCentroids(corpus, id, vec, nCells, trainFraction, seed, dim),
       trainPqCodebooks(corpus, id, vec, dim, m, kCodes, trainFraction, seed),
       refine)
 

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * replay unchanged.
   *
   * Codebooks are `m × k × (dim/m)` doubles; vectors are dense
-  * `array<double>` (null ELEMENTS unsupported — callers pre-filter, see
-  * Similarity.pqRows).
+  * `array<double>` (null ELEMENTS rejected loudly — a null read as 0.0
+  * would produce plausible-but-wrong codes/scores, the silent failure
+  * mode vec_dot's dimension check exists to prevent. Library call
+  * sites pre-filter via Similarity.pqRows; the public Pq API enforces
+  * the precondition itself).
   */
 private[graft] object PqExpressions {
   def validate(books: Array[Array[Array[Double]]]): Unit = {
@@ -32,6 +35,31 @@ private[graft] object PqExpressions {
     require(books.forall(b => b.length == books(0).length &&
         b.forall(_.length == books(0)(0).length)),
       "pq: codebooks must be rectangular")
+  }
+
+  /** One O(n) null-element pass before the hot loops (interpreted). */
+  def requireNoNullElements(fn: String, x: ArrayData): Unit = {
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null element at index $i (pre-filter, see Similarity.pqRows)")
+      i += 1
+    }
+  }
+
+  /** The same null-element guard as generated Java. */
+  def nullGuardCode(ctx: CodegenContext, fn: String, v: String): String = {
+    val i = ctx.freshName("ni")
+    s"""
+       |for (int $i = 0; $i < $v.numElements(); $i++) {
+       |  if ($v.isNullAt($i)) {
+       |    throw new IllegalArgumentException(
+       |      "$fn: null element at index " + $i +
+       |      " (pre-filter, see Similarity.pqRows)");
+       |  }
+       |}
+     """.stripMargin
   }
 }
 
@@ -59,6 +87,7 @@ final case class PqEncodeExpr(child: Expression,
       throw new IllegalArgumentException(
         s"pq_encode: vector length ${x.numElements()} != dim $dim")
     }
+    PqExpressions.requireNoNullElements("pq_encode", x)
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -101,6 +130,7 @@ final case class PqEncodeExpr(child: Expression,
          |  throw new IllegalArgumentException(
          |    "pq_encode: vector length " + $v.numElements() + " != dim $dim");
          |}
+         |${PqExpressions.nullGuardCode(ctx, "pq_encode", v)}
          |int[] $out = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $best = 0;
@@ -149,10 +179,17 @@ final case class PqReconstructExpr(child: Expression,
       throw new IllegalArgumentException(
         s"pq_reconstruct: ${cs.numElements()} codes != m $m")
     }
+    PqExpressions.requireNoNullElements("pq_reconstruct", cs)
     val out = new Array[Double](m * sub)
     var j = 0
     while (j < m) {
-      val cw = books(j)(cs.getInt(j))
+      val code = cs.getInt(j)
+      if (code < 0 || code >= books(j).length) {
+        throw new IllegalArgumentException(
+          s"pq_reconstruct: code $code at subspace $j out of range " +
+            s"[0, ${books(j).length})")
+      }
+      val cw = books(j)(code)
       System.arraycopy(cw, 0, out, j * sub, sub)
       j += 1
     }
@@ -169,9 +206,16 @@ final case class PqReconstructExpr(child: Expression,
          |  throw new IllegalArgumentException(
          |    "pq_reconstruct: " + $cs.numElements() + " codes != m $m");
          |}
+         |${PqExpressions.nullGuardCode(ctx, "pq_reconstruct", cs)}
          |double[] $out = new double[${m * sub}];
          |for (int $j = 0; $j < $m; $j++) {
-         |  System.arraycopy($bs[$j][$cs.getInt($j)], 0, $out, $j * $sub, $sub);
+         |  int ${j}_code = $cs.getInt($j);
+         |  if (${j}_code < 0 || ${j}_code >= $bs[$j].length) {
+         |    throw new IllegalArgumentException(
+         |      "pq_reconstruct: code " + ${j}_code + " at subspace " + $j +
+         |      " out of range [0, " + $bs[$j].length + ")");
+         |  }
+         |  System.arraycopy($bs[$j][${j}_code], 0, $out, $j * $sub, $sub);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
