@@ -46,11 +46,19 @@ object Joins {
                       pointCol: String, loCol: String, hiCol: String,
                       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    // Timestamp columns bin through unix_timestamp: a raw long cast is
+    // an analysis error for TIMESTAMP_NTZ (the type TZ-less parquet
+    // reads as under Spark 4), and unix_timestamp handles both flavors.
+    def epochSec(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_timestamp(col(c))
+      case _ => col(c).cast("long")
+    }
     val p = points.withColumn("__bin",
-      floor(col(pointCol).cast("long") / binSeconds))
+      floor(epochSec(points, pointCol) / binSeconds))
     val i = intervals.withColumn("__bin",
-      explode(sequence(floor(col(loCol).cast("long") / binSeconds),
-        floor((col(hiCol).cast("long") - 1) / binSeconds))))
+      explode(sequence(floor(epochSec(intervals, loCol) / binSeconds),
+        floor((epochSec(intervals, hiCol) - 1) / binSeconds))))
     p.join(i, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

@@ -67,6 +67,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      // TZ-less parquet timestamps read as TIMESTAMP_NTZ under Spark 4's
+      // default NTZ inference; normalize to session-TZ TimestampType so
+      // downstream casts/arithmetic (and the DuckDB oracle's
+      // `CAST(ts AS TIMESTAMP)`) see one type.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
   }
