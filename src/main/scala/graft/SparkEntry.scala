@@ -908,13 +908,17 @@ object SparkEntry {
         .select(col("r_name"), col("n_name"),
           (col("n_regionkey") === col("r_regionkey")).as("in_region"))),
 
-    // --- BPE merge training (rows-only: the iterative argmax-merge
-    // recurrence is not SQL-expressible; the classic merge sequence is
-    // hand-verified in TextAnalysisSpec). One corpus pass builds the
-    // word-freq table; iterations run at vocab scale.
+    // --- BPE train+encode, surfaced as the oracle-checkable invariant
+    // summary (the q81 precedent: the iterative argmax-merge recurrence
+    // is not SQL-expressible, but rank/score/concat/vocab violations
+    // are identically zero for a correct table, word count and
+    // character mass are conserved by encoding, and each merge adds
+    // exactly one vocab entry — all computable by the oracle from the
+    // input alone). The classic merge sequence itself is pinned in
+    // TextAnalysisSpec.
     "q82_bpe" -> ((s, dir) =>
-      graft.ext.TextAnalysis.bpeTrain(Tables.documents(s, dir), "doc_id", "text",
-        numMerges = 4)),
+      graft.ext.TextAnalysis.bpeInvariantSummary(
+        Tables.documents(s, dir), "doc_id", "text", numMerges = 4)),
 
     // --- Boilerplate REMOVAL (q68 surfaces the digests; this is the
     // clean-text output a pipeline actually ships): lines anti-joined
@@ -2458,6 +2462,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS oversize_packs
         |FROM t GROUP BY 1""".stripMargin,
+    // BPE invariants, computed from the INPUT independently of the
+    // argmax-merge recurrence: violation counters are identically zero
+    // for any correct table/encoding; word count and character mass
+    // come from the raw split (encoding emits exactly one end-of-word
+    // token per word and conserves codepoint mass net of markers); a
+    // correct 4-merge train grows the vocab by exactly 4.
+    "q82_bpe" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents)
+        |SELECT CAST(4 AS BIGINT) AS n_merges,
+        |  CAST(0 AS BIGINT) AS rank_violations,
+        |  CAST(0 AS BIGINT) AS score_violations,
+        |  CAST(0 AS BIGINT) AS concat_violations,
+        |  CAST(4 AS BIGINT) AS vocab_size_minus_base,
+        |  CAST(0 AS BIGINT) AS vocab_violations,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(length(word)) AS BIGINT) AS token_mass
+        |FROM w""".stripMargin,
     "q79_skew" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS count,
         |  round(count(*) * 1.0 /

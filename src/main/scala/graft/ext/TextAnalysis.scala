@@ -531,6 +531,76 @@ object TextAnalysis {
     merges.result().toDF("rank", "left", "right", "merged", "score")
   }
 
+  /** Oracle-checkable invariant summary of a BPE train+encode round
+    * (the q81 precedent): the iterative argmax-merge recurrence is not
+    * SQL-expressible, but any CORRECT merge table + encoding satisfies
+    * invariants an independent engine can compute from the input alone.
+    * One row:
+    *  - `n_merges`, `vocab_size_minus_base` — both = requested merges
+    *    (each merge adds exactly one new vocab entry);
+    *  - `rank_violations` — ranks not 0..n-1 in order (0);
+    *  - `score_violations` — a merge score below 2 or INCREASING across
+    *    ranks (0: the max pair count is non-increasing — a new pair
+    *    (x, lr) occurs at most once per lr occurrence, so its count is
+    *    bounded by the count of the pair just merged);
+    *  - `concat_violations` — `merged != left+right` (0);
+    *  - `vocab_violations` — emitted tokens outside base∪merged (0);
+    *  - `n_words` — tokens ending in the end-of-word marker (exactly
+    *    one per input word, however merges rearranged the interior);
+    *  - `token_mass` — codepoints of emitted tokens net of markers
+    *    (encoding conserves character mass: the oracle recomputes it
+    *    as `sum(length(word))` over the split input).
+    * A dropped word, a phantom merge, an out-of-vocab token, or a
+    * mass-leaking encode bug each flip a column.
+    */
+  def bpeInvariantSummary(df: DataFrame, id: String, text: String,
+                          numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges = bpeTrain(df, id, text, numMerges)
+    // the merge table is vocab-scale (driver-held by design, like the
+    // bpeEncode closure); structural checks run on the driver
+    val table = merges.orderBy("rank").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val rankViolations = table.zipWithIndex.count { case ((rk, _, _, _, _), i) => rk != i }
+    val scoreViolations = table.count(_._5 < 2) +
+      table.sliding(2).count {
+        case Array((_, _, _, _, s1), (_, _, _, _, s2)) => s2 > s1
+        case _ => false
+      }
+    val concatViolations = table.count { case (_, l, r, m, _) => m != l + r }
+    // base vocabulary: distinct initial symbols corpus-wide — bounded
+    // by the corpus charset (graphemes + the marker), driver-small
+    val baseSet = df
+      .select(explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+        t => length(t) > 0)).as("word"))
+      .distinct().as[String]
+      .flatMap(w => initialSymbols(w))
+      .distinct().collect().toSet
+    val mergedSet = table.map(_._4).toSet
+    val vocabSizeMinusBase = (baseSet ++ mergedSet).size - baseSet.size
+    val vocabB = spark.sparkContext.broadcast(baseSet ++ mergedSet)
+    bpeEncode(df, id, text, merges)
+      .select(explode(col("tokens")).as("tok")).as[String]
+      .map { t =>
+        val eow = t.endsWith(EndOfWord)
+        val mass = t.codePointCount(0, t.length) - (if (eow) EndOfWord.length else 0)
+        (mass.toLong, if (eow) 1L else 0L,
+          if (vocabB.value.contains(t)) 0L else 1L)
+      }
+      .toDF("m", "w", "v")
+      .agg(sum(col("m")).as("m"), sum(col("w")).as("w"), sum(col("v")).as("v"))
+      .select(
+        lit(table.length.toLong).as("n_merges"),
+        lit(rankViolations.toLong).as("rank_violations"),
+        lit(scoreViolations.toLong).as("score_violations"),
+        lit(concatViolations.toLong).as("concat_violations"),
+        lit(vocabSizeMinusBase.toLong).as("vocab_size_minus_base"),
+        col("v").cast("long").as("vocab_violations"),
+        col("w").cast("long").as("n_words"),
+        col("m").cast("long").as("token_mass"))
+  }
+
   /** Apply a trained merge table ([[bpeTrain]] output) to encode text:
     * each word is split to characters + end-of-word, then merges apply
     * in RANK order (the BPE contract — apply order must match training

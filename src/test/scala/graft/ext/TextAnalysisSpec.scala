@@ -130,6 +130,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(2) === ((2, "low", "</w>", 3L)))
   }
 
+  test("bpeInvariantSummary: violations zero, word/mass conservation") {
+    val df = Seq((1L, "low low low lower lowest"),
+                 (2L, "Lower LOWEST low")).toDF("doc_id", "text")
+    val row = TextAnalysis.bpeInvariantSummary(df, "doc_id", "text", 3)
+      .collect().head
+    val m = row.schema.fieldNames.zip(row.toSeq).toMap
+    assert(m("n_merges") === 3L)
+    assert(m("rank_violations") === 0L)
+    assert(m("score_violations") === 0L)
+    assert(m("concat_violations") === 0L)
+    assert(m("vocab_size_minus_base") === 3L)
+    assert(m("vocab_violations") === 0L)
+    assert(m("n_words") === 8L) // one end-of-word token per input word
+    // mass = codepoints of lowered split words: 3+3+3+5+6 + 5+6+3
+    assert(m("token_mass") === 34L)
+  }
+
   test("bpeEncode applies merges in rank order; unseen chars stay atomic") {
     val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
     val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", 3)
