@@ -279,11 +279,18 @@ object Similarity {
     // valid rows only (the pqRows rule, matching the search-path
     // filters): one malformed vector in the train sample would crash
     // the KMeans fit. Callers that know the corpus dim pass it; the
-    // default infers it from the first null-free row (one limit-1 job).
+    // default infers the MODAL vector size (one aggregate job, cold
+    // path — board call sites pass dim) so a single wrong-dimension
+    // first row can't silently filter out the well-formed majority.
     val noNulls = prep(corpus, id, vec, "id", "v", "norm")
       .filter(col("v").isNotNull && !exists(col("v"), x => x.isNull))
     val d = if (dim > 0) dim
-            else noNulls.select(size(col("v"))).head().getInt(0)
+            else noNulls.groupBy(size(col("v")).as("__d"))
+              .count().orderBy(col("count").desc, col("__d").asc)
+              .head(1).headOption.map(_.getInt(0)).getOrElse(
+                throw new IllegalArgumentException(
+                  "trainIvfCentroids: no null-free vectors to infer dim " +
+                    "from; pass dim explicitly"))
     val c = noNulls.filter(size(col("v")) === d)
       .withColumn("features", array_to_vector(col("v")))
     val minTrain = nCells * 4L
@@ -417,15 +424,16 @@ object Similarity {
     * Scale shape: training touches only the sample (m driver-sequenced
     * k-means fits, each over sample × sub dims — the documented
     * iterative-trainer pattern, like BPE); encoding is a map-side
-    * argmin over BROADCAST codebook literals (no UDF, stays in
-    * codegen), so the corpus is scanned once and never shuffles.
-    * Codebook literals are m·k·(dim/m) doubles — fine at the defaults;
-    * for k ≳ 256 move them to `ctx.addReferenceObj` (SCALE.md codegen
-    * lesson) before raising.
+    * native-expression argmin ([[graft.functions.PqEncodeExpr]]) whose
+    * codebooks enter generated code via `ctx.addReferenceObj`, never as
+    * inlined literals (SCALE.md codegen lesson), so the corpus is
+    * scanned once and never shuffles.
     *
-    * k-means is not SQL-expressible, so this is a rows-only entry (the
-    * q40 convention): determinism and reconstruction quality are
-    * spec-asserted instead ([[SimilaritySpec]]).
+    * k-means is not SQL-expressible, but the trained codebooks ARE
+    * capturable: the board entry replays encode/reconstruct against the
+    * captured books in SQL (full hash oracle, not rows-only), and
+    * determinism/reconstruction quality are additionally spec-asserted
+    * ([[SimilaritySpec]]).
     */
   /** Train the per-subspace PQ codebooks on a hash-sample of `df` —
     * shared by [[pqQuantize]] (compression audit) and [[pqCosineTopK]]

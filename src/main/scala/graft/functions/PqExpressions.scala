@@ -258,10 +258,17 @@ final case class PqAdcExpr(left: Expression, right: Expression,
         s"pq_adc: got ${cs.numElements()} codes / ${q.numElements()} dims, " +
           s"want $m / $dim")
     }
+    PqExpressions.requireNoNullElements("pq_adc", cs)
+    PqExpressions.requireNoNullElements("pq_adc", q)
     var total = 0.0
     var j = 0
     while (j < m) {
-      val cw = books(j)(cs.getInt(j))
+      val code = cs.getInt(j)
+      if (code < 0 || code >= books(j).length) {
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at subspace $j out of range [0, ${books(j).length})")
+      }
+      val cw = books(j)(code)
       var s = 0.0
       var i = 0
       while (i < sub) { s += cw(i) * q.getDouble(j * sub + i); i += 1 }
@@ -285,9 +292,17 @@ final case class PqAdcExpr(left: Expression, right: Expression,
          |    "pq_adc: got " + $cs.numElements() + " codes / " +
          |    $q.numElements() + " dims, want $m / $dim");
          |}
+         |${PqExpressions.nullGuardCode(ctx, "pq_adc", cs)}
+         |${PqExpressions.nullGuardCode(ctx, "pq_adc", q)}
          |double $total = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  double[] $cw = $bs[$j][$cs.getInt($j)];
+         |  int ${j}_code = $cs.getInt($j);
+         |  if (${j}_code < 0 || ${j}_code >= $bs[$j].length) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc: code " + ${j}_code + " at subspace " + $j +
+         |      " out of range [0, " + $bs[$j].length + ")");
+         |  }
+         |  double[] $cw = $bs[$j][${j}_code];
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
          |    $s += $cw[$i] * $q.getDouble($j * $sub + $i);

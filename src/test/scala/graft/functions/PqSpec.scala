@@ -94,6 +94,60 @@ class PqSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
   }
 
+  // The guards must hold in BOTH evaluation paths: interpreted eval and
+  // generated Java diverge exactly when one path's guard is missing
+  // (UnsafeArrayData.getDouble on a null slot silently returns 0.0).
+  private def inBothEvalModes(f: => Unit): Unit =
+    Seq("CODEGEN_ONLY", "NO_CODEGEN").foreach { mode =>
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try f
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+
+  private def msgsOf(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      String.valueOf(x.getMessage) +: msgsOf(x.getCause))
+
+  private def assertThrowsWith(tag: String)(f: => Unit): Unit = {
+    val e = intercept[Exception](f)
+    assert(msgsOf(e).exists(_.contains(tag)), s"expected '$tag' in: ${msgsOf(e)}")
+  }
+
+  test("null elements fail loudly in encode/reconstruct/adc, both eval modes") {
+    val nullVec = Seq(Tuple1(Seq[java.lang.Double](
+      1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))).toDF("v")
+    val goodCodes = typedLit(Seq(0, 0))
+    inBothEvalModes {
+      assertThrowsWith("pq_encode: null element") {
+        nullVec.select(Pq.encode(col("v"), books)).collect()
+      }
+      assertThrowsWith("pq_adc: null element") {
+        nullVec.select(Pq.adc(goodCodes, col("v"), books)).collect()
+      }
+      val nullCodes = Seq(Tuple1(Seq[Integer](0, null))).toDF("c")
+        .withColumn("q", typedLit((1 to dim).map(_.toDouble)))
+      assertThrowsWith("pq_reconstruct: null element") {
+        nullCodes.select(Pq.reconstruct(col("c"), books)).collect()
+      }
+      assertThrowsWith("pq_adc: null element") {
+        nullCodes.select(Pq.adc(col("c"), col("q"), books)).collect()
+      }
+    }
+  }
+
+  test("out-of-range codes fail loudly in reconstruct/adc, both eval modes") {
+    val badCodes = Seq(Tuple1(Seq(99, 0))).toDF("c")
+      .withColumn("q", typedLit((1 to dim).map(_.toDouble)))
+    inBothEvalModes {
+      assertThrowsWith("pq_reconstruct: code 99") {
+        badCodes.select(Pq.reconstruct(col("c"), books)).collect()
+      }
+      assertThrowsWith("pq_adc: code 99") {
+        badCodes.select(Pq.adc(col("c"), col("q"), books)).collect()
+      }
+    }
+  }
+
   test("null vectors propagate null; wrong dims fail loudly") {
     val withNull = Seq((1L, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
       (2L, null.asInstanceOf[Array[Double]])).toDF("id", "v")
