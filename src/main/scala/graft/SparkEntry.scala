@@ -44,8 +44,9 @@ object SparkEntry {
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
     * so one JVM running many queries (Verify, Bench) trains each model
-    * ONCE (q40/q116 share the 16-cell centroids, q115/q116 the m=16
-    * codebooks) instead of paying the driver-sequenced fits per query.
+    * ONCE (q40/q116 share the 16-cell centroids; q115 holds the m=16
+    * raw-vector books, q116 its m=8 residual-trained books) instead of
+    * paying the driver-sequenced fits per query.
     */
   private val trainerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
@@ -445,7 +446,10 @@ object SparkEntry {
     // --- IVF-PQ ANN (the FAISS IVFADC composition): one scan builds
     // the (cell, codes, norm) index; queries probe nProbe cells, score
     // members from CODES alone, exact-rerank the ADC top-(k*refine).
-    // Both trainers captured -> full DuckDB replay oracle.
+    // Codebooks are RESIDUAL-trained (v - centroid(cell)) at m=8 —
+    // HALF the m=16 raw-book code budget this entry used pre-residual,
+    // same 0.94 recall@10 at nProbe=10 (measured sweep in
+    // SimilaritySpec). Both trainers captured -> full DuckDB replay.
     "q116_ivf_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val ctrs = memoTrain(s"ivf16:$dir") {
@@ -453,12 +457,14 @@ object SparkEntry {
           emb, "vec_id", "embedding", nCells = 16,
           trainFraction = 0.25, seed = 42L, dim = 64)
       }
-      val books = memoTrain(s"pq16:$dir") {
+      val books = memoTrain(s"pqres8:$dir") {
         graft.ext.Similarity.trainPqCodebooks(
-          emb, "vec_id", "embedding", dim = 64, m = 16, k = 16,
+          graft.ext.Similarity.ivfResiduals(
+            emb, "vec_id", "embedding", 64, ctrs),
+          "id", "rv", dim = 64, m = 8, k = 16,
           trainFraction = 0.25, seed = 42L)
       }
-      val (k, nProbe, refine) = (10, 8, 16)
+      val (k, nProbe, refine) = (10, 10, 16)
       ivfPq116 = Some((ctrs, books, nProbe, k * refine))
       graft.ext.Similarity.ivfPqTopKWith(
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -1423,13 +1429,13 @@ object SparkEntry {
   /** Argmin encode replay: squared distance per (vector, subspace,
     * codeword) with the engine's exact fold order, ties to the lower
     * code (the sort_array struct order). `sub` = dim / m. */
-  private def pqEncodeCtes(sub: Int): String =
+  private def pqEncodeCtes(sub: Int, src: String = "r"): String =
     s"""dist AS (
-       |  SELECT r.vec_id, cb.j, cb.c, cb.cw,
-       |    list_aggregate([(r.v[cb.j*$sub + i] - cb.cw[i])
-       |        * (r.v[cb.j*$sub + i] - cb.cw[i])
+       |  SELECT $src.vec_id, cb.j, cb.c, cb.cw,
+       |    list_aggregate([($src.v[cb.j*$sub + i] - cb.cw[i])
+       |        * ($src.v[cb.j*$sub + i] - cb.cw[i])
        |      FOR i IN range(1, ${sub + 1})], 'sum') AS dd
-       |  FROM r, cb),
+       |  FROM $src, cb),
        |best AS (
        |  SELECT vec_id, j, c, cw,
        |    row_number() OVER (PARTITION BY vec_id, j
@@ -1482,27 +1488,35 @@ object SparkEntry {
 
   /** Everything up to scoring: codebooks, valid rows, argmin encode,
     * reconstruction norms (`encn`), and query vectors+norms (`qn`). */
+  /** Query vectors + norms (validity-filtered, the pqRows rule). */
+  private val qnCte: String =
+    """qn AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |    sqrt(list_aggregate([CAST(embedding AS DOUBLE[])[i]
+      |        * CAST(embedding AS DOUBLE[])[i] FOR i IN range(1, 65)], 'sum'))
+      |      AS qnorm
+      |  FROM embeddings WHERE vec_id < 5
+      |    AND embedding IS NOT NULL AND len(embedding) = 64
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)""".stripMargin
+
+  /** Argmin-code aggregation over `best` (codeword list + flat dq). */
+  private val encCte: String =
+    """enc AS (
+      |  SELECT vec_id, list(cw ORDER BY j) AS cws,
+      |    flatten(list(cw ORDER BY j)) AS dq
+      |  FROM best WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+
   private def pqEncNormCtes(books: Array[Array[Array[Double]]]): String =
     s"""${pqCodebookCte(books)},
        |$pqRowsCte,
        |${pqEncodeCtes(64 / books.length)},
-       |enc AS (
-       |  SELECT vec_id, list(cw ORDER BY j) AS cws,
-       |    flatten(list(cw ORDER BY j)) AS dq
-       |  FROM best WHERE rn = 1 GROUP BY vec_id),
+       |$encCte,
        |encn AS (
        |  SELECT vec_id, cws,
        |    sqrt(list_aggregate([dq[i] * dq[i] FOR i IN range(1, 65)], 'sum'))
        |      AS dqnorm
        |  FROM enc),
-       |qn AS (
-       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
-       |    sqrt(list_aggregate([CAST(embedding AS DOUBLE[])[i]
-       |        * CAST(embedding AS DOUBLE[])[i] FOR i IN range(1, 65)], 'sum'))
-       |      AS qnorm
-       |  FROM embeddings WHERE vec_id < 5
-       |    AND embedding IS NOT NULL AND len(embedding) = 64
-       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)""".stripMargin
+       |$qnCte""".stripMargin
 
   /** The shared ADC-ranking WITH-body (through CTE `rk`): encode the
     * corpus from the captured books, then the ADC score over
@@ -1560,13 +1574,18 @@ object SparkEntry {
     s"""WITH ${pqAdcCtes(books)},
        |${rerankTailSql(kRefine)}""".stripMargin
 
-  /** q116 replay: IVF cell assignment + probing composed with the ADC
-    * scoring (restricted to probed cells) and the exact-rerank tail. */
+  /** q116 replay: IVF cell assignment, RESIDUAL encode (v − centroid,
+    * the IVFADC refinement), probing, ADC scoring with the centroid·q
+    * term added back (recon·q = centroid·q + resid·q, the engine's
+    * exact decomposition), and the exact-rerank tail. Reconstruction
+    * for the norm is centroid + decoded residual. */
   private def ivfPqOracleSql(centroids: Array[Array[Double]],
                              books: Array[Array[Array[Double]]],
                              nProbe: Int, kRefine: Int): String =
     s"""WITH ${ivfCtrCte(centroids)},
-       |${pqEncNormCtes(books)},
+       |${pqCodebookCte(books)},
+       |$pqRowsCte,
+       |$qnCte,
        |cda AS (
        |  SELECT r.vec_id, ctr.cell,
        |    list_aggregate([(r.v[i] - ctr.cv[i]) * (r.v[i] - ctr.cv[i])
@@ -1577,6 +1596,21 @@ object SparkEntry {
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dd ASC, cell ASC) AS rn FROM cda)
        |  WHERE rn = 1),
+       |rr AS (
+       |  SELECT r.vec_id, a.cell,
+       |    [r.v[i] - ctr.cv[i] FOR i IN range(1, 65)] AS v
+       |  FROM r
+       |  JOIN assign a ON a.vec_id = r.vec_id
+       |  JOIN ctr ON ctr.cell = a.cell),
+       |${pqEncodeCtes(64 / books.length, src = "rr")},
+       |$encCte,
+       |encn AS (
+       |  SELECT e.vec_id, rr.cell, e.cws,
+       |    sqrt(list_aggregate([(ctr.cv[i] + e.dq[i]) * (ctr.cv[i] + e.dq[i])
+       |      FOR i IN range(1, 65)], 'sum')) AS dqnorm
+       |  FROM enc e
+       |  JOIN rr ON rr.vec_id = e.vec_id
+       |  JOIN ctr ON ctr.cell = rr.cell),
        |qd AS (
        |  SELECT qn.qid, ctr.cell,
        |    list_aggregate([(qn.qv[i] - ctr.cv[i]) * (qn.qv[i] - ctr.cv[i])
@@ -1589,15 +1623,21 @@ object SparkEntry {
        |    SELECT qid, cell, row_number() OVER (PARTITION BY qid
        |      ORDER BY dd ASC, cell ASC) AS rn FROM qd)
        |  WHERE rn <= $nProbe),
+       |qct AS (
+       |  SELECT qc.qid, qc.cell,
+       |    list_aggregate([ctr.cv[i] * q.qv[i] FOR i IN range(1, 65)], 'sum')
+       |      AS cdot
+       |  FROM qc
+       |  JOIN ctr ON ctr.cell = qc.cell
+       |  JOIN qn q ON q.qid = qc.qid),
        |s AS (
        |  SELECT q.qid, e.vec_id AS id,
        |    CASE WHEN e.dqnorm * q.qnorm > 0 THEN
-       |      (${pqAdcTerms(books)})
+       |      (t.cdot + (${pqAdcTerms(books)}))
        |      / (e.dqnorm * q.qnorm) END AS cosine_adc
        |  FROM encn e
-       |  JOIN assign a ON a.vec_id = e.vec_id
-       |  JOIN qc ON qc.cell = a.cell
-       |  JOIN qn q ON q.qid = qc.qid
+       |  JOIN qct t ON t.cell = e.cell
+       |  JOIN qn q ON q.qid = t.qid
        |  WHERE e.vec_id <> q.qid),
        |rk AS (
        |  SELECT qid, id, cosine_adc,

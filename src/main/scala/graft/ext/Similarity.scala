@@ -715,43 +715,81 @@ object Similarity {
                 nCells: Int = 16, nProbe: Int = 8,
                 m: Int = 8, kCodes: Int = 16,
                 trainFraction: Double = 0.25,
-                seed: Long = 42L, refine: Int = 8): DataFrame =
-    ivfPqTopKWith(corpus, queries, id, vec, k, dim, nProbe,
-      trainIvfCentroids(corpus, id, vec, nCells, trainFraction, seed, dim),
-      trainPqCodebooks(corpus, id, vec, dim, m, kCodes, trainFraction, seed),
+                seed: Long = 42L, refine: Int = 8): DataFrame = {
+    val centroids =
+      trainIvfCentroids(corpus, id, vec, nCells, trainFraction, seed, dim)
+    ivfPqTopKWith(corpus, queries, id, vec, k, dim, nProbe, centroids,
+      trainPqCodebooks(ivfResiduals(corpus, id, vec, dim, centroids),
+        "id", "rv", dim, m, kCodes, trainFraction, seed),
       refine)
+  }
+
+  /** The captured centroids as a broadcastable (cell, cv) frame. */
+  private def centroidsFrame(df: DataFrame,
+                             centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (cv, c) => (c, cv) }
+      .toSeq.toDF("cell", "cv")
+  }
+
+  /** Per-row IVF residuals: (id, cell, cv, v, rv = v − centroid(cell)).
+    * THE IVFADC refinement — PQ codebooks trained/applied on residuals
+    * see a domain already centered by the coarse quantizer, spending
+    * their m·log₂k bits on the remainder instead of re-describing cell
+    * position (the m-halving FAISS documents). Assignment is the
+    * codegen argmin; the tiny centroid table broadcasts back for the
+    * elementwise subtract — the corpus never shuffles. */
+  def ivfResiduals(corpus: DataFrame, id: String, vec: String, dim: Int,
+                   centroids: Array[Array[Double]]): DataFrame =
+    pqRows(corpus, id, vec, dim)
+      .withColumn("cell",
+        element_at(graft.functions.Pq.ivfCells(col("v"), centroids, 1), 1))
+      .join(broadcast(centroidsFrame(corpus, centroids)), Seq("cell"))
+      .select(col("id"), col("cell"), col("cv"), col("v"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
 
   /** [[ivfPqTopK]] against caller-supplied centroids + codebooks (see
-    * [[pqQuantizeWith]] for why the split exists). */
+    * [[pqQuantizeWith]] for why the split exists). `codebooks` must be
+    * residual-trained ([[ivfResiduals]]) — raw-vector books would score
+    * against the wrong domain. */
   def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame,
                     id: String, vec: String, k: Int, dim: Int,
                     nProbe: Int, centroids: Array[Array[Double]],
                     codebooks: Array[Array[Array[Double]]],
                     refine: Int): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
-    val rows = pqRows(corpus, id, vec, dim)
-    val index = rows
-      .withColumn("cell",
-        element_at(graft.functions.Pq.ivfCells(col("v"), centroids, 1), 1))
-      .withColumn("codes", graft.functions.Pq.encode(col("v"), codebooks))
+    // index: PQ codes of the RESIDUAL; reconstruction (for the norm the
+    // ADC cosine needs) is centroid + decoded residual
+    val index = ivfResiduals(corpus, id, vec, dim, centroids)
+      .withColumn("codes", graft.functions.Pq.encode(col("rv"), codebooks))
       .select(col("id"), col("cell"), col("codes"),
         graft.functions.Vectors.norm(
-          graft.functions.Pq.reconstruct(col("codes"), codebooks))
+          zip_with(col("cv"),
+            graft.functions.Pq.reconstruct(col("codes"), codebooks),
+            (a, b) => a + b))
           .as("dqnorm"))
       .localCheckpoint(eager = false) // the index: built once, probed per query
     // query validity mirrors the corpus's pqRows rule (and the q116
-    // oracle): a malformed query must drop, not crash the probe scan
+    // oracle): a malformed query must drop, not crash the probe scan.
+    // Per probed cell the query carries cdot = centroid·query, so the
+    // ADC numerator decomposes exactly: recon·q = centroid·q + resid·q
+    // (the ADC fold) — one extra broadcast column, no extra corpus work.
     val q = prep(queries, id, vec, "qid", "qv", "qnorm")
       .filter(size(col("qv")) === dim && !exists(col("qv"), x => x.isNull))
       .select(col("qid"), col("qv"), col("qnorm"),
         explode(graft.functions.Pq.ivfCells(col("qv"), centroids, nProbe))
           .as("cell"))
+      .join(broadcast(centroidsFrame(queries, centroids)), Seq("cell"))
+      .withColumn("cdot", dot(col("cv"), col("qv")))
+      .drop("cv")
     val adcTop = index.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       // NULL, not 0/0 — the pqCosineTopK NaN-rank rule
       .withColumn("cosine_adc",
         when(col("dqnorm") * col("qnorm") > 0,
-          graft.functions.Pq.adc(col("codes"), col("qv"), codebooks) /
+          (col("cdot") +
+            graft.functions.Pq.adc(col("codes"), col("qv"), codebooks)) /
             (col("dqnorm") * col("qnorm"))))
       .withColumn("rank", row_number().over(Window.partitionBy("qid")
         .orderBy(col("cosine_adc").desc, col("id").asc)))

@@ -101,13 +101,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ctrs = Similarity.trainIvfCentroids(real, "vec_id", "embedding",
       nCells = 16, trainFraction = 0.25, seed = 42L)
-    val books = Similarity.trainPqCodebooks(real, "vec_id", "embedding",
-      dim = 64, m = 16, k = 16, trainFraction = 0.25, seed = 42L)
-    // measured sweep (m, nProbe, refine) -> recall: (8,8,16)=0.90,
-    // (16,8,8)=0.90, (16,8,16)=0.94 (the probing ceiling — exact IVF at
-    // nProbe=8 is also 0.94), (16,12,16)=1.00
+    // RESIDUAL-trained books at m=8, nProbe=10 — HALF the code budget
+    // of the raw m=16 books this test used pre-residual, same 0.94
+    // recall (the FAISS IVFADC rate/recall win; this corpus is
+    // near-random, PQ's worst case, so the residual gain shows as
+    // matching m=16 rather than beating it). Measured sweeps:
+    // raw (m, nProbe) -> recall: (8,8)=0.90, (16,8)=0.94 (the old q116
+    // settings), (16,12)=1.00; residual m=8 by nProbe: 8=0.92,
+    // 10/12/16=0.94 (the m=8 ADC-candidate ceiling).
+    val books = Similarity.trainPqCodebooks(
+      Similarity.ivfResiduals(real, "vec_id", "embedding", 64, ctrs),
+      "id", "rv", dim = 64, m = 8, k = 16, trainFraction = 0.25, seed = 42L)
     val got = Similarity.ivfPqTopKWith(real, queries, "vec_id", "embedding",
-        10, 64, 8, ctrs, books, refine = 16)
+        10, 64, 10, ctrs, books, refine = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect got).size.toDouble / exact.size
     info(f"IVF-PQ recall@10 = $recall%.3f")
