@@ -182,12 +182,15 @@ object Dedup {
       case None => t0
     }
     // (id, tok) feeds three branches (sizes + both join sides):
-    // checkpoint so it computes once — LAZY (eager would run the full
-    // explode at DataFrame-construction time, e.g. in a plan audit);
-    // the first action materializes it, the other branches reuse it,
-    // and the blocks release with the result (see minhashPairs for the
-    // localCheckpoint-vs-cache rationale)
-    val t = tPlan.localCheckpoint(eager = false)
+    // checkpoint EAGERLY so it computes once. Lazy is NOT enough:
+    // Spark submits the sibling consumer stages of one action
+    // concurrently, and each recomputes the un-materialized lineage
+    // (measured 2.2x on q89's signature scan, SCALE.md round 7) —
+    // eager serializes one materializing job first, then every branch
+    // reads blocks. Costs plan-BUILD-time execution (a plan audit runs
+    // the explode at sf0.001 — cheap); blocks still release with the
+    // result (see minhashPairs for the checkpoint-vs-cache rationale).
+    val t = tPlan.localCheckpoint(eager = true)
     // sizes from the PRUNED token set: pruning must shrink numerator and
     // denominator together, or identical docs fall below tau whenever
     // they contain frequent tokens (pruned similarity = similarity of
@@ -355,7 +358,7 @@ object Dedup {
       .join(batchSigs.select(col("id")), Seq("id"), "left_anti")
     val all = cat.select(col("id"), col("sig"), lit(false).as("isBatch"))
       .union(batchSigs.select(col("id"), col("sig"), lit(true).as("isBatch")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val banded = capBuckets(lshCandidateInput(all, bands), maxBucketSize)
     val x = banded.select(col("band"), col("bucket"), col("id").as("xid"))
     val y = banded.filter(col("isBatch"))
@@ -435,8 +438,10 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes) — a fractional " +
         "band width silently skips signature positions")
     // signatures feed three plan branches (banding + both pair sides);
-    // checkpoint so the shingle+minhash pass runs once, not three
-    // times — LAZY, so merely building the plan costs nothing.
+    // checkpoint so the shingle+minhash pass runs once, not five
+    // times (banding cap-agg + both join sides + both estimate joins) —
+    // EAGER: concurrent sibling stages of one action each recompute a
+    // lazily-checkpointed lineage (the q89 lesson, SCALE.md round 7).
     // localCheckpoint, NOT cache(): checkpoint blocks (numHashes×8B per
     // doc, memory-and-disk) are released by the ContextCleaner when the
     // result DataFrame is dropped, where a CacheManager entry stays
@@ -444,7 +449,7 @@ object Dedup {
     // sessions that profile many corpora would accumulate it.
     val base = minhashSignatures(df, id, text, ngram, numHashes)
     val sigs =
-      if (materializeSignatures) base.localCheckpoint(eager = false) else base
+      if (materializeSignatures) base.localCheckpoint(eager = true) else base
     estimatePairs(lshCandidates(sigs, bands, maxBucketSize), sigs, tau)
   }
 
@@ -560,7 +565,7 @@ object Dedup {
       else digAll.filter(
         pmod(conv(substring(col("d"), 1, 8), 16, 10).cast(LongType),
           lit(stride.toLong)) === 0))
-      .localCheckpoint(eager = false) // feeds counts + the semi-join back
+      .localCheckpoint(eager = true) // feeds counts + the semi-join back
     val dupDigests = dig.groupBy("d").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("d")
     val w = org.apache.spark.sql.expressions.Window
@@ -690,7 +695,7 @@ object Dedup {
       .withColumn("spans", spans)
       .select(col("id"), explode(chunks).as("c"))
       .select(col("id"), col("c.d").as("d"), col("c.len").as("len"))
-      .localCheckpoint(eager = false) // feeds counts + the join back
+      .localCheckpoint(eager = true) // feeds counts + the join back
     val dupDigests = perChunk.groupBy("d").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("d")
     val perDoc = perChunk

@@ -180,7 +180,7 @@ object Similarity {
     val cent = centroidVectorsBy(
         df.withColumn("par", col(id) % 2).filter(col("par").isin(0, 1)),
         vec, Seq(label, "par"))
-      .localCheckpoint(eager = false) // tiny; feeds both join sides
+      .localCheckpoint(eager = true) // tiny; feeds both join sides
     val ca = cent.filter(col("par") === 0)
       .select(col(label), col("centroid").as("ca"))
     val cb = cent.filter(col("par") === 1)

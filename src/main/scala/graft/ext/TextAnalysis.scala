@@ -786,7 +786,7 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, id: String, text: String,
                     k: Int): DataFrame = {
     val tf = termFrequencies(df, id, text)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
@@ -867,7 +867,7 @@ object TextAnalysis {
     */
   def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
     val tf = termFrequencies(df, id, text)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val tc = tf.groupBy("term").agg(sum(col("tf")).as("tc"))
     val totals = tc.agg(sum(col("tc")).as("total"), count(lit(1)).as("v"))
     tf.join(tc, Seq("term"))
@@ -948,7 +948,7 @@ object TextAnalysis {
     val tf = termFrequencies(target, id, text)
     val rc = termStream(reference, id, text)
       .groupBy("term").agg(count(lit(1)).as("rc"))
-      .localCheckpoint(eager = false) // feeds the join + the totals
+      .localCheckpoint(eager = true) // feeds the join + the totals
     val totals = rc.agg(sum(col("rc")).as("total"), count(lit(1)).as("v"))
     tf.join(rc, Seq("term"), "left_outer")
       .crossJoin(broadcast(totals))
@@ -994,11 +994,11 @@ object TextAnalysis {
             element_at(col("ts"), i + 1)).as("bg")))).as("p"))
       .select(col("id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
     val tf = bigrams.groupBy("id", "w1", "bg").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val cb = tf.groupBy("bg").agg(sum(col("tf")).as("cb"))
     val cu = termStream(df, id, text)
       .groupBy(col("term")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val totals = cu.agg(count(lit(1)).as("v"))
     tf.join(cb, Seq("bg"))
       .join(cu, col("w1") === col("term"))
