@@ -870,11 +870,26 @@ object Dedup {
     */
   def cosinePairsBlocked(df: DataFrame, id: String, vec: String, tau: Double,
                          tables: Int = 16, nPlanes: Int = 8,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.Vectors
-    val buckets = Similarity.signLshBuckets(df, id, vec, tables, nPlanes, dim)
-    val cand = buckets.toDF("id_a", "table", "bucket")
-      .join(buckets.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))
+    val rawBuckets = Similarity.signLshBuckets(df, id, vec, tables, nPlanes, dim)
+    // the LSH skew guard (capBuckets' shape, keyed on (table, bucket)):
+    // a near-constant embedding shared by a large corpus fraction lands
+    // its whole cluster in ONE bucket per table — b members emit b²/2
+    // candidates, so one degenerate direction turns the stream
+    // quadratic; an over-cap bucket carries no discriminative signal
+    val buckets = maxBucketSize match {
+      case Some(cap) =>
+        val keep = rawBuckets.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+          .select("table", "bucket")
+        rawBuckets.join(keep, Seq("table", "bucket"), "left_semi")
+      case None => rawBuckets
+    }
+    val cand = buckets.select(col("id").as("id_a"), col("table"), col("bucket"))
+      .join(buckets.select(col("id").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val v = df.select(col(id).as("id"), col(vec).cast("array<double>").as("v"))

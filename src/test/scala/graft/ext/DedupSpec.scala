@@ -395,4 +395,103 @@ class DedupSpec extends SparkSpec {
       "null-id doc must report NULL stats, and must NOT have joined the " +
         "digest pool (its 'tiny' did not make doc 3 dirty)")
   }
+
+  // ------------------------------------------------------------------
+  // Adversarial skew fixtures: a value shared by 30%+ of the corpus
+  // must not turn any candidate stream quadratic when the guard is on.
+  // ------------------------------------------------------------------
+
+  test("skew guard: maxBucketSize bounds a 30%-identical LSH corpus") {
+    // 60 of 200 docs carry IDENTICAL text — identical signatures, so
+    // every band puts all 60 in one bucket: b²/2 = 1770 candidate
+    // pairs from a cluster that carries no discriminative signal.
+    val skewText = "all rights reserved contact the site administrator " +
+      "for further information about licensing and reuse of this content"
+    val rows = (1L to 60L).map(i => (i, skewText)) ++
+      (61L to 200L).map(i => (i,
+        s"unique document number $i about topic${i % 7} subject${i % 11} " +
+          s"theme${i % 13} detail$i specifics$i"))
+    val sigs = Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+      "doc_id", "text", ngram = 3, numHashes = 64)
+    val skewIds = (1L to 60L).toSet
+    val uncapped = Dedup.lshCandidates(sigs, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.count { case (a, b) =>
+      skewIds(a) && skewIds(b) } === 60 * 59 / 2,
+      "without the cap the identical cluster is fully quadratic")
+    val capped = Dedup.lshCandidates(sigs, bands = 16,
+        maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists { case (a, b) => skewIds(a) && skewIds(b) },
+      "an over-cap bucket must emit no intra-cluster pairs")
+    assert(capped.length <= 140 * 139 / 2,
+      "capped stream is bounded by the non-skew population")
+  }
+
+  test("skew guard: maxDocFrequency drops a 40%-shared boilerplate line") {
+    // 12 of 30 docs share an 8-token boilerplate line (each token at
+    // doc frequency 0.4): unguarded, every boiler-doc pair crosses
+    // tau on the shared line ALONE (8 shared / 16 union = 0.5) — 66
+    // pairs of unrelated documents. Guarded at 0.3, the boiler tokens
+    // drop before the join and only the genuine near-dup pair (rare
+    // tokens 3-of-5 after pruning) survives.
+    val boiler = "all rights reserved contact us for more information"
+    val docs = (
+      Seq((1L, s"$boiler alpha beta gamma delta"),
+          (2L, s"$boiler alpha beta gamma epsilon")) ++
+      (3L to 12L).map(i => (i,
+        s"$boiler word${i}a word${i}b word${i}c word${i}d")) ++
+      (13L to 30L).map(i => (i,
+        s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e " +
+          s"filler${i}f filler${i}g filler${i}h filler${i}i filler${i}j " +
+          s"filler${i}k filler${i}l"))
+    ).toDF("doc_id", "text")
+    val unguarded = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+        maxDocFrequency = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.count { case (a, b) => a <= 12L && b <= 12L } === 66,
+      "unguarded, the boilerplate line alone pairs every boiler doc")
+    val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+        maxDocFrequency = Some(0.3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(guarded.keySet === Set((1L, 2L)),
+      "guarded, only the rare-token near-dup pair survives")
+    assert(math.abs(guarded((1L, 2L)) - 3.0 / 5.0) < 1e-12,
+      "pruned similarity = similarity of the pruned sets, exactly")
+  }
+
+  test("skew guard: maxBucketSize bounds a 40%-constant embedding cluster") {
+    // 20 of 50 vectors are IDENTICAL (a near-constant embedding — the
+    // degenerate direction a collapsed encoder emits): every sign-LSH
+    // table puts the whole cluster in one bucket. The genuine near-dup
+    // pair in a distinct direction must survive the cap.
+    val dim = 16
+    def gen(seed: Int): Array[Double] = Array.tabulate(dim) { i =>
+      (((seed * 2654435761L + i * 40503L) & 0xffffL).toDouble / 65536.0) * 2.0 - 1.0
+    }
+    val constant = gen(999)
+    val nearA = gen(1234)
+    val nearB = nearA.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 1e-4 else x }
+    val rows = (1L to 20L).map(i => (i, constant)) ++
+      Seq((21L, nearA), (22L, nearB)) ++
+      (23L to 50L).map(i => (i, gen(i.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val clusterIds = (1L to 20L).toSet
+    val uncapped = Dedup.cosinePairsBlocked(df, "vec_id", "embedding",
+        tau = 0.9, tables = 16, nPlanes = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) =>
+      clusterIds(a) && clusterIds(b) } === 20 * 19 / 2,
+      "without the cap the constant cluster is fully quadratic")
+    assert(uncapped.contains((21L, 22L)))
+    val capped = Dedup.cosinePairsBlocked(df, "vec_id", "embedding",
+        tau = 0.9, tables = 16, nPlanes = 8, dim = dim,
+        maxBucketSize = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => clusterIds(a) && clusterIds(b) },
+      "an over-cap bucket must emit no intra-cluster pairs")
+    assert(capped.contains((21L, 22L)),
+      "the genuine near-dup pair in its own direction survives the cap")
+  }
 }
