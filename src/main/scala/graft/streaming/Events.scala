@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Event-time processing over the `events` stream table.
   *
@@ -17,6 +17,48 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * which is exactly how you'd run them over a 100 TB/day event firehose.
   */
 object Events {
+
+  /** Execution policy for the streaming sinks ([[streamToParquet]],
+    * [[streamingDecontaminate]]): the trigger decides WHEN micro-batches
+    * fire, orthogonal to what the query computes.
+    *  - `None` (default): Spark's default — a new batch as soon as the
+    *    previous finishes.
+    *  - `Trigger.ProcessingTime("1 minute")`: fixed cadence — the
+    *    steady-state firehose setting (batch size ≈ cadence × rate).
+    *  - `Trigger.AvailableNow()`: drain everything currently available
+    *    in bounded batches, then STOP — the scheduled-backfill /
+    *    catch-up-then-exit mode (unlike the deprecated `Once`, it
+    *    respects rate limits instead of one giant batch). Restarting
+    *    later from the same checkpoint picks up exactly the new input
+    *    (spec-asserted).
+    */
+  final case class StreamConfig(trigger: Option[Trigger] = None,
+                                options: Map[String, String] = Map.empty) {
+    private[streaming] def apply[T](w: DataStreamWriter[T]): DataStreamWriter[T] = {
+      val t = trigger.fold(w)(w.trigger)
+      options.foldLeft(t) { case (acc, (k, v)) => acc.option(k, v) }
+    }
+  }
+
+  /** Switch the session's streaming state store to RocksDB
+    * (per-session conf, read at QUERY START — set before `start()`).
+    * The default in-memory (HDFS-backed) provider keeps every key of
+    * every stateful operator on the executor HEAP; at firehose scale
+    * (stream-stream joins, high-cardinality dedup) that is an OOM, not
+    * a tuning problem. RocksDB keeps state off-heap with incremental
+    * checkpointing — the production setting for large state. Returns
+    * the session for chaining; pass `enabled = false` to restore the
+    * default provider (state formats differ — never flip providers on
+    * an EXISTING checkpoint).
+    */
+  def withRocksDbStateStore(spark: SparkSession,
+                            enabled: Boolean = true): SparkSession = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    if (enabled) spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else spark.conf.unset(key)
+    spark
+  }
 
   /** Tumbling event-time window counts/sums per event type. Works on
     * batch and streaming frames alike. */
@@ -181,14 +223,15 @@ object Events {
   def streamingDecontaminate(stream: DataFrame, benchmark: DataFrame,
                              id: String, text: String,
                              outDir: String, checkpointDir: String,
-                             ngram: Int = 8, minOverlap: Long = 1L)
+                             ngram: Int = 8, minOverlap: Long = 1L,
+                             config: StreamConfig = StreamConfig())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val catalog = graft.ext.Dedup.benchmarkDigests(benchmark, id, text, ngram)
     catalog.digests
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val writer = decontaminateBatchWriter(catalog, id, text, outDir,
       minOverlap)
-    val query = stream.writeStream
+    val query = config(stream.writeStream)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch(writer)
@@ -223,8 +266,10 @@ object Events {
     }
 
   def streamToParquet(df: DataFrame, outDir: String,
-                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+                      checkpointDir: String,
+                      config: StreamConfig = StreamConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    config(df.writeStream)
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
