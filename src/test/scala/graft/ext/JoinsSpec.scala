@@ -94,6 +94,26 @@ class JoinsSpec extends SparkSpec {
     assert(naive === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
   }
 
+  test("binned range join accepts TIMESTAMP_NTZ columns (the TZ-less parquet type)") {
+    // plain timestamp[us] parquet reads as TIMESTAMP_NTZ under Spark 4's
+    // default inference; a raw cast-to-long binning is an analysis error
+    // on that type (the q48 round-6 regression) — the join must work on
+    // NTZ inputs directly, without the caller pre-normalizing
+    import org.apache.spark.sql.functions.{col, to_timestamp_ntz}
+    def ntz(c: String) = to_timestamp_ntz(col(c))
+    val points = Seq((1L, "2024-01-01 00:30:00"), (2L, "2024-01-01 01:30:00"),
+        (3L, "2024-01-01 07:00:00"))
+      .toDF("pid", "raw").select(col("pid"), ntz("raw").as("t"))
+    val intervals = Seq((10L, "2024-01-01 00:00:00", "2024-01-01 02:00:00"))
+      .toDF("iid", "rawlo", "rawhi")
+      .select(col("iid"), ntz("rawlo").as("lo"), ntz("rawhi").as("hi"))
+    assert(points.schema("t").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = Joins.rangeJoinBinned(points, intervals, "t", "lo", "hi", 1800)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L)))
+  }
+
   test("bucketed tables join without a shuffle (co-located)") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lines")
