@@ -485,15 +485,24 @@ object TextAnalysis {
     (out += EndOfWord).result()
   }
 
-  def bpeTrain(df: DataFrame, id: String, text: String,
-               numMerges: Int): DataFrame = {
-    require(numMerges >= 1, "numMerges must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    var vocab = df
-      .select(explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+  /** The corpus's (word, freq) table — the single scan [[bpeTrain]]
+    * and [[bpeInvariantSummary]] share. */
+  private def wordFrequencies(df: DataFrame, text: String): DataFrame =
+    df.select(explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
         t => length(t) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  def bpeTrain(df: DataFrame, id: String, text: String,
+               numMerges: Int): DataFrame =
+    bpeTrainFromWords(wordFrequencies(df, text), numMerges)
+
+  /** [[bpeTrain]] from a pre-aggregated (word, freq) frame. */
+  private def bpeTrainFromWords(words: DataFrame,
+                                numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab = words
       .as[(String, Long)]
       .map { case (w, f) => (initialSymbols(w), f) }
       .toDF("symbols", "freq")
@@ -557,7 +566,11 @@ object TextAnalysis {
                           numMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val merges = bpeTrain(df, id, text, numMerges)
+    // ONE corpus word-aggregation scan feeds both the trainer and the
+    // base-vocabulary set (eager: the two consumers would otherwise
+    // recompute it, the SCALE.md round-7 checkpoint rule)
+    val words = wordFrequencies(df, text).localCheckpoint(eager = true)
+    val merges = bpeTrainFromWords(words, numMerges)
     // the merge table is vocab-scale (driver-held by design, like the
     // bpeEncode closure); structural checks run on the driver
     val table = merges.orderBy("rank").collect().map(r =>
@@ -571,10 +584,7 @@ object TextAnalysis {
     val concatViolations = table.count { case (_, l, r, m, _) => m != l + r }
     // base vocabulary: distinct initial symbols corpus-wide — bounded
     // by the corpus charset (graphemes + the marker), driver-small
-    val baseSet = df
-      .select(explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
-        t => length(t) > 0)).as("word"))
-      .distinct().as[String]
+    val baseSet = words.select(col("word")).as[String]
       .flatMap(w => initialSymbols(w))
       .distinct().collect().toSet
     val mergedSet = table.map(_._4).toSet
