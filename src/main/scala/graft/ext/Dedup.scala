@@ -814,7 +814,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band simhash guarantees recall only to Hamming 3")
-    val fp = simhashDF(df, id, text)
+    // EAGER checkpoint (the multi-consumer rule, SCALE.md round 7):
+    // both join sides consume the fingerprint scan — the narrow
+    // (id, simhash) frame materializes once, 16B/doc
+    val fp = simhashDF(df, id, text).localCheckpoint(eager = true)
     val banded = fp.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -879,13 +882,20 @@ object Dedup {
     // its whole cluster in ONE bucket per table — b members emit b²/2
     // candidates, so one degenerate direction turns the stream
     // quadratic; an over-cap bucket carries no discriminative signal
+    // EAGER checkpoint (the multi-consumer rule, SCALE.md round 7):
+    // the cap aggregation and both candidate join sides consume the
+    // bucket scan — the narrow (id, table, bucket) frame materializes
+    // once; the WIDE vector frame below stays un-checkpointed on
+    // purpose (recomputing a map-side projection beats materializing
+    // the corpus' vectors at scale)
+    val bucketsCk = rawBuckets.localCheckpoint(eager = true)
     val buckets = maxBucketSize match {
       case Some(cap) =>
-        val keep = rawBuckets.groupBy("table", "bucket")
+        val keep = bucketsCk.groupBy("table", "bucket")
           .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
           .select("table", "bucket")
-        rawBuckets.join(keep, Seq("table", "bucket"), "left_semi")
-      case None => rawBuckets
+        bucketsCk.join(keep, Seq("table", "bucket"), "left_semi")
+      case None => bucketsCk
     }
     val cand = buckets.select(col("id").as("id_a"), col("table"), col("bucket"))
       .join(buckets.select(col("id").as("id_b"), col("table"), col("bucket")),
