@@ -1,12 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** One timed pass over the full registry, alphabetical order. */
-  private def pass(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+  /** One timed pass over the full registry, alphabetical order.
+    * A query that throws records (time, ok=false): its tiny failure
+    * time must not silently SHRINK the board total, so failures are
+    * counted and flagged downstream instead of being swallowed.
+    */
+  private def pass(spark: SparkSession, sfDir: String): Seq[(String, Double, Boolean)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
   def main(args: Array[String]): Unit = {
@@ -38,17 +43,26 @@ object Bench {
     // JIT warm-up (a 0.1 s query runs ~2.5x faster once C2 is hot).
     val p1 = pass(spark, sfDir)
     val p2 = pass(spark, sfDir)
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val t1 = p1.map(_._2).sum
-    val t2 = p2.map(_._2).sum
+    val results = p1.zip(p2).map { case ((n, a, okA), (_, b, okB)) =>
+      (n, math.min(a, b), okA && okB) }
+    val failed = results.count(!_._3)
+    // The load sentinel compares pass totals over queries that
+    // SUCCEEDED in both passes: a query that dies fast in both would
+    // deflate both totals symmetrically (hiding itself), and a board
+    // where everything crashes would otherwise report an exploding
+    // ratio as "machine load" instead of the real failure.
+    val okNames = results.filter(_._3).map(_._1).toSet
+    val t1 = p1.collect { case (n, t, _) if okNames(n) => t }.sum
+    val t2 = p2.collect { case (n, t, _) if okNames(n) => t }.sum
     // Pass 1 pays residual JIT (normally ~1.2-1.5x pass 2); only a
     // >2x spread in either direction says the machine was busy.
     val ratio = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
-    val loadFlagged = ratio > 2.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadFlagged = okNames.nonEmpty && ratio > 2.0
+    val qs = results.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged}""")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged}""")
     spark.stop()
   }
 }

@@ -53,6 +53,23 @@ object SparkEntry {
   private def memoTrain[T <: AnyRef](key: String)(f: => T): T =
     trainerMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
 
+  /** Hive-partitioned copy of `customer` (by c_nationkey) under /tmp —
+    * the q117 dynamic-partition-pruning fixture. Written once per sf
+    * dir via [[graft.io.Sinks.writePartitioned]] and reused across
+    * JVMs: the _SUCCESS marker gates the rewrite, and the source is
+    * deterministic driver testdata, so a cached copy is always valid.
+    */
+  private def partitionedCustomer(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_dpp/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/customer"
+    val marker = new org.apache.hadoop.fs.Path(base + "/_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      graft.io.Sinks.writePartitioned(
+        Tables.customer(s, dir), base, Seq("c_nationkey"))
+    s.read.parquet(base)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -244,7 +261,8 @@ object SparkEntry {
     // faster — 11.5s vs 15.7s at sf0.1 — so the simple form is bound.)
     "q16_jaccard_pairs" -> ((s, dir) =>
       graft.ext.Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          tau = 0.5, ngram = 3, maxDocFrequency = None) // oracle-exact
+          tau = 0.5, ngram = 3, maxDocFrequency = None,
+          maxTokenDocs = None) // oracle-exact: both skew guards off
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // --- Dedup: transitive near-dup CLUSTERS over the exact pairs
@@ -255,7 +273,8 @@ object SparkEntry {
     "q77_components" -> ((s, dir) => {
       val pairs = graft.ext.Dedup.jaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 500),
-        "doc_id", "text", tau = 0.5, ngram = 3, maxDocFrequency = None)
+        "doc_id", "text", tau = 0.5, ngram = 3, maxDocFrequency = None,
+        maxTokenDocs = None)
       graft.ext.Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
     }),
@@ -266,7 +285,7 @@ object SparkEntry {
     "q80_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val pairs = graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text",
-        tau = 0.5, ngram = 3, maxDocFrequency = None)
+        tau = 0.5, ngram = 3, maxDocFrequency = None, maxTokenDocs = None)
       val comp = graft.ext.Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
       val quality = graft.ext.TextAnalysis.qualityScore(docs, "doc_id", "text")
@@ -472,6 +491,28 @@ object SparkEntry {
         .select(col("qid"), col("id"),
           graft.functions.Rounding.reprRound6(col("cosine")).as("cosine"),
           col("rank"))
+    }),
+
+    // --- Partitioned lake layout + DYNAMIC partition pruning: the fact
+    // side reads a hive-partitioned copy of customer (written once per
+    // sf dir via Sinks.writePartitioned, partitioned by c_nationkey);
+    // joining it to the region-filtered nation dim makes the planner
+    // seed the fact scan's PartitionFilters with a runtime IN-filter
+    // from the dim's broadcast (dynamicpruningexpression — pinned in
+    // PlanAuditSpec). Directory-level skipping before a single file is
+    // listed: the dominant scan-reduction mechanism on a real
+    // date/source-partitioned 100 TB lake, where static predicates
+    // rarely name the partition column directly.
+    "q117_dpp_join" -> ((s, dir) => {
+      val fact = partitionedCustomer(s, dir)
+      val dim = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
     }),
 
     // --- Text: token statistics (whitespace + BPE-ish regex), map-side.
@@ -2050,6 +2091,18 @@ object SparkEntry {
         |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)),
         |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
         |FROM documents""".stripMargin,
+    // q117 reads a hive-partitioned COPY of customer; content is
+    // identical to the source table, so the oracle replays the join on
+    // the original parquet directly.
+    "q117_dpp_join" ->
+      """SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
     "q26_join_revenue" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
@@ -2508,6 +2561,12 @@ object SparkEntry {
     // come from the raw split (encoding emits exactly one end-of-word
     // token per word and conserves codepoint mass net of markers); a
     // correct 4-merge train grows the vocab by exactly 4.
+    // FIXTURE-DEPENDENT pins: n_merges = vocab_size_minus_base = 4
+    // requires the corpus to support >= 4 merges with score >= 2 and
+    // DISTINCT concatenations (early stop / colliding concats would
+    // make a CORRECT run red). TextAnalysisSpec's "q82 fixture
+    // supports the pinned merge count" guard asserts exactly this on
+    // the sf0.01 oracle corpus, so drift fails loud in CI first.
     "q82_bpe" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),

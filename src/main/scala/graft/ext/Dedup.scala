@@ -158,10 +158,19 @@ object Dedup {
     * (what the oracle-checked queries bind); pruning shrinks numerator
     * and denominator together, so guarded similarity = similarity of the
     * pruned sets, exactly.
+    *
+    * `maxTokenDocs` is the ABSOLUTE twin of the fractional guard: a
+    * FRACTION alone still admits quadratic blowup at the boundary (one
+    * token in exactly half a 10⁹-doc corpus passes df <= 0.5·n yet
+    * emits ~10¹⁷ candidate pairs). A token kept by the cap contributes
+    * at most cap²/2 pairs REGARDLESS of corpus size — the same
+    * bounded-budget shape as the LSH `capBuckets` guard. Both default
+    * guards are on; `None` on both gives textbook-exact Jaccard.
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 1,
-                   maxDocFrequency: Option[Double] = Some(0.5)): DataFrame = {
+                   maxDocFrequency: Option[Double] = Some(0.5),
+                   maxTokenDocs: Option[Long] = Some(1000L)): DataFrame = {
     // Keep the hot candidate-pair stream as NARROW as possible: sizes
     // are attached by joining back onto the (small) aggregated pair set,
     // not carried through the explode. The alternative — ride n along on
@@ -173,14 +182,20 @@ object Dedup {
     val t0 =
       if (ngram <= 1) tokensDF(df, id, text)
       else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
-    val tPlan = maxDocFrequency match {
-      case Some(f) =>
-        val nDocs = df.count()
+    val tPlan =
+      if (maxDocFrequency.isEmpty && maxTokenDocs.isEmpty) t0
+      else {
+        // one df aggregation serves both guards; the corpus count is
+        // only paid when the fractional guard needs it
+        val fracBound = maxDocFrequency.map(f => f * df.count())
+        val bound = (fracBound, maxTokenDocs.map(_.toDouble)) match {
+          case (Some(a), Some(b)) => math.min(a, b)
+          case (a, b) => a.orElse(b).get
+        }
         val keep = t0.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= lit(f * nDocs))
+          .filter(col("df") <= lit(bound))
         t0.join(keep.select("tok"), Seq("tok"), "left_semi")
-      case None => t0
-    }
+      }
     // (id, tok) feeds three branches (sizes + both join sides):
     // checkpoint EAGERLY so it computes once. Lazy is NOT enough:
     // Spark submits the sibling consumer stages of one action

@@ -56,9 +56,15 @@ object Joins {
     }
     val p = points.withColumn("__bin",
       floor(epochSec(points, pointCol) / binSeconds))
+    // The top bin is floor(hi / binSeconds) WITHOUT netting out hi's
+    // exclusivity: unix_timestamp floors to whole seconds, so a
+    // fractional hi (timestamp[us] parquet) minus 1 under-bins and a
+    // point sharing hi's second silently loses its match. Binning the
+    // floored hi itself over-emits at most one bin per interval, and
+    // the exact range predicate below prunes it.
     val i = intervals.withColumn("__bin",
       explode(sequence(floor(epochSec(intervals, loCol) / binSeconds),
-        floor((epochSec(intervals, hiCol) - 1) / binSeconds))))
+        floor(epochSec(intervals, hiCol) / binSeconds))))
     p.join(i, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

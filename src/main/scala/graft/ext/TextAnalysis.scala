@@ -475,10 +475,22 @@ object TextAnalysis {
     * half-symbols) and not raw codepoints either — a combining accent
     * ("e" + U+0301) or an emoji ZWJ family must stay one symbol, or
     * merges produce tokens that split user-perceived characters. Plus
-    * the end-of-word marker. */
-  private val EndOfWord = "</w>"
+    * the end-of-word marker.
+    *
+    * The marker is U+FDD0, a designated Unicode NONCHARACTER: unlike a
+    * printable sentinel ("</w>"), no valid interchange text contains
+    * it, so merges can never REASSEMBLE the marker from corpus
+    * graphemes (a markup-like document containing a literal "</w>"
+    * would otherwise inflate n_words and deflate token_mass in
+    * [[bpeInvariantSummary]]). A word that does carry U+FDD0 is
+    * malformed input and fails loud rather than silently corrupting
+    * the word-boundary bookkeeping. */
+  private[ext] val EndOfWord = "\uFDD0"
   private val GraphemePattern = java.util.regex.Pattern.compile("\\X")
   private def initialSymbols(w: String): Seq[String] = {
+    require(!w.contains(EndOfWord),
+      s"input word contains the reserved BPE end-of-word marker U+FDD0 " +
+        s"(a Unicode noncharacter — not valid interchange text): $w")
     val out = Seq.newBuilder[String]
     val m = GraphemePattern.matcher(w)
     while (m.find()) out += m.group()

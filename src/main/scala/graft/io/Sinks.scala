@@ -44,6 +44,57 @@ object Sinks {
       .write.mode("overwrite").parquet(dstDir)
   }
 
+  /** Hive-partitioned parquet layout (`key=value` directories): the
+    * write-side half of PARTITION pruning, the scan-skipping mechanism
+    * that dominates on a real date/source-partitioned lake.
+    * [[writeRangeSorted]] gives file-level min/max skipping WITHIN a
+    * scan; a partitioned layout lets the planner drop whole directories
+    * before listing a single file — statically for literal predicates
+    * (`PartitionFilters`), and at RUNTIME for a join against a filtered
+    * dimension (dynamic partition pruning: the dim's build side seeds
+    * an IN-filter on the fact's partition column — plan-pinned in
+    * PlanAuditSpec and exercised by q117).
+    *
+    * Rows are repartitioned BY the partition columns first — without
+    * this, every one of N input tasks writes a file into every
+    * partition directory it touches (N×P small files, the
+    * lake-killer). `filesPerPartition` BOUNDS the file count per
+    * partition value (usually exact; two split groups that hash to the
+    * same shuffle task merge into one file — fewer files, never more).
+    * `sortCols` sorts within each file for tight parquet min/max bands
+    * on top of the directory pruning.
+    */
+  def writePartitioned(df: DataFrame, dstDir: String,
+                       partitionCols: Seq[String],
+                       filesPerPartition: Int = 1,
+                       sortCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.nonEmpty, "at least one partition column")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    // EXPLICIT task count: a keyless repartition(cols) is eligible for
+    // AQE partition coalescing, which re-merges the split groups and
+    // hands the file layout back to the optimizer — the opposite of a
+    // writer whose whole point is controlling the layout.
+    val tasks = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed =
+      if (filesPerPartition == 1)
+        df.repartition(tasks, partitionCols.map(col): _*)
+      else df
+        // deterministic row-hash split: rows of one partition value
+        // spread over up to filesPerPartition tasks (rand() would
+        // break retry idempotency — a re-run task must re-produce the
+        // same split)
+        .withColumn("__split",
+          pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPartition)))
+        .repartition(tasks, partitionCols.map(col) :+ col("__split"): _*)
+        .drop("__split")
+    val sorted =
+      if (sortCols.isEmpty) keyed
+      else keyed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(dstDir)
+  }
+
   /** Compact a parquet directory into ~`targetFileBytes` files at
     * `dstDir` — the small-files maintenance pass every streaming or
     * per-batch ingest needs (a 100 TB lake of 1 MB files spends more

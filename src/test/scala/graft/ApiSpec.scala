@@ -128,6 +128,39 @@ class ApiSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || scan.inputFiles.forall(_.contains("lang=en")))
   }
 
+  test("writePartitioned: one file per partition, split count honored") {
+    import org.apache.spark.sql.functions.input_file_name
+    val base = Files.createTempDirectory("graft-wp").toString
+    val df = (1L to 300L).map(i => (i, s"k${i % 3}", s"v$i"))
+      .toDF("id", "k", "v")
+    // default: rows repartition BY the partition column first -> exactly
+    // one file per partition directory (not one per input task per dir)
+    Sinks.writePartitioned(df, s"$base/one", Seq("k"))
+    val one = spark.read.parquet(s"$base/one")
+    assert(one.count() === 300L)
+    val filesPerDir = one.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .groupBy(f => f.split("/").takeWhile(!_.startsWith("part-")).last)
+    assert(filesPerDir.keySet === Set("k=k0", "k=k1", "k=k2"))
+    filesPerDir.values.foreach(fs => assert(fs.length === 1))
+    // filesPerPartition=2: deterministic row-hash split BOUNDS each dir
+    // at 2 files (split groups hashing to one shuffle task may merge)
+    Sinks.writePartitioned(df, s"$base/two", Seq("k"), filesPerPartition = 2)
+    val two = spark.read.parquet(s"$base/two")
+    assert(two.count() === 300L)
+    val files2 = two.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+      .groupBy(f => f.split("/").takeWhile(!_.startsWith("part-")).last)
+    files2.values.foreach(fs => assert(fs.length >= 1 && fs.length <= 2))
+    assert(files2.values.map(_.length).sum > 3,
+      "the split must actually spread rows beyond one file per dir")
+    // sortCols: rows sorted within each file for tight min/max bands
+    Sinks.writePartitioned(df, s"$base/sorted", Seq("k"), sortCols = Seq("id"))
+    val sorted = spark.read.parquet(s"$base/sorted").filter($"k" === "k1")
+      .select("id").collect().map(_.getLong(0))
+    assert(sorted.toSeq === sorted.sorted.toSeq)
+  }
+
   test("range-sorted layout gives files disjoint min/max bands") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

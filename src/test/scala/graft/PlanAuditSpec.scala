@@ -208,6 +208,20 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus shingles must not shuffle into a shuffled join:\n$p")
   }
 
+  test("q117 (dpp): fact scan partition-prunes at runtime from the dim filter") {
+    val p = plan("q117_dpp_join")
+    // the hive-partitioned fact scan must carry a RUNTIME IN-filter on
+    // its partition column, seeded by the region-filtered nation dim —
+    // directory-level pruning, the scan mechanism that dominates on a
+    // partitioned 100 TB lake
+    assert(p.contains("PartitionFilters:"),
+      s"fact must read a partitioned layout:\n$p")
+    assert(p.contains("dynamicpruningexpression"),
+      s"the dim filter must prune fact partitions dynamically:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim joins as a broadcast (DPP reuses its exchange):\n$p")
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)

@@ -166,6 +166,35 @@ class DedupSpec extends SparkSpec {
     assert(guarded === exact) // no 3-gram shingle spans half this corpus
   }
 
+  test("absolute token cap bounds the pair stream at the df=0.5 boundary") {
+    // A token in EXACTLY half the corpus passes the fractional guard
+    // (df <= 0.5·n) yet pairs every carrier with every other — the
+    // quadratic boundary the absolute cap exists for. 30 docs, token
+    // "boundary" planted in 15 of them (df = 0.5·n exactly), plus one
+    // genuine rare-token near-dup pair.
+    import spark.implicits._
+    val docs = (
+      (1L to 15L).map(i => (i, s"boundary only${i}a only${i}b only${i}c")) ++
+      Seq((16L, "rare gem alpha beta"), (17L, "rare gem alpha beta")) ++
+      (18L to 30L).map(i => (i, s"fill${i}a fill${i}b fill${i}c fill${i}d"))
+    ).toDF("doc_id", "text")
+    // fractional guard ALONE keeps the boundary token -> 15*14/2 = 105
+    // candidate pairs from one token (none reach tau, but the join paid
+    // for them); the absolute cap drops it before the self-join
+    val fracOnly = Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.01,
+        maxDocFrequency = Some(0.5), maxTokenDocs = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fracOnly.count { case (a, b) => a <= 15L && b <= 15L } === 105)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.01,
+        maxDocFrequency = Some(0.5), maxTokenDocs = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // boundary-token pairs gone; the rare-token near-dup survives with
+    // pruned-set-exact similarity (identical docs -> 1.0)
+    assert(!capped.keySet.exists { case (a, b) => a <= 15L && b <= 15L })
+    assert(capped.keySet === Set((16L, 17L)))
+    assert(math.abs(capped((16L, 17L)) - 1.0) < 1e-12)
+  }
+
   test("ngram shingles: doc shorter than n becomes one whole-text shingle") {
     val short = Seq((1L, "tiny doc")).toDF("doc_id", "text")
     val sh = Dedup.shinglesDF(short, "doc_id", "text", 3).collect()

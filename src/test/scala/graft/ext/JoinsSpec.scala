@@ -114,6 +114,28 @@ class JoinsSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 10L)))
   }
 
+  test("binned range join keeps matches when hi carries sub-second precision") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // unix_timestamp floors to whole seconds; binning (hi - 1) dropped
+    // the top bin whenever hi was fractional, losing any point in hi's
+    // second (point 00:30:00.2 < hi 00:30:00.5 is a genuine match)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:30:00.2")),  // same second as hi, before it
+      (2L, ts("2024-01-01 00:30:00.7")),  // same second, at/after hi -> out
+      (3L, ts("2024-01-01 00:10:00.0"))   // interior match
+    ).toDF("pid", "t")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:00.0"), ts("2024-01-01 00:30:00.5"))
+    ).toDF("iid", "lo", "hi")
+    val naive = points.join(intervals, $"t" >= $"lo" && $"t" < $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = Joins.rangeJoinBinned(points, intervals, "t", "lo", "hi", 1800)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive === Set((1L, 10L), (3L, 10L)))
+    assert(binned === naive)
+  }
+
   test("bucketed tables join without a shuffle (co-located)") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lines")

@@ -127,7 +127,7 @@ class TextAnalysisSpec extends SparkSpec {
     // pairs (l,o) and (o,w) tie at 5; lexicographic tiebreak -> (l,o)
     assert(merges(0) === ((0, "l", "o", 5L)))
     assert(merges(1) === ((1, "lo", "w", 5L)))
-    assert(merges(2) === ((2, "low", "</w>", 3L)))
+    assert(merges(2) === ((2, "low", TextAnalysis.EndOfWord, 3L)))
   }
 
   test("bpeInvariantSummary: violations zero, word/mass conservation") {
@@ -154,11 +154,11 @@ class TextAnalysisSpec extends SparkSpec {
         Seq((10L, "low lowest zz"), (11L, null.asInstanceOf[String]))
           .toDF("doc_id", "text"), "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    // merges: l+o, lo+w, low+</w>
+    // merges: l+o, lo+w, low+EndOfWord
     assert(enc(10L) === Seq(
-      "low</w>",                          // fully merged
-      "low", "e", "s", "t", "</w>",       // prefix merged, tail atomic
-      "z", "z", "</w>"))                  // unseen word -> chars
+      ("low" + TextAnalysis.EndOfWord),                          // fully merged
+      "low", "e", "s", "t", TextAnalysis.EndOfWord,       // prefix merged, tail atomic
+      "z", "z", TextAnalysis.EndOfWord))                  // unseen word -> chars
     assert(enc(11L) === Seq.empty)        // null text -> no tokens
   }
 
@@ -196,13 +196,13 @@ class TextAnalysisSpec extends SparkSpec {
       assert(m.getString(1) !== "́")
       assert(m.getString(2) !== "́")
     }
-    // a ZWJ emoji family encodes as (family, </w>) — one symbol + marker
+    // a ZWJ emoji family encodes as (family, marker) — one symbol + marker
     val fam = "👨‍👩‍👧"
     val enc = TextAnalysis.bpeEncode(
       Seq((1L, fam)).toDF("doc_id", "text"), "doc_id", "text",
       TextAnalysis.bpeTrain(df, "doc_id", "text", 1))
       .selectExpr("tokens").collect().head.getSeq[String](0)
-    assert(enc === Seq(fam, "</w>"))
+    assert(enc === Seq(fam, TextAnalysis.EndOfWord))
   }
 
   test("bpeTrain stops early when no pair repeats") {
@@ -210,6 +210,40 @@ class TextAnalysisSpec extends SparkSpec {
     // every adjacent pair occurs once -> nothing worth merging
     val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 5)
     assert(merges.count() === 0L)
+  }
+
+  test("bpe rejects input containing the reserved end-of-word marker") {
+    // U+FDD0 is a Unicode noncharacter — never valid interchange text.
+    // A word carrying it would corrupt the word-boundary bookkeeping
+    // (n_words / token_mass), so symbolization fails loud instead.
+    val df = Seq((1L, s"ok ok bad${TextAnalysis.EndOfWord}word ok"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("U+FDD0"))))
+  }
+
+  test("q82 fixture supports the pinned merge count (oracle dependence guard)") {
+    // The q82 oracle pins n_merges = vocab_size_minus_base = 4. That is
+    // FIXTURE-DEPENDENT: bpeTrain legitimately stops early when the best
+    // pair count drops below 2, and two distinct merges can concatenate
+    // to the same string, shrinking the vocab growth. This guard fails
+    // loudly (with the real counts) if the driver corpus ever stops
+    // supporting the pins — so a red q82 means a code bug, not a sparse
+    // corpus. Runs on sf0.01, the EXACT corpus the oracle board uses.
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
+    val table = TextAnalysis.bpeTrain(docs, "doc_id", "text", numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(table.length === 4,
+      s"corpus no longer supports 4 score>=2 merges: ${table.mkString(", ")}")
+    assert(table.map(_._3).distinct.length === 4,
+      s"merge concatenations collide: ${table.map(_._3).mkString(", ")}")
+    assert(table.forall(_._4 >= 2))
   }
 
   test("packGreedy: budget never exceeded, packs tight, oversize isolated") {
