@@ -1220,6 +1220,27 @@ object SparkEntry {
           roundTo = 12)
         .select("doc_id", "n_chars", "draw")),
 
+    // --- DSIR importance weights: every pool document's per-token LM
+    // log-ratio, target = the English subset, reference = the raw pool
+    // itself (the standard DSIR pairing — "how much more target-like
+    // than a random pool draw"). Positive → target-like.
+    "q118_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.TextAnalysis.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+    }),
+
+    // --- DSIR end-to-end: the importance-weighted resampling draw —
+    // Gumbel-top-k over the LOG weights (∝ exp(log_ratio), no exp
+    // crosses an engine boundary), the quality-targeted mixture
+    // selection a curation pipeline actually ships.
+    "q119_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.ext.TextAnalysis.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      graft.ext.Sampling.gumbelTopK(w, "doc_id", "log_weight", n = 50)
+    }),
+
     // --- Winsorized robust mean per order priority: heavy tails
     // clipped to the [5%, 95%] band; the raw mean reported alongside.
     "q99_winsorized" -> ((s, dir) =>
@@ -1366,6 +1387,40 @@ object SparkEntry {
 
   /** q16's pair SQL, shared with q77's recursive-closure oracle (which
     * restricts the doc set via `extraWhere`). */
+  /** Shared CTE block for the q118/q119 oracles: the DSIR per-doc
+    * log-ratio table `w` (target = lang='en' docs, reference = the
+    * whole pool), mirroring [[graft.ext.TextAnalysis.importanceWeights]]
+    * term for term. Ends with the final SELECT left to the caller. */
+  private val DsirWeightsSql: String =
+    """WITH ptoks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks GROUP BY 1, 2),
+      |tc AS (
+      |  SELECT term, count(*) AS tc FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+      |    FROM documents WHERE lang = 'en') GROUP BY 1),
+      |rc AS (SELECT term, count(*) AS rc FROM ptoks GROUP BY 1),
+      |ttot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, count(*) AS tv FROM tc),
+      |rtot AS (SELECT CAST(sum(rc) AS BIGINT) AS rt, count(*) AS rv FROM rc),
+      |w AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN tc.tc IS NULL THEN tf ELSE 0 END) AS BIGINT)
+      |      AS n_oov_target,
+      |    0.0 + round(sum(tf * (ln((coalesce(tc.tc, 0) + 1.0) / (tt + tv))
+      |      - ln((coalesce(rc.rc, 0) + 1.0) / (rt + rv)))), 4)
+      |      AS log_weight,
+      |    0.0 + round(sum(tf * (ln((coalesce(tc.tc, 0) + 1.0) / (tt + tv))
+      |      - ln((coalesce(rc.rc, 0) + 1.0) / (rt + rv)))) / sum(tf), 4)
+      |      AS log_ratio
+      |  FROM tf LEFT JOIN tc USING (term) LEFT JOIN rc USING (term)
+      |  CROSS JOIN ttot CROSS JOIN rtot
+      |  GROUP BY 1)
+      |""".stripMargin
+
   private def jaccardPairsSql(extraWhere: String = ""): String =
     s"""WITH toks AS (
       |  SELECT doc_id,
@@ -2742,6 +2797,20 @@ object SparkEntry {
         |  least(64, len(ts) - (i * 56 + 1) + 1) AS n_tokens,
         |  array_to_string(ts[i * 56 + 1 : i * 56 + 64], ' ') AS chunk_text
         |FROM s""".stripMargin,
+    // q118/q119 share the DSIR weight CTEs: add-one unigram LMs of the
+    // English target subset and the whole pool, per-doc log-ratio
+    // rounded to 4dp (ln is not correctly rounded cross-engine; every
+    // downstream ranking uses the ROUNDED value).
+    "q118_dsir_weights" -> (DsirWeightsSql +
+      """SELECT doc_id, n_tokens, n_oov_target, log_weight, log_ratio
+        |FROM w""".stripMargin),
+    "q119_dsir_sample" -> (DsirWeightsSql +
+      """SELECT doc_id, n_tokens, n_oov_target, log_weight, log_ratio,
+        |  0.0 + round(log_weight + (0.0 - ln(0.0 - ln(
+        |    (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT + 0.5) / 4294967296.0))), 6) AS draw
+        |FROM w
+        |ORDER BY draw DESC, doc_id ASC LIMIT 50""".stripMargin),
     "q113_ref_surprisal" ->
       """WITH ttoks AS (
         |  SELECT doc_id,

@@ -303,6 +303,41 @@ object Sampling {
       .limit(n)
   }
 
+  /** Gumbel-top-k sampling without replacement, proportional to
+    * exp(`logWeightCol`) — the draw DSIR-style importance weighting
+    * needs ([[graft.ext.TextAnalysis.importanceWeights]] emits LOG
+    * ratios): rank = logw + g with Gumbel noise g = −ln(−ln u), and
+    * the top-n ranks are a sample ∝ exp(logw). Working in the log
+    * domain sidesteps exponentiating the weight, which matters
+    * cross-engine: exp is not correctly rounded, so `exp(logw)` fed
+    * to [[weightedSample]] could flip rank boundaries between
+    * engines, while here logw arrives already rounded and the noise
+    * is rounded the same way ln(u)-draws are.
+    *
+    * Same determinism contract as [[weightedSample]]: u is the md5
+    * uniform of (salt, key) — reproducible across runs, engines, and
+    * partitionings; u lands strictly inside (0,1) (offset 0.5 on the
+    * 32-bit hash, exact in doubles) so the double-log never hits ±∞.
+    * Null keys/log-weights are excluded; rank rounds to `roundTo` dp
+    * with ties broken by key ascending. The only non-map-side step is
+    * the global top-n (per-partition top-n + driver merge).
+    */
+  def gumbelTopK(df: DataFrame, keyCol: String, logWeightCol: String,
+                 n: Int, salt: String = "graft",
+                 roundTo: Int = 6): DataFrame = {
+    require(n > 0, "n must be > 0")
+    requireFreeColumns(df, "gumbelTopK", "draw")
+    val h = conv(
+      substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0) // (0,1) open
+    val g = lit(0.0) - log(lit(0.0) - log(u))
+    df.filter(col(keyCol).isNotNull && col(logWeightCol).isNotNull)
+      .withColumn("draw", lit(0.0) + round(col(logWeightCol) + g, roundTo))
+      .orderBy(col("draw").desc, col(keyCol).asc)
+      .limit(n)
+  }
+
   /** [[weightedSample]] within each group: the top-n A-ES draws PER
     * `groupCol` value — how a per-language (or per-source) mixture is
     * drawn with quality-proportional weights in one pass. The window

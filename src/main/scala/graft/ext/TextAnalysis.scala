@@ -985,6 +985,67 @@ object TextAnalysis {
           .as("ref_surprisal"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): each POOL
+    * document's per-token log-ratio of an n-gram LM of the TARGET
+    * domain over an LM of the REFERENCE (raw-pool) distribution,
+    * log w(x) = Σ_t tf_t·[ln p̂_tgt(t) − ln p̂_ref(t)], both add-one
+    * smoothed like [[crossCorpusSurprisal]] (of which this is the
+    * two-model composition: ref_surprisal(reference) −
+    * ref_surprisal(target), in ONE plan so the pool's term table
+    * aggregates once, not twice). Two scores per doc:
+    *  - `log_weight` — the raw sum, THE paper's importance weight in
+    *    log form; what ∝-exp resampling ([[Sampling.gumbelTopK]])
+    *    draws on. Length-sensitive: a long on-target doc outweighs a
+    *    short one, as the product-of-features model dictates.
+    *  - `log_ratio` — the per-token average (log_weight / n_tokens),
+    *    the length-independent domain-affinity score a filter gate
+    *    thresholds on. Positive → target-like.
+    *
+    * Scale shape: both corpora collapse to vocabulary-sized count
+    * tables (checkpointed once); the pool's aggregated (doc, term)
+    * stream LEFT-joins them with the two one-row totals broadcast —
+    * a 100 TB pool scores against wiki-sized target/reference sets
+    * with nothing per-token-occurrence ever shuffling.
+    */
+  def importanceWeights(pool: DataFrame, target: DataFrame,
+                        reference: DataFrame,
+                        id: String, text: String): DataFrame = {
+    val tf = termFrequencies(pool, id, text)
+    val tc = termStream(target, id, text)
+      .groupBy("term").agg(count(lit(1)).as("tc"))
+      .localCheckpoint(eager = true) // feeds the join + its totals
+    val rc = termStream(reference, id, text)
+      .groupBy("term").agg(count(lit(1)).as("rc"))
+      .localCheckpoint(eager = true)
+    val tTot = tc.agg(sum(col("tc")).as("tt"), count(lit(1)).as("tv"))
+    val rTot = rc.agg(sum(col("rc")).as("rt"), count(lit(1)).as("rv"))
+    tf.join(tc, Seq("term"), "left_outer")
+      .join(rc, Seq("term"), "left_outer")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .groupBy(col("id").as(id))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("tc").isNull, col("tf")).otherwise(0L))
+          .as("n_oov_target"),
+        // 0.0 + x: the −0.0 repr trap (q97 convention); ranking
+        // consumers must rank on THESE rounded values (ln is not
+        // correctly rounded cross-engine)
+        (lit(0.0) + round(
+          sum(col("tf") *
+            (log((coalesce(col("tc"), lit(0L)) + 1.0)
+                / (col("tt") + col("tv")))
+              - log((coalesce(col("rc"), lit(0L)) + 1.0)
+                / (col("rt") + col("rv"))))), 4)).as("log_weight"),
+        (lit(0.0) + round(
+          sum(col("tf") *
+            (log((coalesce(col("tc"), lit(0L)) + 1.0)
+                / (col("tt") + col("tv")))
+              - log((coalesce(col("rc"), lit(0L)) + 1.0)
+                / (col("rt") + col("rv")))))
+            / sum(col("tf")), 4)).as("log_ratio"))
+  }
+
   /** Mean bigram surprisal per document: −avg ln p̂(w₂|w₁) with
     * add-one-smoothed conditional probabilities p̂(w₂|w₁) =
     * (count(w₁w₂)+1) / (count(w₁)+V) — the order-sensitive companion to

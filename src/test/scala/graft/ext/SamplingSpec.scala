@@ -223,6 +223,37 @@ class SamplingSpec extends SparkSpec {
     assert(heavy > 80, s"expected mostly heavy rows, got $heavy/100")
   }
 
+  test("gumbelTopK: deterministic, repartition-stable, exp(logw)-proportional") {
+    // two classes with log-weight gap 2 -> weight ratio e^2 ≈ 7.4: a
+    // 50-draw from 100+100 rows should be DOMINATED by the high class
+    // but not be exclusively it (it is a sample, not a weight top-k)
+    val df = spark.range(1, 201).toDF("id")
+      .withColumn("logw", when(col("id") <= 100, 2.0).otherwise(0.0))
+    val a = Sampling.gumbelTopK(df, "id", "logw", n = 50)
+      .collect().map(_.getLong(0))
+    val b = Sampling.gumbelTopK(df.repartition(13), "id", "logw", n = 50)
+      .collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq, "draw must not depend on partitioning")
+    assert(a.length === 50 && a.distinct.length === 50)
+    val high = a.count(_ <= 100)
+    assert(high > 35 && high < 50,
+      s"expected mostly (not only) high-weight rows, got $high/50")
+    // equal log-weights: the draw must include LOW-class rows too when
+    // weights tie (pure Gumbel noise = uniform draw)
+    val uniform = Sampling.gumbelTopK(
+        df.withColumn("logw", lit(0.0)), "id", "logw", n = 50)
+      .collect().map(_.getLong(0))
+    val lowHalf = uniform.count(_ > 100)
+    assert(lowHalf > 13 && lowHalf < 37, s"uniform low-half $lowHalf")
+    // null keys / log-weights are excluded, not NaN-ranked
+    import spark.implicits._
+    val withNulls = Seq((Some(1L), Some(1.0)), (None, Some(9.9)),
+      (Some(3L), None: Option[Double])).toDF("id", "logw")
+    val kept = Sampling.gumbelTopK(withNulls, "id", "logw", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("weightedSample: equal weights approximate a uniform draw") {
     val df = spark.range(0, 2000).toDF("id").withColumn("w", lit(1.0))
     val s = Sampling.weightedSample(df, "id", "w", 400)

@@ -212,6 +212,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges.count() === 0L)
   }
 
+  test("importanceWeights: target-like docs score positive and get oversampled") {
+    // target corpus: distinctive "quantum" vocabulary; pool: half
+    // quantum-like, half cooking — DSIR log-ratios must separate them
+    // by sign, and the Gumbel draw over the log weights must
+    // oversample the target-like half
+    val target = Seq(
+      (1001L, "quantum flux lattice entangle qubit"),
+      (1002L, "quantum spin lattice decohere qubit"),
+      (1003L, "flux qubit entangle quantum gate")
+    ).toDF("doc_id", "text")
+    val pool = (
+      (1L to 10L).map(i => (i, s"quantum qubit lattice flux unique$i")) ++
+      (11L to 20L).map(i => (i, s"braise shallot saffron crouton unique$i"))
+    ).toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(pool, target, pool, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(w.size === 20)
+    (1L to 10L).foreach { i =>
+      assert(w(i)._3 > 0.0 && w(i)._4 > 0.0,
+        s"quantum doc $i must be target-like: ${w(i)}")
+    }
+    (11L to 20L).foreach { i =>
+      assert(w(i)._3 < 0.0 && w(i)._4 < 0.0,
+        s"cooking doc $i must be off-domain: ${w(i)}")
+      assert(w(i)._2 >= 4L, s"cooking doc $i is mostly target-OOV: ${w(i)}")
+    }
+    // the per-token average is the sum over the token count
+    w.values.foreach { case (n, _, lw, lr) =>
+      assert(math.abs(lr - lw / n) < 2e-4, s"log_ratio = log_weight/n: $n $lw $lr")
+    }
+    // end-to-end: the resampling draw on the RAW log weight (the
+    // paper's ∝ exp(log w) form) is dominated by the target-like half
+    val weights = TextAnalysis.importanceWeights(
+      pool, target, pool, "doc_id", "text")
+    val drawn = Sampling.gumbelTopK(weights, "doc_id", "log_weight", n = 8)
+      .collect().map(_.getLong(0))
+    assert(drawn.count(_ <= 10L) >= 7,
+      s"target-like docs must dominate the draw: ${drawn.mkString(",")}")
+  }
+
   test("bpe rejects input containing the reserved end-of-word marker") {
     // U+FDD0 is a Unicode noncharacter — never valid interchange text.
     // A word carrying it would corrupt the word-boundary bookkeeping
