@@ -40,6 +40,10 @@ object SparkEntry {
   @volatile private var ivfPq116
       : Option[(Array[Array[Double]], Array[Array[Array[Double]]], Int, Int)] =
     None
+  /** ((media_id, dhash) fingerprints, maxHamming) — image decode is not
+    * SQL-expressible, so the q120 oracle replays the Hamming pairing
+    * over the captured fingerprint table. */
+  @volatile private var imageFp120: Option[(Array[(Long, Long)], Int)] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -985,6 +989,29 @@ object SparkEntry {
         graft.ext.Multimodal.mediaTableHeadered(Tables.documents(s, dir)))
         .toDF()),
 
+    // --- Multimodal: image-CONTENT dedup — the perceptual twin of q18.
+    // Every doc becomes a REAL 16x16 BMP (ids ≡ 3 mod 7 are planted
+    // +8-brightness RE-ENCODINGS of their predecessor); the JDK codec
+    // decodes actual pixels, deterministic integer dHash fingerprints
+    // them, and the shared 4x16-banded Hamming join pairs near-dups —
+    // re-encoded/brightness-shifted duplicate images that byte-level
+    // digests (q15) sail past. The oracle replays the pairing in SQL
+    // over the CAPTURED fingerprints (the decode itself is not
+    // SQL-expressible; the capture is the narrow 16 B/image frame the
+    // plan shuffles anyway, collected ONLY to render the oracle).
+    "q120_image_phash_dedup" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.bmpImageTable(Tables.documents(s, dir))
+      // fingerprints feed the capture AND both join sides: eager
+      // checkpoint once (the SCALE.md multi-consumer rule)
+      val fp = graft.ext.Multimodal.imagePerceptualHash(media).toDF()
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id"), col("dhash"))
+        .localCheckpoint(eager = true)
+      imageFp120 = Some((fp.collect()
+        .map(r => (r.getLong(0), r.getLong(1))), 2))
+      graft.ext.Dedup.hammingPairs64(fp, "media_id", "dhash", maxHamming = 2)
+    }),
+
     // --- Benchmark decontamination: distinct 5-gram overlap of each
     // corpus doc (doc_id >= 100) against the "benchmark" slice
     // (doc_id < 100) — the eval-leakage audit a training pipeline runs
@@ -1494,7 +1521,27 @@ object SparkEntry {
     ivfCentroids40.map { case (c, np) =>
       "q40_ivf_topk" -> ivfTopkOracleSql(c, np) } ++
     ivfPq116.map { case (c, b, np, kr) =>
-      "q116_ivf_pq" -> ivfPqOracleSql(c, b, np, kr) }
+      "q116_ivf_pq" -> ivfPqOracleSql(c, b, np, kr) } ++
+    imageFp120.map { case (fp, maxH) =>
+      "q120_image_phash_dedup" -> imagePhashOracleSql(fp, maxH) }
+
+  /** q120 oracle: brute-force Hamming pairing over the captured
+    * fingerprints — semantically identical to the engine's 4×16-banded
+    * join (banding is exhaustive to Hamming 3 by pigeonhole), and the
+    * brute-force form keeps the SQL free of shift-semantics questions.
+    */
+  private def imagePhashOracleSql(fp: Array[(Long, Long)],
+                                  maxHamming: Int): String = {
+    val rows = fp.map { case (id, d) => s"($id, $d)" }.mkString(",\n    ")
+    s"""WITH fpv(media_id, dhash) AS (VALUES
+       |    $rows),
+       |fp AS (SELECT CAST(media_id AS BIGINT) AS media_id,
+       |         CAST(dhash AS BIGINT) AS dhash FROM fpv)
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming""".stripMargin
+  }
 
   /** The DuckDB codebook literal shared by the two PQ oracles: one row
     * per (subspace j, code c) with the codeword as a DOUBLE[] —

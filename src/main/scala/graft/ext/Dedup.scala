@@ -822,32 +822,46 @@ object Dedup {
       .select(col("id"), fp.as("simhash"))
   }
 
-  /** Pairs at Hamming distance <= maxHamming (must be <= 3 for the 4×16
-    * banding to be exhaustive by pigeonhole). Join key is (band index,
-    * 16-bit band value) — no cross join.
+  /** Banded Hamming self-join over ANY 64-bit fingerprint column:
+    * pairs at Hamming distance <= `maxHamming` (must be <= 3 — with 4
+    * bands of 16 bits, two fingerprints within Hamming 3 must agree on
+    * at least one whole band by pigeonhole, so band equality is an
+    * exhaustive blocking key and no cross join ever happens). Shared
+    * by text simhash (q18) and image perceptual hashes (q120) — 8
+    * bytes shuffle per row regardless of what was fingerprinted.
+    * Null-fingerprint rows (e.g. undecodable payloads) are excluded.
     */
-  def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band simhash guarantees recall only to Hamming 3")
+  def hammingPairs64(fpDf: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding guarantees recall only to Hamming 3")
     // EAGER checkpoint (the multi-consumer rule, SCALE.md round 7):
-    // both join sides consume the fingerprint scan — the narrow
-    // (id, simhash) frame materializes once, 16B/doc
-    val fp = simhashDF(df, id, text).localCheckpoint(eager = true)
-    val banded = fp.select(col("id"), col("simhash"),
+    // both join sides consume the fingerprint computation — the narrow
+    // (id, fp) frame materializes once, 16B/row
+    val fp = fpDf.filter(col(fpCol).isNotNull)
+      .select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .localCheckpoint(eager = true)
+    val banded = fp.select(col("id"), col("fp"),
         posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "simhash", "band", "bucket")
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "fp", "band", "bucket")
     val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
+      col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
+      col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Simhash pairs at Hamming distance <= maxHamming — [[simhashDF]]
+    * fingerprints through the shared [[hammingPairs64]] banding.
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhashDF(df, id, text), "id", "simhash", maxHamming)
 
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup

@@ -289,6 +289,187 @@ object Multimodal {
       }
   }
 
+  // --------------------------------------------------------------------
+  // Image perceptual hashing (content dedup for re-encoded duplicates)
+  // --------------------------------------------------------------------
+
+  /** Avalanche mix (splitmix64 finalizer) — the pixel-noise source for
+    * [[bmpImageTable]]. */
+  private def mix(a: Long): Long = {
+    var h = a
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33; h
+  }
+
+  /** Deterministic pixel channel value in [32, 215] — headroom so a
+    * +8 brightness shift (the planted "re-encoded twin" perturbation)
+    * never clips, which would break the shift-invariance of the
+    * gradient/mean hashes. */
+  private[ext] def pixelValue(seed: Long, x: Int, y: Int, c: Int): Int =
+    32 + math.floorMod(
+      mix(seed * 1000003L + x * 7919L + y * 104729L + c * 131L), 184L).toInt
+
+  /** A REAL uncompressed 24-bit BMP (54-byte header + bottom-up BGR
+    * rows, 4-byte row padding) — decodable by any codec, including the
+    * JDK's own ImageIO, with bit-exact pixels. */
+  private[ext] def buildBmp(w: Int, h: Int,
+                            px: (Int, Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // bottom-up row order, BGR channel order
+      var x = 0
+      while (x < w) {
+        buf.put(px(x, y, 2).toByte).put(px(x, y, 1).toByte)
+          .put(px(x, y, 0).toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic REAL-image table derived from `documents`: each doc
+    * becomes a 16×16 24-bit BMP whose pixels are a hash of the doc id —
+    * and every id ≡ 3 (mod 7) becomes a +8-brightness RE-ENCODING of
+    * its predecessor's image (same content, different bytes), the
+    * planted duplicates [[imagePerceptualHash]] + Hamming pairing must
+    * find. Unlike [[mediaTable]]'s opaque payloads these DECODE — the
+    * codec path is exercised for real. */
+  def bmpImageTable(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(id).isNotNull)
+      .select(col(id).cast("long")).as[Long]
+      .map { mid =>
+        val (seed, shift) = if (mid % 7 == 3) (mid - 1, 8) else (mid, 0)
+        (mid, buildBmp(16, 16, (x, y, c) => pixelValue(seed, x, y, c) + shift))
+      }.toDF("media_id", "content")
+  }
+
+  /** dHash + aHash of one encoded image via the REAL codec path
+    * (`javax.imageio` — PNG/JPEG/GIF/BMP readers ship in the JDK; no
+    * external library). Deterministic INTEGER math throughout:
+    * grayscale = (299r+587g+114b)/1000, cells are area-averages scaled
+    * by 1024 (integer division), dHash compares row-adjacent cells of
+    * a 9×8 grid, aHash compares each 8×8 cell against the global mean
+    * via the cross-multiplied `cell·64 > total` form (no float ever
+    * enters, so fingerprints can't drift across platforms). Both
+    * hashes are invariant under a uniform brightness shift — exactly
+    * the perturbation a re-encode or levels tweak applies — because
+    * every cell moves by the same exact amount. None for payloads no
+    * reader accepts (text, audio, truncated files).
+    */
+  private[ext] def perceptualHashes(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          gray(y * w + x) = (((p >> 16) & 0xff) * 299 +
+            ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      // area-average grid, value = sum·1024/count (integer): images
+      // smaller than the grid reuse pixels (y1 >= y0+1), still exact
+      def grid(cols: Int, rows: Int): Array[Long] = {
+        val out = new Array[Long](cols * rows)
+        var cy = 0
+        while (cy < rows) {
+          val y0 = math.min(cy * h / rows, h - 1)
+          val y1 = math.max((cy + 1) * h / rows, y0 + 1)
+          var cx = 0
+          while (cx < cols) {
+            val x0 = math.min(cx * w / cols, w - 1)
+            val x1 = math.max((cx + 1) * w / cols, x0 + 1)
+            var s = 0L
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) { s += gray(yy * w + xx); xx += 1 }
+              yy += 1
+            }
+            out(cy * cols + cx) = s * 1024L / ((y1 - y0).toLong * (x1 - x0))
+            cx += 1
+          }
+          cy += 1
+        }
+        out
+      }
+      val g98 = grid(9, 8)
+      var dhash = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g98(y * 9 + x + 1) > g98(y * 9 + x)) dhash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      val g88 = grid(8, 8)
+      val total = g88.sum
+      var ahash = 0L
+      var i = 0
+      while (i < 64) {
+        if (g88(i) * 64 > total) ahash |= 1L << i
+        i += 1
+      }
+      Some((dhash, ahash))
+    }
+  }
+
+  final case class ImagePHash(media_id: Option[Long],
+                              dhash: Option[Long], ahash: Option[Long])
+
+  /** Perceptual fingerprints per media row — the image twin of text
+    * simhash (q18): 8 bytes per image regardless of payload size, so
+    * only fingerprints ever shuffle. Batched per-partition map like
+    * [[mediaFeatures]] (codec/reader init amortizes at the batch
+    * boundary); no shuffle, output partitioning follows input. Nulls
+    * for undecodable payloads — feed the result through
+    * [[graft.ext.Dedup.hammingPairs64]] for banded near-dup pairing.
+    */
+  def imagePerceptualHash(media: DataFrame, id: String = "media_id",
+                          content: String = "content",
+                          batchSize: Int = 64): Dataset[ImagePHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Option[Long], Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // real deployments re-init codec/reader state here, per batch
+          batch.iterator.map { case (mid, bytes) =>
+            perceptualHashes(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+              case Some((d, a)) => ImagePHash(mid, Some(d), Some(a))
+              case None => ImagePHash(mid, None, None)
+            }
+          }
+        }
+      }
+  }
+
   /** Resize plan: a metadata-level transform (the payload op is the
     * stubbed codec's job; scheduling-wise the operation is the same
     * map-side batch). Keeps aspect metadata consistent.

@@ -196,4 +196,76 @@ class MultimodalSpec extends SparkSpec {
     assert(jpgs.head.getAs[Array[Byte]]("content").toSeq === Seq[Byte](1, 2, 3))
     assert(jpgs.head.getAs[Long]("length") === 3L)
   }
+
+  // ---- image perceptual hashing -------------------------------------
+
+  /** Re-encode the same pixel content through a DIFFERENT codec via the
+    * JDK: decode `bytes`, optionally shift brightness, write as
+    * `format` (png/bmp/gif). Byte-level digests see a new file;
+    * perceptual hashes must not. */
+  private def reencode(bytes: Array[Byte], format: String,
+                       shift: Int = 0): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      def c(sh: Int) = math.min(255, math.max(0, ((p >> sh) & 0xff) + shift))
+      out.setRGB(x, y, (c(16) << 16) | (c(8) << 8) | c(0))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(out, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("perceptual hash survives re-encoding and uniform brightness shifts") {
+    val bmpA = Multimodal.buildBmp(16, 16,
+      (x, y, c) => Multimodal.pixelValue(7L, x, y, c))
+    val bmpB = Multimodal.buildBmp(16, 16,
+      (x, y, c) => Multimodal.pixelValue(8L, x, y, c)) // different content
+    val Some((dA, aA)) = Multimodal.perceptualHashes(bmpA)
+    val Some((dB, aB)) = Multimodal.perceptualHashes(bmpB)
+    // a PNG re-encode of the same pixels: different bytes, same hashes
+    val pngA = reencode(bmpA, "png")
+    assert(!java.util.Arrays.equals(pngA, bmpA))
+    assert(Multimodal.perceptualHashes(pngA) === Some((dA, aA)))
+    // +8 uniform brightness (a levels tweak): hashes exactly invariant
+    val brighter = reencode(bmpA, "png", shift = 8)
+    assert(Multimodal.perceptualHashes(brighter) === Some((dA, aA)))
+    // genuinely different content: far apart in Hamming space
+    assert(java.lang.Long.bitCount(dA ^ dB) > 10,
+      s"distinct images must not collide: ${java.lang.Long.bitCount(dA ^ dB)}")
+    assert(java.lang.Long.bitCount(aA ^ aB) > 5)
+    // undecodable payloads: None, not garbage
+    assert(Multimodal.perceptualHashes("not an image".getBytes) === None)
+    assert(Multimodal.perceptualHashes(Array.emptyByteArray) === None)
+  }
+
+  test("image phash dedup finds planted re-encoded duplicates end-to-end") {
+    // bmpImageTable plants ids ≡ 3 (mod 7) as brightness-shifted
+    // re-encodings of their predecessor; the fingerprint + banded
+    // Hamming pipeline must find exactly those pairs
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.bmpImageTable(real)
+    val fp = Multimodal.imagePerceptualHash(media).toDF()
+    val pairs = Dedup.hammingPairs64(fp, "media_id", "dhash", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = real.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(i => i % 7 == 3 && ids.contains(i - 1))
+      .map(i => (i - 1, i))
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected,
+      s"got ${pairs.length} pairs, expected ${expected.size}")
+    pairs.foreach { case (_, _, hm) =>
+      assert(hm === 0, "a uniform brightness shift must not move the dHash")
+    }
+    // null ids / undecodable rows don't poison the pipeline
+    val withJunk = media.unionByName(
+      Seq((999999L, "definitely not an image".getBytes))
+        .toDF("media_id", "content"))
+    val fpJunk = Multimodal.imagePerceptualHash(withJunk).toDF()
+    assert(fpJunk.filter($"media_id" === 999999L)
+      .collect().head.isNullAt(1), "undecodable row must fingerprint null")
+    assert(Dedup.hammingPairs64(fpJunk, "media_id", "dhash", 2)
+      .filter($"id_a" === 999999L || $"id_b" === 999999L).count() === 0L)
+  }
 }
