@@ -499,7 +499,7 @@ object TextAnalysis {
 
   /** The corpus's (word, freq) table — the single scan [[bpeTrain]]
     * and [[bpeInvariantSummary]] share. */
-  private def wordFrequencies(df: DataFrame, text: String): DataFrame =
+  private[ext] def wordFrequencies(df: DataFrame, text: String): DataFrame =
     df.select(explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
         t => length(t) > 0)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -508,9 +508,148 @@ object TextAnalysis {
                numMerges: Int): DataFrame =
     bpeTrainFromWords(wordFrequencies(df, text), numMerges)
 
-  /** [[bpeTrain]] from a pre-aggregated (word, freq) frame. */
+  /** The trainer the public API binds: batched selection, which the
+    * spec proves merge-for-merge equivalent to the sequential
+    * reference. */
   private def bpeTrainFromWords(words: DataFrame,
-                                numMerges: Int): DataFrame = {
+                                numMerges: Int): DataFrame =
+    bpeTrainFromWordsBatched(words, numMerges)
+
+  /** [[bpeTrain]] from a pre-aggregated (word, freq) frame — BATCHED
+    * merge selection (the production path; see
+    * [[bpeTrainFromWordsSequential]] for the one-merge-per-job
+    * reference both are spec-tested equivalent to). One pair-count
+    * aggregation selects up to `batchSize` merges per Spark round, so
+    * a 32k-vocab train schedules ~vocab/batch jobs instead of one per
+    * merge.
+    *
+    * Batching is EXACTLY equivalent to sequential training, not an
+    * approximation, because a batch is the maximal prefix of the
+    * ranked pair list (count desc, pair asc — the sequential order)
+    * that is pairwise symbol-disjoint, truncated to pairs whose count
+    * STRICTLY exceeds the first candidate left out. Why that suffices:
+    * applying a batch member can only change counts of pairs sharing
+    * its symbols, and every pair a merge CREATES, (x, ab) or (ab, y),
+    * occurs only where (x, a) / (b, y) occurred, so its count is
+    * bounded by an interacting pair's pre-batch count — and all
+    * interacting pairs rank at or below the boundary (the prefix
+    * selected everything above it). Each batch member therefore
+    * remains the strict argmax at its turn, merged-string collisions
+    * included: a candidate whose concatenation equals a symbol already
+    * in the vocabulary (or an earlier batch member's output) would
+    * unify counts unpredictably, so it closes its batch and the next
+    * round recounts.
+    */
+  private[ext] def bpeTrainFromWordsBatched(words: DataFrame, numMerges: Int,
+                                            batchSize: Int = 16,
+                                            onRound: Int => Unit = _ => ())
+      : DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    var vocab = words
+      .as[(String, Long)]
+      .map { case (w, f) => (initialSymbols(w), f) }
+      .toDF("symbols", "freq")
+      .as[(Seq[String], Long)]
+      .cache()
+    // the alphabet in play: base graphemes (one aggregation) + each
+    // merged symbol as training adds it — vocabulary-scale, driver-held
+    // like the merge table itself
+    val present = scala.collection.mutable.HashSet.empty[String]
+    present ++= vocab.flatMap(_._1).distinct().collect()
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    var round = 0
+    while (rank < numMerges && !exhausted) {
+      // candidate window: well past the batch so the strictness
+      // boundary is almost always the true next-interacting pair, not
+      // the window edge (the window edge is a CONSERVATIVE boundary)
+      val window = math.max(batchSize * 4, 64)
+      val cands = vocab.flatMap { case (syms, f) =>
+          syms.sliding(2).collect { case Seq(a, b) => ((a, b), f) }
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (a, b, n) }
+        .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
+        .head(window)
+      if (cands.isEmpty || cands.head._3 < 2) exhausted = true
+      else {
+        val batch = Seq.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var size = 0
+        var boundary = -1L // count of the first candidate NOT selected
+        var open = true
+        val wanted = math.min(batchSize, numMerges - rank)
+        var i = 0
+        while (open && i < cands.length) {
+          val (a, b, n) = cands(i)
+          if (size >= wanted || n < 2) { boundary = n; open = false }
+          else {
+            val m = a + b
+            if (used(a) || used(b) || used(m)) { boundary = n; open = false }
+            else {
+              batch += ((a, b, n)); size += 1
+              used += a; used += b; used += m
+              // vocab collision: valid as the LAST member of its batch
+              // (its own count is pre-batch-exact) but nothing sound
+              // can follow it before a recount — the NEXT candidate
+              // (if any) becomes the strictness boundary below
+              if (present.contains(m)) {
+                open = false
+                if (i + 1 < cands.length) boundary = cands(i + 1)._3
+              }
+              i += 1
+            }
+          }
+        }
+        // a drained FULL window means the ranked list likely continues
+        // past it: the window edge is the conservative boundary
+        if (boundary < 0 && cands.length == window)
+          boundary = cands.last._3
+        // strictness: drop trailing members whose count TIES the
+        // boundary (a pair created by an earlier batch merge could tie
+        // them and win the lexicographic argmax); the head is the true
+        // argmax and always survives
+        val selectedAll = batch.result()
+        val selected =
+          if (boundary < 0) selectedAll
+          else {
+            val kept = selectedAll.filter(_._3 > boundary)
+            if (kept.isEmpty && selectedAll.nonEmpty) selectedAll.take(1)
+            else kept
+          }
+        if (selected.nonEmpty) {
+          onRound(selected.size)
+          round += 1
+          selected.foreach { case (l, r, n) =>
+            merges += ((rank, l, r, l + r, n))
+            present += (l + r)
+            rank += 1
+          }
+          val toApply = selected.map { case (l, r, _) => (l, r) }
+          val next = vocab.map { case (syms, f) =>
+            (toApply.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }, f)
+          }.cache()
+          next.count() // materialize before dropping the parent cache
+          vocab.unpersist(blocking = false)
+          vocab = next
+        }
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.result().toDF("rank", "left", "right", "merged", "score")
+  }
+
+  /** [[bpeTrain]] from a pre-aggregated (word, freq) frame — the
+    * classic ONE-merge-per-round reference implementation
+    * ([[bpeTrainFromWordsBatched]] is spec-proven equivalent and is
+    * what the public API runs). */
+  private[ext] def bpeTrainFromWordsSequential(words: DataFrame,
+                                               numMerges: Int): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = words.sparkSession
     import spark.implicits._

@@ -205,6 +205,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc === Seq(fam, TextAnalysis.EndOfWord))
   }
 
+  test("batched BPE training is merge-for-merge equivalent to sequential") {
+    def both(df: org.apache.spark.sql.DataFrame, n: Int) = {
+      val words = TextAnalysis.wordFrequencies(df, "text")
+      def render(m: org.apache.spark.sql.DataFrame) =
+        m.orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      (render(TextAnalysis.bpeTrainFromWordsBatched(words, n)),
+        render(TextAnalysis.bpeTrainFromWordsSequential(words, n)))
+    }
+    // classic fixture: tightly CHAINED pairs (every merge interacts
+    // with the next) — batching must degrade to one merge per round,
+    // not diverge
+    val classic = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (cb, cs) = both(classic, 3)
+    assert(cb === cs)
+    // adversarial interaction: (x,a) and (a,b) tie at the top and
+    // share a symbol; merging (a,b) creates (x,ab) which outranks
+    // everything else — a naive top-B batch would pick (x,a) and
+    // diverge from the sequential schedule
+    val chained = Seq((1L, Seq.fill(10)("x a b").mkString(" ") +
+      " " + Seq.fill(6)("c d").mkString(" "))).toDF("doc_id", "text")
+    val (hb, hs) = both(chained, 4)
+    assert(hb === hs)
+    // the real corpus, deeper than the board's 4 merges
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (rb, rs) = both(real, 10)
+    assert(rb === rs)
+  }
+
+  test("batched BPE selects many disjoint merges in one round") {
+    // 8 disjoint letter pairs with strictly decreasing counts, each
+    // spread over two words with DISTINCT tail characters so the top
+    // pairs strictly outrank every within-word neighbor (including the
+    // end-of-word-marker pair): the whole batch fits one round (one
+    // pair-count job instead of 8)
+    val tails = "qrstuvwxyz012345"
+    val text = (0 until 8).flatMap { i =>
+      val p = "" + ('a' + 2 * i).toChar + ('a' + 2 * i + 1).toChar
+      val f = 40 - 2 * i
+      Seq.fill(f / 2)(p + tails(2 * i)) ++ Seq.fill(f / 2)(p + tails(2 * i + 1))
+    }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val words = TextAnalysis.wordFrequencies(df, "text")
+    val rounds = scala.collection.mutable.Buffer.empty[Int]
+    val batched = TextAnalysis.bpeTrainFromWordsBatched(
+        words, numMerges = 8, onRound = rounds += _)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(rounds.sum === 8)
+    assert(rounds.length < 4,
+      s"8 disjoint merges should need ~1 round, took ${rounds.length}")
+    val seq = TextAnalysis.bpeTrainFromWordsSequential(words, 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(batched === seq)
+  }
+
   test("bpeTrain stops early when no pair repeats") {
     val df = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every adjacent pair occurs once -> nothing worth merging
