@@ -6,8 +6,15 @@ object Bench {
     * time must not silently SHRINK the board total, so failures are
     * counted and flagged downstream instead of being swallowed.
     */
+  /** Optional comma-separated query-name filter (iteration aid: time a
+    * handful of queries without paying the full board). Unset = all. */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+
   private def pass(spark: SparkSession, sfDir: String): Seq[(String, Double, Boolean)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

@@ -342,11 +342,18 @@ object SparkEntry {
     // blocking (md5-derived ±1 hyperplanes, replayed exactly by the
     // oracle in SQL) → exact cosine refine on candidates only. The exact
     // all-pairs cosinePairs stays as the DedupSpec verification path.
-    "q19_cosine_pairs" -> ((s, dir) =>
+    "q19_cosine_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // plane count scales with corpus size (constant bucket occupancy;
+      // the count is parquet-metadata cheap). The oracle replays the
+      // same integer formula in its `np` CTE — 8 at the oracle SFs.
       graft.ext.Dedup.cosinePairsBlocked(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 0.3,
-          tables = 16, nPlanes = 8, dim = 64)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+          emb, "vec_id", "embedding", 0.3,
+          tables = 16,
+          nPlanes = graft.ext.Similarity.adaptivePlanes(emb.count()),
+          dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
 
     // --- Similarity: exact cosine top-k (queries broadcast, windowed rank).
     "q20_ann_topk" -> ((s, dir) => {
@@ -1330,7 +1337,8 @@ object SparkEntry {
       // fires (0.3 makes the intra-label graph near-complete and the
       // closure inherits it; 0.9 admits no pair at all in the fixture)
       val pairs = graft.ext.Dedup.cosinePairsBlocked(
-        emb, "vec_id", "embedding", 0.45, tables = 16, nPlanes = 8, dim = 64)
+        emb, "vec_id", "embedding", 0.45, tables = 16,
+        nPlanes = graft.ext.Similarity.adaptivePlanes(emb.count()), dim = 64)
       val comp = graft.ext.Dedup.connectedComponents(
           pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "vec_id")
@@ -2030,13 +2038,18 @@ object SparkEntry {
         |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "q19_cosine_pairs" ->
-      """WITH signs AS (
+      """WITH np AS (
+        |  SELECT greatest(8, length(ltrim(bin(
+        |      greatest((cnt + 15) // 16 - 1, 1)), '0'))) AS np
+        |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+        |planes AS (SELECT unnest(generate_series(0, np - 1)) AS p FROM np),
+        |signs AS (
         |  SELECT t.t, p.p, i.i,
         |    CASE WHEN (strpos('0123456789abcdef',
         |        substring(md5(concat(t.t, ':', p.p, ':', i.i)), 1, 1)) - 1)
         |        % 2 = 0
         |      THEN 1.0 ELSE -1.0 END AS s
-        |  FROM range(16) t(t), range(8) p(p), range(64) i(i)),
+        |  FROM range(16) t(t), planes p, range(64) i(i)),
         |comp AS (
         |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
         |  FROM embeddings, range(64) i(i)),
@@ -2046,7 +2059,7 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3),
         |buckets AS (
         |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
         |      AS bucket
         |  FROM dots GROUP BY 1, 2),
         |cand AS (
@@ -2077,7 +2090,7 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3),
         |buckets AS (
         |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
         |      AS bucket
         |  FROM dots GROUP BY 1, 2),
         |cand AS (
@@ -3058,13 +3071,18 @@ object SparkEntry {
         |  END AS centroid_cosine
         |FROM ca FULL OUTER JOIN cb ON ca.label = cb.label""".stripMargin,
     "q104_embedding_canonical" ->
-      s"""WITH RECURSIVE signs AS (
+      s"""WITH RECURSIVE np AS (
+         |  SELECT greatest(8, length(ltrim(bin(
+         |      greatest((cnt + 15) // 16 - 1, 1)), '0'))) AS np
+         |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+         |planes AS (SELECT unnest(generate_series(0, np - 1)) AS p FROM np),
+         |signs AS (
          |  SELECT t.t, p.p, i.i,
          |    CASE WHEN (strpos('0123456789abcdef',
          |        substring(md5(concat(t.t, ':', p.p, ':', i.i)), 1, 1)) - 1)
          |        % 2 = 0
          |      THEN 1.0 ELSE -1.0 END AS s
-         |  FROM range(16) t(t), range(8) p(p), range(64) i(i)),
+         |  FROM range(16) t(t), planes p, range(64) i(i)),
          |vcomp AS (
          |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
          |  FROM embeddings, range(64) i(i)),
@@ -3074,7 +3092,7 @@ object SparkEntry {
          |  GROUP BY 1, 2, 3),
          |buckets AS (
          |  SELECT vec_id, t,
-         |    CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
          |      AS bucket
          |  FROM dots GROUP BY 1, 2),
          |cand AS (

@@ -198,6 +198,30 @@ object Similarity {
     Array.fill(tables, nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** Plane count that keeps expected sign-LSH bucket occupancy at
+    * `targetOccupancy` as the corpus grows: the smallest b >= minPlanes
+    * with 2^b >= ceil(n / targetOccupancy). A FIXED plane count is the
+    * hidden super-linear term in LSH blocking — 10x the rows at the
+    * same 2^b buckets means 10x the occupancy and 100x the candidate
+    * pairs per bucket (measured: q104 went 22.6x for 10x data at b=8
+    * before this; ~6x after). Integer-exact on purpose: the DuckDB
+    * oracle replays the same formula as
+    * `greatest(minPlanes, length(ltrim(bin((cnt+occ-1)//occ - 1),'0')))`
+    * and a float log2 disagrees with Scala's at exact powers of two.
+    * Recall trade: more planes thin each bucket, but a TRUE near-dup
+    * pair (cosine -> 1) collides per-plane with prob 1 - theta/pi -> 1,
+    * so multi-table recall on actual duplicates stays ~1 while
+    * mid-similarity noise pairs drop out — the desirable direction for
+    * a dedup blocker.
+    */
+  def adaptivePlanes(n: Long, minPlanes: Int = 8,
+                     targetOccupancy: Long = 16L): Int = {
+    require(minPlanes >= 1 && targetOccupancy >= 1)
+    val m = math.max((n + targetOccupancy - 1) / targetOccupancy, 1L)
+    val ceilLog2 = if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(minPlanes, ceilLog2)
+  }
+
   /** Rademacher ±1 hyperplanes derived from md5("t:p:i") — a valid
     * sign-random-projection family (Achlioptas sparse projections) whose
     * construction any engine with md5 can replay: sign = +1 iff the high

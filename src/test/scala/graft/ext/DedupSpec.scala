@@ -292,6 +292,31 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall collapsed: $recall (${blocked.size}/${exact.size})")
   }
 
+  test("cosinePairsBlocked at adaptivePlanes: planted near-dups still collide") {
+    // a true near-dup (cosine -> 1) collides per-plane with prob -> 1,
+    // so thinning buckets with MORE planes (the scale fix for fixed-b
+    // occupancy growth) must not lose it — the q19/q104 recall contract
+    // at sizes where adaptivePlanes exceeds the minimum 8
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = Seq.tabulate(300)(i => (i.toLong, unit()))
+    // plant 3 exact-direction duplicates of ids 0/1/2
+    val dups = (0 until 3).map(i => (1000L + i, base(i)._2.map(x => (x * 0.5f))))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val np = Similarity.adaptivePlanes(303, targetOccupancy = 1) // force > 8
+    assert(np > 8, s"fixture must exercise the adaptive regime, got $np")
+    val pairs = Dedup.cosinePairsBlocked(emb, "vec_id", "embedding", 0.99,
+        tables = 16, nPlanes = np, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 3)
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"planted dup $i lost at nPlanes=$np")
+  }
+
   test("duplicatedSpanStats: cross-doc span, in-doc run, clean doc") {
     val shared = "0123456789abcdefghij" // 20 chars
     val df = Seq(

@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("adaptivePlanes: bounded occupancy, integer-exact at power boundaries") {
+    // fitted values (the DuckDB oracle np CTE replays the same formula)
+    assert(Similarity.adaptivePlanes(1) === 8)
+    assert(Similarity.adaptivePlanes(500) === 8)    // sf0.01 — board unchanged
+    assert(Similarity.adaptivePlanes(2000) === 8)   // sf0.1 — board unchanged
+    assert(Similarity.adaptivePlanes(5000) === 9)
+    assert(Similarity.adaptivePlanes(16384) === 10) // exact power: no fp drift
+    assert(Similarity.adaptivePlanes(16385) === 11)
+    assert(Similarity.adaptivePlanes(20000) === 11) // sf1
+    assert(Similarity.adaptivePlanes(1000000) === 16)
+    // law: smallest b >= 8 with 2^b * occupancy >= n
+    for (n <- Seq(1L, 7L, 100L, 4097L, 65536L, 123457L, 999999999L)) {
+      val b = Similarity.adaptivePlanes(n)
+      assert((1L << b) * 16 >= n, s"occupancy bound violated at n=$n")
+      assert(b == 8 || (1L << (b - 1)) * 16 < n, s"not minimal at n=$n")
+    }
+  }
+
   test("lsh buckets are deterministic and identical vectors share buckets") {
     val dup = Seq(
       (10L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
