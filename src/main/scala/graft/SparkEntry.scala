@@ -44,6 +44,10 @@ object SparkEntry {
     * SQL-expressible, so the q120 oracle replays the Hamming pairing
     * over the captured fingerprint table. */
   @volatile private var imageFp120: Option[(Array[(Long, Long)], Int)] = None
+  /** (centroids, tau) — q121 SemDeDup replays assignment, within-cell
+    * pairing and the keep policy from the captured centroids. */
+  @volatile private var semCtrs121
+      : Option[(Array[Array[Double]], Double)] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -1031,6 +1035,21 @@ object SparkEntry {
         "doc_id", "text", ngram = 5, minOverlap = 1L)
     }),
 
+    // --- Bloom-prefiltered decontamination: the shape for a benchmark
+    // suite too big to broadcast exactly — a compact no-false-negative
+    // bloom gate rides the corpus scan map-side, then ONLY the
+    // surviving candidate sliver exact-confirms against the digest
+    // catalog (shuffle join, never a full-corpus x catalog join).
+    // Phase 2 restores exact semantics, so the oracle is the plain
+    // exact-decontamination SQL — bit-identical output by construction.
+    "q122_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+          "doc_id", "text", ngram = 6, minOverlap = 2L, fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // --- PII scrubbing: typed placeholders + per-kind counts. Pure
     // map-side regex over the scan (patterns chosen to behave
     // identically in Java regex and RE2, so the oracle replays exactly).
@@ -1353,6 +1372,26 @@ object SparkEntry {
           max(col("vec_id")).as("survivor"))
     }),
 
+    // --- SemDeDup (Abbas et al. 2023): k-means cells (q40's captured
+    // 16-cell coarse quantizer, shared via the trainer memo) block the
+    // pair search; within-cell exact cosine >= tau merges semantic
+    // duplicates; each group keeps the member FARTHEST from its
+    // centroid. Contrast with q104: learned semantic blocking vs
+    // random-hyperplane blocking — cross-cell near-dups stay apart by
+    // design. Captured centroids -> full DuckDB replay (assignment,
+    // pairing, recursive closure, keep policy).
+    "q121_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ctrs = memoTrain(s"ivf16:$dir") {
+        graft.ext.Similarity.trainIvfCentroids(
+          emb, "vec_id", "embedding", nCells = 16,
+          trainFraction = 0.25, seed = 42L, dim = 64)
+      }
+      val tau = 0.45
+      semCtrs121 = Some((ctrs, tau))
+      graft.ext.Dedup.semDedupWith(emb, "vec_id", "embedding", ctrs, tau)
+    }),
+
     // --- CAPSTONE curation pipeline: quality gates (q70's thresholds)
     // -> exact dedup survivors -> deterministic training-shard layout,
     // composed as ONE Catalyst plan: gates fuse into the scan, dedup
@@ -1531,7 +1570,79 @@ object SparkEntry {
     ivfPq116.map { case (c, b, np, kr) =>
       "q116_ivf_pq" -> ivfPqOracleSql(c, b, np, kr) } ++
     imageFp120.map { case (fp, maxH) =>
-      "q120_image_phash_dedup" -> imagePhashOracleSql(fp, maxH) }
+      "q120_image_phash_dedup" -> imagePhashOracleSql(fp, maxH) } ++
+    semCtrs121.map { case (c, tau) =>
+      "q121_semdedup" -> semDedupOracleSql(c, tau) }
+
+  /** q121 replay: captured centroids → argmin-euclid cell assignment
+    * (the q40 CTE), per-member centroid cosine (the engine's exact
+    * index-order fold + the shared floor-snap), within-cell pairs at
+    * repr-rounded cosine >= tau, recursive min-label closure, and the
+    * SemDeDup keep policy (lowest centroid cosine, nulls last, id
+    * tiebreak). */
+  private def semDedupOracleSql(centroids: Array[Array[Double]],
+                                tau: Double): String = {
+    val dim = centroids(0).length
+    val hi = dim + 1
+    s"""WITH RECURSIVE ${ivfCtrCte(centroids)},
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings
+       |      WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |cd AS (
+       |  SELECT c.vec_id, ctr.cell,
+       |    list_aggregate([(c.v[i] - ctr.cv[i]) * (c.v[i] - ctr.cv[i])
+       |      FOR i IN range(1, $hi)], 'sum') AS dd
+       |  FROM c, ctr),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dd ASC, cell ASC) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |vn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_aggregate([v[i] * v[i] FOR i IN range(1, $hi)], 'sum'))
+       |      AS nv
+       |  FROM c),
+       |cn AS (
+       |  SELECT cell, cv,
+       |    sqrt(list_aggregate([cv[i] * cv[i] FOR i IN range(1, $hi)], 'sum'))
+       |      AS nc
+       |  FROM ctr),
+       |sc AS (
+       |  SELECT a.vec_id, a.cell,
+       |    CASE WHEN vn.nv * cn.nc > 0 THEN
+       |      floor(list_aggregate([vn.v[i] * cn.cv[i]
+       |          FOR i IN range(1, $hi)], 'sum')
+       |        / (vn.nv * cn.nc) * 1e6 + 0.5) / 1e6 END AS cscore
+       |  FROM assign a
+       |  JOIN vn ON vn.vec_id = a.vec_id
+       |  JOIN cn ON cn.cell = a.cell),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN vn va ON va.vec_id = a.vec_id
+       |  JOIN vn vb ON vb.vec_id = b.vec_id
+       |  WHERE va.nv * vb.nv > 0
+       |    AND floor(list_aggregate([va.v[i] * vb.v[i]
+       |          FOR i IN range(1, $hi)], 'sum')
+       |        / (va.nv * vb.nv) * 1e6 + 0.5) / 1e6 >= $tau),
+       |$ClosureCtes,
+       |mem AS (
+       |  SELECT sc.vec_id, sc.cell, sc.cscore,
+       |    coalesce(comp.component, sc.vec_id) AS component
+       |  FROM sc LEFT JOIN comp ON sc.vec_id = comp.id),
+       |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+       |         CAST(min(cell) AS BIGINT) AS cell
+       |       FROM mem GROUP BY 1),
+       |rk AS (SELECT component, vec_id, cscore,
+       |         row_number() OVER (PARTITION BY component
+       |           ORDER BY cscore ASC NULLS LAST, vec_id ASC) AS rn
+       |       FROM mem)
+       |SELECT sz.component, sz.cell, sz.cluster_size,
+       |  rk.vec_id AS survivor, rk.cscore AS survivor_centroid_cosine
+       |FROM sz JOIN rk ON sz.component = rk.component AND rk.rn = 1""".stripMargin
+  }
 
   /** q120 oracle: brute-force Hamming pairing over the captured
     * fingerprints — semantically identical to the engine's 4×16-banded
@@ -3268,6 +3379,37 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN hits h ON d.doc_id IS NOT DISTINCT FROM h.doc_id
         |WHERE d.doc_id >= 100""".stripMargin,
+    // The bloom path is EXACT by construction (no-false-negative gate +
+    // exact confirm), so the oracle is plain exact decontamination at
+    // the same (ngram=6, minOverlap=2) setting — no sketch replay.
+    "q122_bloom_decontaminate" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND doc_id >= 100),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 6
+        |    THEN [array_to_string(ts[i:i+5], ' ') FOR i IN range(1, len(ts) - 4)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM ctoks),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(ts) >= 6
+        |    THEN [array_to_string(ts[i:i+5], ' ') FOR i IN range(1, len(ts) - 4)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM btoks),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS n
+        |  FROM csh c JOIN bsh b ON c.s = b.s
+        |  WHERE length(c.s) > 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |LEFT JOIN hits h ON d.doc_id IS NOT DISTINCT FROM h.doc_id
+        |WHERE d.doc_id >= 100 AND coalesce(h.n, 0) < 2""".stripMargin,
     "q84_pii_scrub" -> {
       // same regex constants the engine compiles — no drift possible
       val em = graft.ext.TextAnalysis.EmailRe

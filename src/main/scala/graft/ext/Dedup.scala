@@ -944,4 +944,203 @@ object Dedup {
       .filter(round(col("cosine"), 6) >= tau)
       .select("id_a", "id_b", "cosine")
   }
+
+  // --------------------------------------------------------------------
+  // SemDeDup (cluster-blocked semantic dedup)
+  // --------------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means cells block the
+    * pair search, exact cosine within each cell finds semantic
+    * duplicates, and each duplicate group keeps the member FARTHEST
+    * from its cell centroid (lowest centroid cosine — the paper's
+    * "low-similarity-to-centroid" keep policy, which retains the least
+    * prototypical, most informative example).
+    *
+    * vs [[cosinePairsBlocked]] (sign-LSH blocking): LSH blocks by
+    * random hyperplanes and aims for full recall of all near-dup pairs;
+    * SemDeDup deliberately scopes dup detection to learned semantic
+    * cells — cross-cell near-dups do not merge, by design, and the
+    * blocking quality is what the k-means fit buys. At 100 TB the cell
+    * count must scale with the corpus (the paper uses ~100k clusters
+    * for 1B embeddings) so that expected cell occupancy — and with it
+    * the per-cell pair budget — stays constant; `maxCellSize` is the
+    * skew guard for cells the quantizer fails to carve (a degenerate
+    * cell over the cap contributes no pairs rather than a quadratic
+    * blow-up, exactly the [[cosinePairsBlocked]] bucket-cap shape).
+    *
+    * Only structurally valid vectors (dimension match, no null
+    * elements) participate; malformed rows are excluded, mirroring the
+    * IVF family's pqRows rule.
+    *
+    * Plan shape: assignment + centroid score are map-side against the
+    * broadcast centroid table; pairs join on `cell`; components are
+    * O(log d) pointer-jumping rounds; the narrow (id, cell, score)
+    * member frame is consumed by both the size aggregate and the
+    * survivor window of one action, so it eager-checkpoints (the
+    * multi-consumer rule, SCALE.md round 7) while the wide vector frame
+    * stays lazy on purpose.
+    *
+    * Output: one row per duplicate group (singletons included) —
+    * (component, cell, cluster_size, survivor,
+    * survivor_centroid_cosine).
+    */
+  def semDedupWith(df: DataFrame, id: String, vec: String,
+                   centroids: Array[Array[Double]], tau: Double,
+                   maxCellSize: Option[Int] = None): DataFrame = {
+    val scored = semDedupScored(df, id, vec, centroids)
+    val pairs = semDedupPairs(scored, tau, maxCellSize)
+    val comp = connectedComponents(pairs)
+    val members = scored.select(col("id"), col("cell"), col("centroid_cosine"))
+      .join(comp, Seq("id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .localCheckpoint(eager = true) // multi-consumer narrow frame
+
+    val sizes = members.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"), min(col("cell")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("centroid_cosine").asc_nulls_last, col("id").asc)
+    val surv = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("id").as("survivor"),
+        col("centroid_cosine").as("survivor_centroid_cosine"))
+    sizes.join(surv, Seq("component"))
+      .select("component", "cell", "cluster_size", "survivor",
+        "survivor_centroid_cosine")
+  }
+
+  /** [[semDedupWith]]'s assignment + centroid-score stage: one row per
+    * structurally valid vector — (id, v, norm, cell, centroid_cosine).
+    * Split out (with [[semDedupPairs]]) so the plan-quality audit can
+    * pin the pre-checkpoint join shapes: the eager checkpoint inside
+    * [[semDedupWith]] truncates lineage, hiding these stages from the
+    * final plan (SCALE.md round 7). */
+  private[graft] def semDedupScored(df: DataFrame, id: String, vec: String,
+                                    centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.{Pq, Vectors}
+    require(centroids.nonEmpty, "semDedup: centroids must be non-empty")
+    val dim = centroids(0).length
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val valid = df
+      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), x => x.isNull))
+      .withColumn("norm", Vectors.norm(col("v")))
+      // argmin-euclid cell, ties to the lower cell (the ivf_cells
+      // codegen expression; centroids ride addReferenceObj)
+      .withColumn("cell",
+        element_at(Pq.ivfCells(col("v"), centroids, 1), 1).cast(LongType))
+
+    val ctrFrame = centroids.zipWithIndex
+      .map { case (cv, c) => (c.toLong, cv) }.toSeq.toDF("cell", "cv")
+      .withColumn("cnorm", Vectors.norm(col("cv")))
+    // NULL (not 0/0) for a zero-norm side — the NaN-rank rule: nulls
+    // sort LAST under asc_nulls_last in both engines
+    valid.join(broadcast(ctrFrame), Seq("cell"))
+      .withColumn("centroid_cosine",
+        reprRound6(when(col("norm") * col("cnorm") > 0,
+          Vectors.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))))
+      .select("id", "v", "norm", "cell", "centroid_cosine")
+  }
+
+  /** [[semDedupWith]]'s within-cell pairing stage over
+    * [[semDedupScored]]'s output: (id_a, id_b) at repr-rounded cosine
+    * >= tau. Over-cap cells are excluded from PAIRING only (their
+    * members remain singletons in the composed operator). */
+  private[graft] def semDedupPairs(scored: DataFrame, tau: Double,
+                                   maxCellSize: Option[Int]): DataFrame = {
+    import graft.functions.Vectors
+    val pairSide = maxCellSize match {
+      case Some(cap) =>
+        val keep = scored.groupBy("cell")
+          .agg(count(lit(1)).as("csz")).filter(col("csz") <= cap)
+          .select("cell")
+        scored.join(broadcast(keep), Seq("cell"), "left_semi")
+      case None => scored
+    }
+    val a = pairSide.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("norm").as("n_a"))
+    val b = pairSide.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("norm").as("n_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(col("n_a") * col("n_b") > 0,
+          Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+      // threshold on the repr-rounded value: a pair within ulps of tau
+      // must land on the same side in every engine
+      .filter(reprRound6(col("cosine")) >= tau)
+      .select("id_a", "id_b")
+  }
+
+  // --------------------------------------------------------------------
+  // Bloom-prefiltered decontamination (the huge-benchmark scale path)
+  // --------------------------------------------------------------------
+
+  /** A Bloom filter over the catalog's digests (keyed on the 60-bit
+    * integer prefix of the md5 digest). Built distributed via
+    * `stat.bloomFilter`'s treeAggregate; deterministic — no RNG in the
+    * sketch's hash family. */
+  def digestBloom(catalog: DigestCatalog, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val longs = catalog.digests.select(digestLong(col("d")).as("h"))
+    // bounded existence scan for sizing would under-size a big catalog;
+    // the catalog is benchmark-scale (distinct digests), so one count
+    // is cheap and sizes the filter exactly
+    val n = math.max(longs.count(), 1L)
+    longs.stat.bloomFilter("h", n, fpp)
+  }
+
+  private def digestLong(d: Column): Column =
+    conv(substring(d, 1, 15), 16, 10).cast(LongType)
+
+  /** [[decontaminate]], Bloom-prefiltered — the shape for a benchmark
+    * suite too large to broadcast exactly (the exact path ships the
+    * full digest catalog to every task; at a few billion digests that
+    * is gigabytes per executor). Two phases:
+    *
+    *  1. a broadcast Bloom filter (compact: ~1.2 GB at 1e9 digests,
+    *     fpp 0.01) drops ~(1−fpp) of clean corpus shingles MAP-SIDE,
+    *     inside the scan;
+    *  2. the surviving candidate stream — true hits + the fpp sliver —
+    *     exact-confirms against the digest catalog with a SHUFFLE join
+    *     (deliberately not broadcast: the catalog may be huge, but now
+    *     only the tiny candidate stream shuffles with it).
+    *
+    * Bloom filters have NO false negatives, so phase 2 restores exact
+    * semantics: the output is IDENTICAL to [[decontaminate]] — same
+    * SQL oracle, bit for bit — while the big corpus-side join input
+    * shrinks by ~the clean fraction. Null-id handling matches
+    * [[decontaminateAgainstDigests]] (null-safe anti-join).
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         id: String, text: String,
+                         ngram: Int = 8, minOverlap: Long = 1L,
+                         fpp: Double = 0.01): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    val catalog = benchmarkDigests(benchmark, id, text, ngram)
+    // consumed by the sizing count, the bloom build AND the confirm
+    // join — the multi-consumer rule (and the build is an action at
+    // construction time regardless, the eager-checkpoint trade)
+    val digCk = DigestCatalog(
+      catalog.digests.localCheckpoint(eager = true), catalog.ngram)
+    val bf = digestBloom(digCk, fpp)
+
+    val cand = shinglesDF(corpus, id, text, ngram)
+      .filter(length(col("shingle")) > 0)
+      .select(col("id"), md5(col("shingle")).as("d"))
+      // phase 1: map-side bloom gate (codegen'd, filter rides the scan)
+      .filter(graft.functions.Blooms.mightContainLong(digestLong(col("d")), bf))
+    // phase 2: exact confirm — candidates only; NOT broadcast by hand
+    // (the catalog may exceed broadcast limits; AQE may still choose a
+    // broadcast when it actually fits)
+    val dirty = cand.join(digCk.digests, Seq("d"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
+      .filter(col("n_shared_ngrams") >= minOverlap)
+      .withColumnRenamed("id", "__hid")
+    corpus.join(dirty, corpus(id) <=> dirty("__hid"), "left_anti")
+  }
 }

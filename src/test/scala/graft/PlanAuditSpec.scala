@@ -226,6 +226,35 @@ class PlanAuditSpec extends SparkSpec {
       s"the dim joins as a broadcast (DPP reuses its exchange):\n$p")
   }
 
+  test("q121 (semdedup): centroid table broadcasts; pairing is an equi-join on cell") {
+    // the final q121 plan sits downstream of the eager member
+    // checkpoint (lineage truncated — SCALE.md round 7), so the join
+    // shapes are pinned on the pre-checkpoint pair stage directly
+    val emb = io.Tables.embeddings(spark, dir)
+    val ctrs = Array.tabulate(16, 64) { (c, i) => (c * 64 + i) / 1024.0 }
+    val scored = ext.Dedup.semDedupScored(emb, "vec_id", "embedding", ctrs)
+    val p = ext.Dedup.semDedupPairs(scored, 0.45, None)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the centroid score join and the pair self-join must be hash joins
+    // (on cell); a nested loop here would be the O(n²) failure mode the
+    // k-means blocking exists to prevent
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semdedup must never degrade to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 16-row centroid table must broadcast:\n$p")
+  }
+
+  test("q122 (bloom decontamination): the bloom gate rides the corpus scan") {
+    val p = plan("q122_bloom_decontaminate")
+    // the map-side bloom predicate must survive into the physical plan
+    // as a filter — if a refactor drops it, the query silently becomes
+    // the exact path (correct output, none of the scale win)
+    assert(p.contains("bloom_might_contain"),
+      s"bloom gate missing from the plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"confirm join must stay an equi-join:\n$p")
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)

@@ -548,4 +548,143 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((21L, 22L)),
       "the genuine near-dup pair in its own direction survives the cap")
   }
+
+  test("semDedup: within-cell dups merge, cross-cell near-dups stay apart, " +
+       "survivor is farthest from centroid") {
+    // two orthogonal centroids; all vectors are near one or the other
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0: 1,2 are near-identical (merge); 3 is distinct (singleton).
+    // id 2 sits farther from the centroid than id 1 -> survivor = 2.
+    // cell 1: 10, 11 near-identical -> merge; 11 farther -> survivor 11.
+    // ids 20 (cell 0) and 21 (cell 1): cosine(v20, v21) is high but they
+    // assign to DIFFERENT cells -> they must NOT merge (the SemDeDup
+    // blocking semantic).
+    val rows = Seq(
+      (1L, Array(1.0, 0.02)), (2L, Array(1.0, 0.06)), (3L, Array(1.0, 0.5)),
+      (10L, Array(0.02, 1.0)), (11L, Array(0.06, 1.0)),
+      (20L, Array(1.0, 0.95)), (21L, Array(0.95, 1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedupWith(df, "vec_id", "embedding", centroids,
+        tau = 0.998)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // components label by min id
+    assert(out(1L) === ((0L, 2L, 2L)), "1+2 merge in cell 0, survivor 2")
+    assert(out(10L) === ((1L, 2L, 11L)), "10+11 merge in cell 1, survivor 11")
+    assert(out(3L) === ((0L, 1L, 3L)), "3 is a singleton")
+    // 20 and 21 are singletons BECAUSE of cells: their exact cosine is
+    // above tau yet they assign to different cells and never pair
+    val c = {
+      val a = Array(1.0, 0.95); val b = Array(0.95, 1.0)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(c > 0.998, "fixture: the cross-cell pair IS above tau")
+    assert(out(20L) === ((0L, 1L, 20L)) && out(21L) === ((1L, 1L, 21L)),
+      "above-tau pair in different cells must NOT merge")
+  }
+
+  test("semDedup: maxCellSize excludes over-cap cells from pairing only") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0 holds 10 near-identical vectors (over cap); cell 1 holds a
+    // genuine pair under cap
+    val rows = (1L to 10L).map(i => (i, Array(1.0, 0.001 * i))) ++
+      Seq((20L, Array(0.01, 1.0)), (21L, Array(0.012, 1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedupWith(df, "vec_id", "embedding", centroids,
+        tau = 0.99, maxCellSize = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.filter(_._1 <= 10L).values.forall(_ === 1L),
+      "over-cap cell members all stay singletons")
+    assert(out(20L) === 2L, "the under-cap cell still merges its pair")
+    // all 12 members present exactly once across components
+    val total = Dedup.semDedupWith(df, "vec_id", "embedding", centroids,
+        tau = 0.99, maxCellSize = Some(5))
+      .agg(org.apache.spark.sql.functions.sum("cluster_size")).head.getLong(0)
+    assert(total === 12L)
+  }
+
+  test("semDedup: malformed vectors (wrong dim, null element) are excluded") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows: Seq[(Long, Seq[Option[Double]])] = Seq(
+      (1L, Seq(Some(1.0), Some(0.1))),
+      (2L, Seq(Some(1.0), Some(0.12))),
+      (90L, Seq(Some(1.0))), // wrong dim
+      (91L, Seq(Some(1.0), None))) // null element
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedupWith(df, "vec_id", "embedding", centroids,
+      tau = 0.99)
+    val ids = out.select("survivor").as[Long].collect().toSet
+    assert(ids === Set(2L), "only the valid pair appears, merged")
+  }
+
+  test("bloom decontamination is exactly the exact path's output") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "machine learning benchmarks must never leak into training"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today indeed"), // hit
+      (101L, "a totally clean document about gardening and soil health"),
+      (102L, "machine learning benchmarks must never leak into training sets"), // hit
+      (103L, "another clean one on woodworking joints and glue"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        ngram = 5, minOverlap = 1L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        ngram = 5, minOverlap = 1L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact === Seq(101L, 103L))
+    assert(bloom === exact, "bloom prefilter + exact confirm ≡ exact path")
+  }
+
+  test("bloom decontamination: null-id handling matches the exact path") {
+    // null ids pool under the null-safe join (all null-id docs share one
+    // hit group — by-id decontamination cannot tell them apart); the
+    // bloom path must reproduce the exact path's behavior bit for bit
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (java.lang.Long.valueOf(100L), "clean text one two three four five six"),
+      (null.asInstanceOf[java.lang.Long], "alpha beta gamma delta epsilon zeta"),
+      (null.asInstanceOf[java.lang.Long], "clean null doc seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+        ngram = 5, minOverlap = 1L)
+      .select("text").as[String].collect().toSet
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        ngram = 5, minOverlap = 1L)
+      .select("text").as[String].collect().toSet
+    assert(exact.contains("clean text one two three four five six"))
+    assert(!exact.contains("alpha beta gamma delta epsilon zeta"),
+      "the contaminated null-id doc is removed by the exact path")
+    assert(bloom === exact, "bloom path ≡ exact path on null ids")
+  }
+
+  test("digest bloom has no false negatives and prunes clean shingles") {
+    val bench = Seq((1L, (1 to 50).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val catalog = Dedup.benchmarkDigests(bench, "doc_id", "text", ngram = 5)
+    val bf = Dedup.digestBloom(catalog, fpp = 0.01)
+    // every true digest must pass the gate (Bloom's contract)
+    import org.apache.spark.sql.functions._
+    val misses = catalog.digests
+      .filter(!graft.functions.Blooms.mightContainLong(
+        conv(substring(col("d"), 1, 15), 16, 10).cast("long"), bf))
+      .count()
+    assert(misses === 0L, "a bloom filter must never miss a true member")
+    // a disjoint-vocabulary corpus should be (almost entirely) pruned
+    val clean = Seq((2L, (1 to 200).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cleanDigests = Dedup.benchmarkDigests(clean, "doc_id", "text", 5).digests
+    val passed = cleanDigests
+      .filter(graft.functions.Blooms.mightContainLong(
+        conv(substring(col("d"), 1, 15), 16, 10).cast("long"), bf))
+      .count()
+    val totalClean = cleanDigests.count()
+    assert(passed < totalClean / 2,
+      s"fpp=0.01 gate must prune most clean shingles ($passed/$totalClean passed)")
+  }
 }
