@@ -1,24 +1,66 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
-  /** One timed pass over the full registry, alphabetical order.
-    * A query that throws records (time, ok=false): its tiny failure
-    * time must not silently SHRINK the board total, so failures are
-    * counted and flagged downstream instead of being swallowed.
+  /** Cumulative task-level data-volume counters. Wall time says a query
+    * got slower; these say WHY at 100 TB — a regression that doubles
+    * shuffled bytes is invisible at sf0.1 wall-clock (page-cache local)
+    * but dominates on a real cluster's network. Counters accumulate on
+    * the listener bus (async), so readers settle-poll AFTER stopping
+    * the timer — the poll is never inside the measured window.
     */
+  private final class VolumeListener extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long) = (read.get, write.get, spill.get)
+    /** Wait (bounded) for the async bus to drain: two identical
+      * consecutive reads. */
+    def settled: (Long, Long, Long) = {
+      var prev = snapshot
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(15)
+        val cur = snapshot
+        if (cur == prev) return cur
+        prev = cur
+        i += 1
+      }
+      prev
+    }
+  }
+
   /** Optional comma-separated query-name filter (iteration aid: time a
     * handful of queries without paying the full board). Unset = all. */
   private val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
 
-  private def pass(spark: SparkSession, sfDir: String): Seq[(String, Double, Boolean)] =
+  /** One timed pass over the full registry, alphabetical order.
+    * A query that throws records (time, ok=false): its tiny failure
+    * time must not silently SHRINK the board total, so failures are
+    * counted and flagged downstream instead of being swallowed.
+    */
+  private def pass(spark: SparkSession, sfDir: String, vol: VolumeListener)
+      : Seq[(String, Double, Boolean, (Long, Long, Long))] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val v0 = vol.settled
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val v1 = vol.settled // outside the timed window
+      (name, dt, ok, (v1._1 - v0._1, v1._2 - v0._2, v1._3 - v0._3))
     }
 
   def main(args: Array[String]): Unit = {
@@ -36,6 +78,8 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val vol = new VolumeListener
+    spark.sparkContext.addSparkListener(vol)
     // warm the session (codegen, file listing, shuffle machinery) so the
     // first measured query doesn't absorb startup cost
     try io.Tables.lineitem(spark, sfDir).count()
@@ -48,9 +92,9 @@ object Bench {
     // pass totals flags sustained contamination machine-detectably. A
     // per-query start/end micro-sentinel was tried first and flapped on
     // JIT warm-up (a 0.1 s query runs ~2.5x faster once C2 is hot).
-    val p1 = pass(spark, sfDir)
-    val p2 = pass(spark, sfDir)
-    val results = p1.zip(p2).map { case ((n, a, okA), (_, b, okB)) =>
+    val p1 = pass(spark, sfDir, vol)
+    val p2 = pass(spark, sfDir, vol)
+    val results = p1.zip(p2).map { case ((n, a, okA, _), (_, b, okB, _)) =>
       (n, math.min(a, b), okA && okB) }
     val failed = results.count(!_._3)
     // The load sentinel compares pass totals over queries that
@@ -59,8 +103,8 @@ object Bench {
     // where everything crashes would otherwise report an exploding
     // ratio as "machine load" instead of the real failure.
     val okNames = results.filter(_._3).map(_._1).toSet
-    val t1 = p1.collect { case (n, t, _) if okNames(n) => t }.sum
-    val t2 = p2.collect { case (n, t, _) if okNames(n) => t }.sum
+    val t1 = p1.collect { case (n, t, _, _) if okNames(n) => t }.sum
+    val t2 = p2.collect { case (n, t, _, _) if okNames(n) => t }.sum
     // Pass 1 pays residual JIT (normally ~1.2-1.5x pass 2); only a
     // >2x spread in either direction says the machine was busy.
     val ratio = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
@@ -69,7 +113,15 @@ object Bench {
       s"\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged}""")
+    // Data-volume board from pass 2 (same plans, post-JIT; shuffle
+    // volume is plan-determined, not load-determined — identical across
+    // passes up to AQE coalescing): per-query shuffle-WRITE bytes, the
+    // number a 1000-executor cluster pays the network for.
+    val sw = p2.map { case (k, _, _, (_, w, _)) =>
+      s"\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val shuffleTotal = p2.map(_._4._2).sum
+    val spillTotal = p2.map(_._4._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"shuffle_write_bytes":$sw,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal}""")
     spark.stop()
   }
 }
