@@ -1382,9 +1382,14 @@ object SparkEntry {
     // pairing, recursive closure, keep policy).
     "q121_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val ctrs = memoTrain(s"ivf16:$dir") {
+      // constant-occupancy cell count (the adaptivePlanes audit rule):
+      // fixed 16 cells would make within-cell pairing quadratic in the
+      // corpus; at the oracle SFs the formula still yields 16, sharing
+      // q40's memoized quantizer and keeping outputs byte-identical
+      val k = graft.ext.Similarity.adaptiveCells(emb.count())
+      val ctrs = memoTrain(s"ivf$k:$dir") {
         graft.ext.Similarity.trainIvfCentroids(
-          emb, "vec_id", "embedding", nCells = 16,
+          emb, "vec_id", "embedding", nCells = k,
           trainFraction = 0.25, seed = 42L, dim = 64)
       }
       val tau = 0.45

@@ -222,6 +222,30 @@ object Similarity {
     math.max(minPlanes, ceilLog2)
   }
 
+  /** Constant-occupancy k-means cell count for cluster-blocked
+    * operators ([[graft.ext.Dedup.semDedupWith]]) — the same audit rule
+    * [[adaptivePlanes]] answers for sign-LSH (SCALE.md round 8: "any
+    * operator whose blocking granularity is a fixed constant must
+    * derive it from n or cap the per-block pair budget"). Within-cell
+    * pairing costs ~occupancy²/2 per cell, so a FIXED cell count makes
+    * total pair work quadratic in n; cells = ceil(n/occupancy) pins
+    * expected occupancy — and with it the per-cell pair budget — at any
+    * corpus size (total pairs ~ n·occupancy/2, linear in n). The
+    * default occupancy is calibrated so the oracle SFs (≤20k vectors)
+    * keep the historical 16 cells — board outputs stay byte-identical.
+    *
+    * Flat k-means training is practical to ~1e5 cells (each Lloyd
+    * iteration is O(sample·k·dim)); beyond that a hierarchical /
+    * two-level coarse quantizer is the standard construction (as in
+    * FAISS' IVF_HNSW) — the formula still gives the right leaf count.
+    */
+  def adaptiveCells(n: Long, minCells: Int = 16,
+                    targetOccupancy: Long = 1250L): Int = {
+    require(minCells >= 1 && targetOccupancy >= 1)
+    val k = (n + targetOccupancy - 1) / targetOccupancy
+    math.max(minCells.toLong, k).min(Int.MaxValue).toInt
+  }
+
   /** Rademacher ±1 hyperplanes derived from md5("t:p:i") — a valid
     * sign-random-projection family (Achlioptas sparse projections) whose
     * construction any engine with md5 can replay: sign = +1 iff the high

@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("adaptiveCells: constant occupancy, oracle SFs keep 16 cells") {
+    assert(Similarity.adaptiveCells(1) === 16)
+    assert(Similarity.adaptiveCells(500) === 16)     // sf0.01 — board unchanged
+    assert(Similarity.adaptiveCells(20000) === 16)   // sf0.1 — board unchanged
+    assert(Similarity.adaptiveCells(20001) === 17)
+    assert(Similarity.adaptiveCells(200000) === 160) // sf10
+    assert(Similarity.adaptiveCells(1000000000L) === 800000)
+    // law: cells * occupancy covers n (expected occupancy <= target)
+    for (n <- Seq(1L, 499L, 20000L, 123457L, 999999999L)) {
+      val k = Similarity.adaptiveCells(n)
+      assert(k.toLong * 1250L >= n, s"occupancy bound violated at n=$n")
+    }
+  }
+
   test("lsh buckets are deterministic and identical vectors share buckets") {
     val dup = Seq(
       (10L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
