@@ -119,9 +119,11 @@ object Bench {
     // number a 1000-executor cluster pays the network for.
     val sw = p2.map { case (k, _, _, (_, w, _)) =>
       s"\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val sp = p2.map { case (k, _, _, (_, _, s)) =>
+      s"\"" + k + "\":" + s }.mkString("{", ",", "}")
     val shuffleTotal = p2.map(_._4._2).sum
     val spillTotal = p2.map(_._4._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"shuffle_write_bytes":$sw,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"shuffle_write_bytes":$sw,"shuffle_write_total":$shuffleTotal,"spill_bytes":$sp,"spill_total":$spillTotal}""")
     spark.stop()
   }
 }

@@ -351,11 +351,15 @@ object SparkEntry {
       // plane count scales with corpus size (constant bucket occupancy;
       // the count is parquet-metadata cheap). The oracle replays the
       // same integer formula in its `np` CTE — 8 at the oracle SFs.
+      // bucket cap ON (no-op at the oracle SFs, verified): clustered
+      // embedding geometry packs correlated vectors into shared buckets
+      // regardless of plane count — the sf10 run measured the uncapped
+      // candidate shuffle at ~200x the sf1 volume (SCALE.md round 8)
       graft.ext.Dedup.cosinePairsBlocked(
           emb, "vec_id", "embedding", 0.3,
           tables = 16,
           nPlanes = graft.ext.Similarity.adaptivePlanes(emb.count()),
-          dim = 64)
+          dim = 64, maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
@@ -1357,7 +1361,8 @@ object SparkEntry {
       // closure inherits it; 0.9 admits no pair at all in the fixture)
       val pairs = graft.ext.Dedup.cosinePairsBlocked(
         emb, "vec_id", "embedding", 0.45, tables = 16,
-        nPlanes = graft.ext.Similarity.adaptivePlanes(emb.count()), dim = 64)
+        nPlanes = graft.ext.Similarity.adaptivePlanes(emb.count()), dim = 64,
+        maxBucketSize = Some(1000)) // q19's cap rationale; oracle replays it
       val comp = graft.ext.Dedup.connectedComponents(
           pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "vec_id")
@@ -2178,9 +2183,14 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
         |      AS bucket
         |  FROM dots GROUP BY 1, 2),
+        |bsz AS (
+        |  SELECT t, bucket FROM buckets
+        |  GROUP BY t, bucket HAVING count(*) <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM buckets a JOIN buckets b
+        |  FROM buckets a
+        |  JOIN bsz ON a.t = bsz.t AND a.bucket = bsz.bucket
+        |  JOIN buckets b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
         |SELECT c.id_a, c.id_b,
@@ -3211,9 +3221,14 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
          |      AS bucket
          |  FROM dots GROUP BY 1, 2),
+         |bsz AS (
+         |  SELECT t, bucket FROM buckets
+         |  GROUP BY t, bucket HAVING count(*) <= 1000),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM buckets a JOIN buckets b
+         |  FROM buckets a
+         |  JOIN bsz ON a.t = bsz.t AND a.bucket = bsz.bucket
+         |  JOIN buckets b
          |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |p AS (

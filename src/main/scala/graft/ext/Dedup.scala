@@ -931,12 +931,19 @@ object Dedup {
         Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val v = df.select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
-      .withColumn("norm", Vectors.norm(col("v")))
+    // the vectors ride the candidate joins in their STORED width (the
+    // sf10 run measured this join pair as the board's dominant shuffle
+    // + spill: float32 embeddings pre-cast to double doubled every
+    // candidate row to 512 B for no precision gain — the cast is exact
+    // wherever it happens, so it happens AFTER the shuffles, per row)
+    val v = df.select(col(id).as("id"), col(vec).as("vraw"))
+      .withColumn("norm", Vectors.norm(col("vraw").cast("array<double>")))
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("norm").as("n_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("norm").as("n_b")), "id_b")
+      .join(v.select(col("id").as("id_a"), col("vraw").as("v_a"), col("norm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vraw").as("v_b"), col("norm").as("n_b")), "id_b")
       .withColumn("cosine",
+        // vec_dot widens float elements in-loop — no cast allocation
+        // on the candidate hot path, bit-identical result
         Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       // threshold on the ROUNDED value (CLAUDE.md): a pair within ulps
       // of tau must land on the same side in every engine — downstream
@@ -1024,15 +1031,20 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // the raw (stored-width) vector rides through to the pair join —
+    // assignment and scoring cast to double map-side, BEFORE any
+    // shuffle, so float32 embeddings never shuffle at double width
+    // (the cosinePairsBlocked rule, measured at sf10)
     val valid = df
-      .select(col(id).as("id"), col(vec).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && size(col("v")) === dim &&
-        !exists(col("v"), x => x.isNull))
-      .withColumn("norm", Vectors.norm(col("v")))
+      .select(col(id).as("id"), col(vec).as("v"))
+      .withColumn("__vd", col("v").cast("array<double>"))
+      .filter(col("__vd").isNotNull && size(col("__vd")) === dim &&
+        !exists(col("__vd"), x => x.isNull))
+      .withColumn("norm", Vectors.norm(col("__vd")))
       // argmin-euclid cell, ties to the lower cell (the ivf_cells
       // codegen expression; centroids ride addReferenceObj)
       .withColumn("cell",
-        element_at(Pq.ivfCells(col("v"), centroids, 1), 1).cast(LongType))
+        element_at(Pq.ivfCells(col("__vd"), centroids, 1), 1).cast(LongType))
 
     val ctrFrame = centroids.zipWithIndex
       .map { case (cv, c) => (c.toLong, cv) }.toSeq.toDF("cell", "cv")
@@ -1042,7 +1054,7 @@ object Dedup {
     valid.join(broadcast(ctrFrame), Seq("cell"))
       .withColumn("centroid_cosine",
         reprRound6(when(col("norm") * col("cnorm") > 0,
-          Vectors.dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))))
+          Vectors.dot(col("__vd"), col("cv")) / (col("norm") * col("cnorm")))))
       .select("id", "v", "norm", "cell", "centroid_cosine")
   }
 
@@ -1069,6 +1081,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         when(col("n_a") * col("n_b") > 0,
+          // vec_dot widens float elements in-loop (no cast allocation)
           Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       // threshold on the repr-rounded value: a pair within ulps of tau
       // must land on the same side in every engine
@@ -1128,16 +1141,30 @@ object Dedup {
     val digCk = DigestCatalog(
       catalog.digests.localCheckpoint(eager = true), catalog.ngram)
     val bf = digestBloom(digCk, fpp)
+    decontaminateAgainstDigestsBloom(corpus, digCk, bf, id, text, minOverlap)
+  }
 
-    val cand = shinglesDF(corpus, id, text, ngram)
+  /** The bloom-gated scrub against a pre-built catalog + filter — the
+    * split that lets a streaming ingest
+    * ([[graft.streaming.Events.streamingDecontaminateBloom]]) build the
+    * catalog and its bloom ONCE and gate every micro-batch map-side.
+    * Phase 1: the codegen'd bloom predicate rides the batch's scan;
+    * phase 2: the candidate sliver exact-confirms against the catalog
+    * (deliberately not hand-broadcast — the catalog may be huge; only
+    * candidates shuffle with it). Output ≡
+    * [[decontaminateAgainstDigests]] (no false negatives + exact
+    * confirm). */
+  def decontaminateAgainstDigestsBloom(corpus: DataFrame,
+                                       catalog: DigestCatalog,
+                                       bf: org.apache.spark.util.sketch.BloomFilter,
+                                       id: String, text: String,
+                                       minOverlap: Long = 1L): DataFrame = {
+    require(catalog.ngram >= 1, "ngram must be >= 1")
+    val cand = shinglesDF(corpus, id, text, catalog.ngram)
       .filter(length(col("shingle")) > 0)
       .select(col("id"), md5(col("shingle")).as("d"))
-      // phase 1: map-side bloom gate (codegen'd, filter rides the scan)
       .filter(graft.functions.Blooms.mightContainLong(digestLong(col("d")), bf))
-    // phase 2: exact confirm — candidates only; NOT broadcast by hand
-    // (the catalog may exceed broadcast limits; AQE may still choose a
-    // broadcast when it actually fits)
-    val dirty = cand.join(digCk.digests, Seq("d"), "left_semi")
+    val dirty = cand.join(catalog.digests, Seq("d"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared_ngrams"))
       .filter(col("n_shared_ngrams") >= minOverlap)
       .withColumnRenamed("id", "__hid")

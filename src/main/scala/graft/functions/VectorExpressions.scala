@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for dense-vector arithmetic.
   *
@@ -28,10 +28,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 final case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Each side may be array<float> OR array<double>, independently: a
+  // float32 embedding read straight off parquet dots against a double
+  // centroid/query without a per-row cast-allocation in the hot join
+  // loop. Widening float→double per ELEMENT is exact (every float is a
+  // double), and the multiply-accumulate runs in double either way, so
+  // the result is bit-identical to casting the whole array first — the
+  // sf10 run measured the pre-join `cast(array<double>)` DOUBLING the
+  // candidate shuffle and the post-join cast allocating two arrays per
+  // candidate pair.
   override def checkInputDataTypes(): TypeCheckResult =
-    VectorExpressions.requireDoubleArrays(prettyName, left, right)
+    VectorExpressions.requireFloatOrDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,9 +57,15 @@ final case class DotProduct(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"vec_dot: mismatched vector lengths ($n vs ${y.numElements()})")
     }
+    val lf = isFloat(left); val rf = isFloat(right)
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -54,6 +74,10 @@ final case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val ax = if (isFloat(left)) s"(double) $a.getFloat($i)"
+               else s"$a.getDouble($i)"
+      val bx = if (isFloat(right)) s"(double) $b.getFloat($i)"
+               else s"$b.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -63,7 +87,7 @@ final case class DotProduct(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += $ax * $bx;
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -214,6 +238,17 @@ private[functions] object VectorExpressions {
     if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$fn requires array<double> arguments, got " +
+        bad.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  def requireFloatOrDoubleArrays(fn: String, exprs: Expression*): TypeCheckResult = {
+    val bad = exprs.filterNot(_.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<float> or array<double> arguments, got " +
         bad.map(_.dataType.simpleString).mkString(", "))
   }
 }

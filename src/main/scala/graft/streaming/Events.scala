@@ -265,6 +265,66 @@ object Events {
       ()
     }
 
+  /** [[streamingDecontaminate]], bloom-prefiltered — the firehose shape
+    * for a benchmark suite too large to broadcast exactly
+    * ([[graft.ext.Dedup.decontaminateBloom]] is the batch twin). The
+    * catalog AND its no-false-negative bloom filter are built ONCE at
+    * query start; each micro-batch gates its shingles map-side through
+    * the codegen'd bloom predicate and exact-confirms only the
+    * candidate sliver against the cached catalog — so per-batch cost is
+    * the batch's own scan plus a candidate-sized join, never a
+    * batch × full-catalog broadcast. Output per batch is IDENTICAL to
+    * [[streamingDecontaminate]]'s (no false negatives + exact confirm);
+    * the same idempotent-replay and cache-release contracts apply.
+    */
+  def streamingDecontaminateBloom(stream: DataFrame, benchmark: DataFrame,
+                                  id: String, text: String,
+                                  outDir: String, checkpointDir: String,
+                                  ngram: Int = 8, minOverlap: Long = 1L,
+                                  fpp: Double = 0.01,
+                                  config: StreamConfig = StreamConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val catalog = graft.ext.Dedup.benchmarkDigests(benchmark, id, text, ngram)
+    catalog.digests
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = graft.ext.Dedup.digestBloom(catalog, fpp)
+    val writer = decontaminateBloomBatchWriter(catalog, bf, id, text,
+      outDir, minOverlap)
+    val query = config(stream.writeStream)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writer)
+      .start()
+    val mgr = stream.sparkSession.streams
+    mgr.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      private val self = this
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          catalog.digests.unpersist(blocking = false)
+          mgr.removeListener(self)
+        }
+    })
+    query
+  }
+
+  /** The idempotent per-batch body of [[streamingDecontaminateBloom]]
+    * (the [[decontaminateBatchWriter]] replay contract, bloom-gated). */
+  def decontaminateBloomBatchWriter(catalog: graft.ext.Dedup.DigestCatalog,
+                                    bf: org.apache.spark.util.sketch.BloomFilter,
+                                    id: String, text: String, outDir: String,
+                                    minOverlap: Long)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.ext.Dedup
+        .decontaminateAgainstDigestsBloom(batch, catalog, bf, id, text,
+          minOverlap)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      ()
+    }
+
   def streamToParquet(df: DataFrame, outDir: String,
                       checkpointDir: String,
                       config: StreamConfig = StreamConfig())

@@ -25,6 +25,28 @@ class VectorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1) === r.getDouble(2)))
   }
 
+  test("float and mixed-width dot is bit-identical to cast-then-dot") {
+    // widening per element == casting the array first: every float is
+    // exactly a double and the MAC runs in double either way. Pinned
+    // bit-for-bit because the dedup oracles depend on it.
+    val fdf = Seq(
+      (1L, Array(1.1f, -2.7f, 3.3f), Array(0.9, 5.0, -6.25)),
+      (2L, Array(0.37f, 1e-8f, 42.0f), Array(1.5, -2.5, 3.5))
+    ).toDF("id", "f", "d")
+    val rows = fdf.select(
+      Vectors.dot(col("f"), col("d")).as("mixed"),
+      Vectors.dot(col("f").cast("array<double>"), col("d")).as("cast"),
+      Vectors.dot(col("f"), col("f")).as("ff"),
+      Vectors.dot(col("f").cast("array<double>"),
+        col("f").cast("array<double>")).as("ffcast")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+  }
+
   test("dot and norm produce expected values") {
     val r = df.filter($"id" === 1L)
       .select(Vectors.dot($"a", $"b"), Vectors.norm($"a"),

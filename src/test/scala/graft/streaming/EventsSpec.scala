@@ -431,6 +431,44 @@ class EventsSpec extends SparkSpec {
     assert(after === Seq(2L, 4L), s"replay must not double-land: $after")
   }
 
+  test("streamingDecontaminateBloom: bloom-gated scrub lands exactly the exact path's docs") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("bloomdec_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bloomdec_ckpt").toString
+    val q = Events.streamingDecontaminateBloom(
+      mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+      out, ckpt, ngram = 5, minOverlap = 1L, fpp = 0.01)
+    mem.addData(
+      (1L, "prefix then the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "an entirely benign document about something else"))
+    q.processAllAvailable()
+    mem.addData(
+      (3L, "late leakage: the quick brown fox jumps over the lazy dog"),
+      (4L, "another clean one arriving in the second batch"))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 4L),
+      "bloom gate + exact confirm must land exactly the clean docs")
+    // replay idempotency holds for the bloom writer too
+    val catalog = graft.ext.Dedup.benchmarkDigests(bench, "doc_id", "text", 5)
+    val bf = graft.ext.Dedup.digestBloom(catalog, fpp = 0.01)
+    val writer = Events.decontaminateBloomBatchWriter(
+      catalog, bf, "doc_id", "text", out, 1L)
+    val batch1 = Seq(
+      (3L, "late leakage: the quick brown fox jumps over the lazy dog"),
+      (4L, "another clean one arriving in the second batch"))
+      .toDF("doc_id", "text")
+    writer(batch1, 1L)
+    val after = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after === Seq(2L, 4L), s"replay must not double-land: $after")
+  }
+
   test("stateless text gates run UNCHANGED on a stream (batch/stream reuse)") {
     // qualityScore / charEntropy are pure projections, so the same
     // operator that curates a batch corpus filters a live ingest stream
