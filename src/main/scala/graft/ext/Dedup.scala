@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -97,49 +97,177 @@ object Dedup {
     * dedup story — keeping one doc per CLUSTER needs the transitive
     * closure (A~B, B~C ⇒ {A,B,C} together even if A,C never paired).
     *
-    * Implementation is min-label propagation with POINTER JUMPING:
-    * each round takes the min over self + neighbors (1 hop through the
-    * edge list), then path-halves by replacing every label with its
-    * label's label — so convergence is O(log diameter) rounds, not
-    * O(diameter) (a 30-node chain converges in ~6 rounds, spec-pinned).
-    * Each round is two joins over the edge/label lists, never a
-    * transitive-closure materialization; `localCheckpoint` truncates the
-    * growing lineage.
+    * Two size-gated paths, the BHJ-vs-SMJ shape:
+    *
+    *  - pair list within `maxDriverEdges` (default 2M ≈ 32 MB — the
+    *    broadcast-threshold ballpark): ONE pass collects the pairs and
+    *    union-find labels them on the driver in milliseconds. Every
+    *    near-dup graph at bench SFs — and most real ones, since the
+    *    LSH caps deliberately bound the pair stream — is this size,
+    *    and burning multi-second distributed label rounds on 32 MB is
+    *    engineering malpractice, exactly like sort-merge-joining a
+    *    dimension table that fits in a broadcast.
+    *  - larger: distributed min-label propagation with pointer
+    *    jumping — each round takes the min over self + neighbors
+    *    (union + groupBy, one shuffle), then path-halves by replacing
+    *    every label with its label's label, so convergence is O(log
+    *    diameter) rounds, never a transitive-closure materialization.
+    *    Big graphs batch two edge-hops per round: near-dup chains make
+    *    convergence edge-hop-bound (measured — extra pointer jumps
+    *    don't cut rounds), so hop-batching halves the round overhead
+    *    at equal join work.
+    *
+    * Distributed loop state rides a PERSISTED-RDD ROUND-TRIP, not a
+    * chained `Dataset.localCheckpoint`: an lc chain deeper than ~17
+    * links re-executes its own history multiplicatively — measured
+    * 1.2 s/round flat through round 17, then 2.1/3.4/7.8/20/49/143 s
+    * (Spark 4.1.2, minimal 150k-row ring repro, constant data and
+    * plan; SCALE.md round 8c). The RDD round-trip stays flat at any
+    * depth; each round unpersists the previous one only AFTER the next
+    * is materialized and the convergence check has read it, and every
+    * 8th round a real localCheckpoint bounds the RDD-lineage depth the
+    * task serializer must recurse (persist alone stack-overflowed near
+    * round 25).
+    *
+    * Fail-loud: a graph that hasn't converged inside `maxIterations`
+    * throws instead of returning partial (wrong) components (the old
+    * silent cap RETURNED partial labels at sf10 — caught by this
+    * round's scale run).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 64,
+                          onRound: Int => Unit = _ => (),
+                          maxDriverEdges: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+
+    // small-graph fast path: one evaluation of the pair stream, capped
+    // at maxDriverEdges + 1 rows so an over-budget graph is detected
+    // without collecting it (LocalLimit early-exits per partition)
+    val capped = fwd.limit(
+      math.min(maxDriverEdges, Int.MaxValue - 2L).toInt + 1).collect()
+    if (capped.length <= maxDriverEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      capped.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) { // null ids never join
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+      }
+      val labels = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      // roots are unioned min-to-max, so find() IS the min reachable id
+      while (it.hasNext) { val k = it.next(); labels(i) = (k, find(k)); i += 1 }
+      import spark.implicits._
+      return spark.sparkContext
+        .parallelize(labels.toIndexedSeq, math.max(1, math.min(32, labels.length / 50000 + 1)))
+        .toDF("id", "component")
+    }
+
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+
+    // AQE off for the label rounds: each round is a handful of
+    // FIXED-SHAPE exchanges over a label table whose size we know
+    // (≤ one row per node); AQE's per-exchange materialize-and-replan
+    // round-trips add ~0.5 s of pure scheduling latency per round
+    // (measured at sf0.1 — 2× the data time), and none of its
+    // benefits (skew splits, runtime broadcast) apply to a frame this
+    // regular. Restored in finally — the conf is session-global.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = spark.createDataFrame(r, df.schema)
+      out.count() // materialize now, while parents are still persisted
+      (out, r)
+    }
+
+    var (labels, labelsRdd) = pin(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
+    // Hops per round, by edge count (cheap — edges is checkpointed):
+    // convergence on near-dup graphs is edge-HOP-bound (long chains;
+    // measured — doubling pointer JUMPS didn't cut rounds), so a big
+    // graph batches two hops per round to halve the round count at
+    // equal total edge-join work; a small graph's rounds are all
+    // fixed scheduling overhead, so fewer exchanges per round wins.
+    val hops = if (edges.count() >= (1L << 17)) 2 else 1
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
-      // min over self + neighbors (one hop)
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("__nmin"))
-      val hop = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component"))
+      // min over self + neighbors, as union + groupBy (NOT agg + join
+      // back: one shuffle instead of two, and every node appears in
+      // its own union branch so no outer join is needed).
+      def hopOnce(l: DataFrame): DataFrame =
+        l.select(col("id"), col("component"))
+          .union(edges.join(l.withColumnRenamed("id", "dst"), Seq("dst"))
+            .select(col("src").as("id"), col("component")))
+          .groupBy("id").agg(min(col("component")).as("component"))
+      val h2 = if (hops == 2) hopOnce(hopOnce(labels)) else hopOnce(labels)
       // pointer jump: component <- component's component (labels are
-      // always node ids, so the self-join is total); explicit aliases
-      // keep the self-join unambiguous
-      val next = hop.as("x")
-        .join(hop.as("y"), col("x.component") === col("y.id"))
+      // always node ids, so the self-join is total); the two sides
+      // share h2's aggregation exchange via ReuseExchange. Explicit
+      // aliases keep the self-join unambiguous.
+      val j1 = h2.as("x")
+        .join(h2.as("y"), col("x.component") === col("y.id"))
         .select(col("x.id").as("id"), col("y.component").as("component"))
-        .localCheckpoint()
-      converged = next.join(labels, Seq("id"))
-        .filter(next("component") =!= labels("component"))
-        .isEmpty
-      labels = next
+      // the convergence flag rides INSIDE the pinned frame (one
+      // materialization job instead of job + a separate check join);
+      // reading the flag afterwards is a block scan of the pin
+      val (nextAll, nextRdd) = pin(
+        j1.join(labels.select(col("id"), col("component").as("__prev")),
+            Seq("id"))
+          .select(col("id"), col("component"),
+            (col("component") =!= col("__prev")).as("__changed")))
+      converged = nextAll.filter(col("__changed")).head(1).isEmpty
+      // nextAll is materialized and the check has run: the previous
+      // round's blocks are now unreachable, drop them
+      labelsRdd.unpersist(blocking = false)
+      labelsRdd = nextRdd
       it += 1
+      // persist does NOT truncate RDD lineage: ~10 narrow levels per
+      // round accumulate and task (de)serialization recursion
+      // stack-overflows near round ~25 (measured, sf10 SemDeDup).
+      // Every 8th round a real localCheckpoint truncates — the lc
+      // CHAIN this builds is <= maxIterations/8 links, far below the
+      // ~17-link depth where chained lc re-executes its history
+      // (SCALE.md round 8c); it reads the just-pinned blocks, so the
+      // truncation pass costs one scan of the label table
+      labels =
+        if (it % 8 == 0) {
+          val t = nextAll.select("id", "component").localCheckpoint()
+          labelsRdd.unpersist(blocking = false)
+          t
+        } else nextAll.select("id", "component")
+      onRound(it)
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIterations rounds " +
+          "— double path-halving covers any real graph in far fewer; " +
+          "this indicates a logic bug, not a large input")
+    // ONE final localCheckpoint truly truncates lineage so the result
+    // survives the unpersist below and later block eviction can never
+    // cascade a recompute through the loop's RDDs
+    val out = labels.select("id", "component").localCheckpoint()
+    labelsRdd.unpersist(blocking = false)
+    out
+    } finally spark.conf.set(aqeKey, aqePrev)
   }
 
   // --------------------------------------------------------------------
@@ -995,7 +1123,13 @@ object Dedup {
   def semDedupWith(df: DataFrame, id: String, vec: String,
                    centroids: Array[Array[Double]], tau: Double,
                    maxCellSize: Option[Int] = None): DataFrame = {
+    // scored is consumed THREE times (both sides of the pair self-join
+    // + the members join), and the assignment it carries is the n×k×dim
+    // argmin — the multi-consumer eager-checkpoint rule (SCALE.md
+    // round 7); the frame is one row per vector (stored-width v rides
+    // along for the pairing, the operator's working set by design)
     val scored = semDedupScored(df, id, vec, centroids)
+      .localCheckpoint(eager = true)
     val pairs = semDedupPairs(scored, tau, maxCellSize)
     val comp = connectedComponents(pairs)
     val members = scored.select(col("id"), col("cell"), col("centroid_cosine"))

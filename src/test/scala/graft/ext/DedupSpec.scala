@@ -273,6 +273,31 @@ class DedupSpec extends SparkSpec {
     assert(c.values.toSet === Set(0L), "whole chain must collapse to min id")
   }
 
+  test("connectedComponents: distributed loop on a long path " +
+      "(maxDriverEdges = 0 forces it past the union-find fast path)") {
+    val chain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val c = Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.toSet === Set(0L), "whole chain must collapse to min id")
+    assert(c.size === 30)
+  }
+
+  test("connectedComponents: driver union-find ≡ distributed loop on a " +
+      "random graph (both are the min-reachable-id labeling)") {
+    val rnd = new scala.util.Random(7)
+    // ids drawn sparse so chains, triangles, and isolated pairs all occur
+    val pairs = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+      .localCheckpoint() // one deterministic pair set for both paths
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+  }
+
   test("cosinePairsBlocked: subset of exact pairs, same cosines, real recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.3)
