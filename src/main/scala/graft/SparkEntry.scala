@@ -1298,6 +1298,30 @@ object SparkEntry {
       graft.ext.Sampling.gumbelTopK(w, "doc_id", "log_weight", n = 50)
     }),
 
+    // --- Per-source quota (C4/RefinedWeb "cap pages per domain"):
+    // at most 10 docs per source by deterministic md5 draw — run
+    // through the SKEW-SAFE bounded-heap plan (capPerGroupAgg), which
+    // partial-combines map-side so a hot domain never window-sorts on
+    // one task; the oracle replays the selection as the window
+    // formulation (spec-pinned identical).
+    "q123_source_quota" -> ((s, dir) => {
+      val pri = conv(substring(md5(concat(lit("graft:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      graft.ext.Sampling.capPerGroupAgg(
+          Tables.documents(s, dir), "source", "doc_id", pri, n = 10)
+        .select("doc_id", "source", "n_chars")
+    }),
+
+    // --- BM25 retrieval scoring (Lucene idf variant): every document
+    // scored against a 3-term query in ONE token-stream aggregation +
+    // a one-row broadcast of (N, avgdl, df) — the seeded corpus-
+    // expansion scorer; length normalization keeps long docs from
+    // winning on raw term count (contrast q91 TF-IDF).
+    "q124_bm25" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bm25Scores(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "join", "window"))),
+
     // --- Winsorized robust mean per order priority: heavy tails
     // clipped to the [5%, 95%] band; the raw mean reported alongside.
     "q99_winsorized" -> ((s, dir) =>
@@ -2997,6 +3021,58 @@ object SparkEntry {
         |        1, 8))::BIGINT + 0.5) / 4294967296.0))), 6) AS draw
         |FROM w
         |ORDER BY draw DESC, doc_id ASC LIMIT 50""".stripMargin),
+    // q124: BM25 with k1=1.2, b=0.75 — dl/tf/df/N are exact integers
+    // and avgdl an exact integer ratio in both engines, so the only
+    // cross-engine wobble is ln (not correctly rounded) and the shared
+    // 6 dp floor-snap absorbs it. Term order in the score sum matches
+    // the Spark literal order (IEEE addition is order-sensitive).
+    "q124_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+        |    CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+        |    CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+        |    CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+        |  FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM perdoc)
+        |SELECT doc_id, dl AS n_tokens,
+        |  CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  floor((
+        |    ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE)
+        |      * 2.2 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |    ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE)
+        |      * 2.2 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |    ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE)
+        |      * 2.2 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  ) * 1e6 + 0.5) / 1e6 AS bm25
+        |FROM perdoc, tot
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+    // q123: the skew-safe bounded-heap quota selects EXACTLY what the
+    // window formulation selects (spec-pinned), so the oracle replays
+    // the window form over the same md5 priority.
+    "q123_source_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT AS pri
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY pri DESC, doc_id ASC) AS rn
+        |  FROM d)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""".stripMargin,
     "q113_ref_surprisal" ->
       """WITH ttoks AS (
         |  SELECT doc_id,

@@ -252,6 +252,74 @@ object Sampling {
         "exist in the input — rename or drop them first")
   }
 
+  /** Bounded top-n buffer for [[capPerGroupAgg]]: rows as
+    * (key, priority), kept sorted by (priority desc, key asc) and
+    * trimmed to n — the same bounded-heap shape as Similarity.TopKAgg,
+    * so the aggregation PARTIAL-COMBINES map-side. */
+  private[ext] final case class CapBuf(items: Seq[(Long, Double)])
+  private[ext] final class CapAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), CapBuf, CapBuf] {
+    private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      s.sortBy { case (k, p) => (-p, k) }.take(n)
+    override def zero: CapBuf = CapBuf(Vector.empty)
+    override def reduce(b: CapBuf, a: (Long, Double)): CapBuf =
+      CapBuf(trim(b.items :+ a))
+    override def merge(x: CapBuf, y: CapBuf): CapBuf =
+      CapBuf(trim(x.items ++ y.items))
+    override def finish(r: CapBuf): CapBuf = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[CapBuf]
+    override def outputEncoder = org.apache.spark.sql.Encoders.product[CapBuf]
+  }
+
+  /** [[capPerGroup]]'s skew-safe twin: at most `n` rows per `groupCol`
+    * value, highest `priority` first (ties by `keyCol` ascending) —
+    * the per-domain / per-source quota every web-scale curation recipe
+    * applies (C4 caps pages per host; RefinedWeb caps documents per
+    * domain) so one mirror-heavy site cannot dominate the mixture.
+    *
+    * Same selection as the window formulation
+    * (`capPerGroup(df, Seq(group), Seq(priority desc, key asc), n)`,
+    * spec-pinned equal), DIFFERENT plan: a window sorts each group's
+    * entire mass on ONE task, so the hot group — half a 10⁹-doc corpus
+    * from one domain, the exact case quotas exist for — becomes the
+    * straggler. The bounded heap partial-combines map-side: every
+    * partition contributes at most n rows per group to the shuffle no
+    * matter how skewed the input; a group's own cardinality never
+    * crosses the wire. Use the window twin when groups are known
+    * small-ish and extra columns should ride through unprojected; use
+    * this one when any group can be huge.
+    *
+    * `keyCol` must be unique (it is the tiebreak and the join-back
+    * key) and non-null (null keys are excluded, as in every sampler
+    * here); null GROUPS form their own quota group, matching window
+    * partition semantics. Priorities must be non-null and finite —
+    * NaN would sort ABOVE every real priority in SQL engines but
+    * below in Scala's sortBy, so it is rejected loudly.
+    */
+  def capPerGroupAgg(df: DataFrame, groupCol: String, keyCol: String,
+                     priority: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = priority.cast("double")
+    val keyed = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(keyCol).cast("long").as("__k"),
+        when(p.isNull || isnan(p), raise_error(concat(
+            lit("capPerGroupAgg: null/NaN priority for key "),
+            col(keyCol).cast("string"))))
+          .otherwise(p).as("__p"))
+      .as[(Option[String], Long, Double)]
+    val survivors = keyed
+      .groupByKey(_._1) // Option keeps the null group distinct
+      .mapValues { case (_, k, p) => (k, p) }
+      .agg(new CapAgg(n).toColumn.name("kept"))
+      .flatMap { case (_, buf) => buf.items.map(_._1) }
+      .toDF(keyCol)
+    df.join(survivors, Seq(keyCol), "left_semi")
+  }
+
   private def aesDraw(keyCol: String, weightCol: String,
                       salt: String, roundTo: Int): Column = {
     val h = conv(

@@ -961,6 +961,68 @@ object TextAnalysis {
       .select(col("id").as(id), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 relevance of every document against a bag of `queryTerms`
+    * (Robertson/Spärck Jones; the Lucene idf variant, which is always
+    * positive): score = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    * tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl)). The retrieval
+    * scorer a curation pipeline uses to pull topic-relevant subsets
+    * out of a crawl (seeded corpus expansion), one step up from raw
+    * TF-IDF because long documents stop winning on term count alone.
+    *
+    * Scale shape — the query is SHORT, so nothing vocabulary-sized
+    * ever materializes: ONE pass over the token stream aggregates
+    * per-doc (dl, tf per query term) as `sum(when(term = t))` columns
+    * — map-side partial agg, single narrow shuffle, no vocabulary
+    * explosion (contrast [[tfidfTopTerms]], which must checkpoint the
+    * full (doc, term, tf) stream because every term is in play); the
+    * corpus stats (N, avgdl, df per term) are a second aggregation of
+    * that docs-sized frame into ONE broadcast row. Only matched
+    * documents survive the final filter.
+    *
+    * N and avgdl count documents with at least one token (null/empty
+    * texts never enter the token stream — the SQL oracle replays this
+    * exactly). Cross-engine: ln is not correctly rounded, so the
+    * score is repr-rounded to 6 dp ([[graft.functions.Rounding]]'s
+    * floor-snap, IEEE-exact in both engines); dl, tf, df, N are exact
+    * integers and avgdl is an exact integer ratio, so the rounded
+    * scores agree.
+    */
+  def bm25Scores(df: DataFrame, id: String, text: String,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores: queryTerms must be non-empty")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bm25Scores: bad k1=$k1 b=$b")
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val perDoc = termStream(df, id, text)
+      .groupBy("id")
+      .agg(count(lit(1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"__tf$i")
+        }: _*)
+    val totalCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val totals = perDoc.agg(totalCols.head, totalCols.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(totals))
+    val termScore = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val nMatched = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    scored
+      .withColumn("n_matched", nMatched)
+      .filter(col("n_matched") > 0)
+      .select(col("id").as(id), col("dl").as("n_tokens"),
+        col("n_matched"),
+        graft.functions.Rounding.reprRound6(termScore).as("bm25"))
+  }
+
   // --------------------------------------------------------------------
   // Character-distribution entropy (gibberish / encoding-junk signal)
   // --------------------------------------------------------------------

@@ -126,12 +126,14 @@ class PlanAuditSpec extends SparkSpec {
   //  - q118_dsir_weights / q119_dsir_sample: q113's pattern twice — the
   //    TWO one-row LM-totals aggregates (target and reference)
   //    crossJoin onto the pool's aggregated (doc, term) stream.
+  //  - q124_bm25: the one-row corpus-stats aggregate (N, avgdl, df per
+  //    query term) crossJoins (broadcast) onto the per-doc stream.
   private val nestedLoopAllowed =
     Set("q72_cross", "q20_ann_topk", "q71_resample", "q79_skew",
       "q91_tfidf", "q92_knn", "q97_surprisal",
       "q106_quantize_int8", "q107_bigram_surprisal", "q108_mixture_plan",
       "q112_pq_topk", "q113_ref_surprisal", "q115_pq_refined",
-      "q118_dsir_weights", "q119_dsir_sample")
+      "q118_dsir_weights", "q119_dsir_sample", "q124_bm25")
 
   test("q114 (token chunks): pure map-side, zero exchanges") {
     assert(exchanges(plan("q114_token_chunks")) === 0,

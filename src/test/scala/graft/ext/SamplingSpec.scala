@@ -393,6 +393,45 @@ class SamplingSpec extends SparkSpec {
     assert(draws.distinct.length > 70, "draws collapsed into tie classes")
   }
 
+  test("capPerGroupAgg ≡ window capPerGroup, and its plan has no Window") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    val agg = Sampling.capPerGroupAgg(docs, "lang", "doc_id",
+      col("n_chars"), 3)
+    assert(!agg.queryExecution.executedPlan.toString.contains("Window"),
+      "the skew-safe twin must aggregate, not window-sort hot groups")
+    val viaAgg = agg.collect().map(_.getLong(0)).toSet
+    val viaWin = Sampling.capPerGroup(docs, Seq("lang"),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaAgg === viaWin)
+  }
+
+  test("capPerGroupAgg: skewed hot group stays capped; null group is " +
+      "its own quota; NaN priority fails loudly") {
+    // one group holds 90% of rows — the case the heap shape exists for
+    val rows = (1L to 1000L).map { i =>
+      (i, if (i <= 900) "hot" else if (i <= 950) null else "cold",
+        (i % 97).toDouble)
+    }
+    val df = rows.toDF("id", "grp", "pri")
+    val out = Sampling.capPerGroupAgg(df, "grp", "id", col("pri"), 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.count(_._2.contains("hot")) === 5)
+    assert(out.count(_._2.isEmpty) === 5, "null group keeps its own cap")
+    assert(out.count(_._2.contains("cold")) === 5)
+    // ties inside the cap break by id ascending, same as the window twin
+    val expectHot = rows.filter(_._2 == "hot")
+      .sortBy { case (id, _, p) => (-p, id) }.take(5).map(_._1).toSet
+    assert(out.filter(_._2.contains("hot")).map(_._1).toSet === expectHot)
+    val nan = df.withColumn("pri",
+      when(col("id") === 7L, lit(Double.NaN)).otherwise(col("pri")))
+    val ex = intercept[Exception] {
+      Sampling.capPerGroupAgg(nan, "grp", "id", col("pri"), 5).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("capPerGroup on real data matches an independent driver-side rank") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")

@@ -697,6 +697,42 @@ class TextAnalysisSpec extends SparkSpec {
       s"scrambled ${s(100L)}/${s(101L)} vs natural ${s(1L)}")
   }
 
+  test("bm25Scores matches a hand-rolled reference on a tiny corpus") {
+    val df = Seq(
+      (1L, "hash join hash table"),
+      (2L, "sort merge join"),
+      (3L, "window frame spec"),
+      (4L, null.asInstanceOf[String]), // never tokenized: out of N/avgdl
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(df, "doc_id", "text",
+        Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // reference: N = 3 scored docs, avgdl = (4 + 3 + 3) / 3
+    val n = 3.0; val avgdl = 10.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def idf(dfT: Double) = math.log(1 + (n - dfT + 0.5) / (dfT + 0.5))
+    def w(tf: Double, dl: Double) =
+      tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.keySet === Set(1L, 2L)) // doc 3 matches nothing
+    assert(out(1L)._1 === 4L && out(1L)._2 === 2L)
+    // df(hash) = 1 (doc 1 only), df(join) = 2 (docs 1 and 2)
+    assert(out(1L)._3 === snap(idf(1) * w(2, 4) + idf(2) * w(1, 4)))
+    assert(out(2L)._1 === 3L && out(2L)._2 === 1L)
+    assert(out(2L)._3 === snap(idf(2) * w(1, 3)))
+  }
+
+  test("bm25 length normalization: same tf, longer doc scores lower") {
+    val pad = Seq.fill(40)("filler").mkString(" ")
+    val df = Seq(
+      (1L, "hash hash short doc"),
+      (2L, s"hash hash $pad")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(df, "doc_id", "text", Seq("hash"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) > out(2L),
+      s"short ${out(1L)} must beat long ${out(2L)} at equal tf")
+  }
+
   test("min-shingle fingerprint blocks near-dups together") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq(
