@@ -548,12 +548,9 @@ object TextAnalysis {
     require(batchSize >= 1, "batchSize must be >= 1")
     val spark = words.sparkSession
     import spark.implicits._
-    var vocab = words
+    var (vocab, vocabRdd) = pinWords(spark, words
       .as[(String, Long)]
-      .map { case (w, f) => (initialSymbols(w), f) }
-      .toDF("symbols", "freq")
-      .as[(Seq[String], Long)]
-      .cache()
+      .map { case (w, f) => (initialSymbols(w), f) })
     // the alphabet in play: base graphemes (one aggregation) + each
     // merged symbol as training adds it — vocabulary-scale, driver-held
     // like the merge table itself
@@ -631,17 +628,46 @@ object TextAnalysis {
             rank += 1
           }
           val toApply = selected.map { case (l, r, _) => (l, r) }
-          val next = vocab.map { case (syms, f) =>
+          val (next, nextRdd) = pinWords(spark, vocab.map { case (syms, f) =>
             (toApply.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }, f)
-          }.cache()
-          next.count() // materialize before dropping the parent cache
-          vocab.unpersist(blocking = false)
-          vocab = next
+          })
+          // next is materialized: the previous round's blocks are
+          // unreachable, drop them
+          if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
+          if (round % 8 == 0) {
+            // eager lc completes before the pin's blocks are dropped
+            vocab = next.toDF("symbols", "freq").localCheckpoint()
+              .as[(Seq[String], Long)]
+            nextRdd.unpersist(blocking = false)
+            vocabRdd = null
+          } else { vocab = next; vocabRdd = nextRdd }
         }
       }
     }
-    vocab.unpersist(blocking = false)
+    if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
     merges.result().toDF("rank", "left", "right", "merged", "score")
+  }
+
+  /** Loop-state pin (SCALE.md round 8c) for the BPE trainers' per-round
+    * word table: a per-round cache/checkpoint CHAIN is the iterative
+    * pathology — chained localCheckpoint re-executes its history past
+    * ~17 links, and chained cache grows a plan whose analysis/explain
+    * cost alone is super-linear in rounds (a 32k-vocab train OOMs on
+    * the plan STRING before any data moves). Each round instead
+    * round-trips the table through a persisted RDD (constant plan
+    * depth: createDataFrame over the RDD is a LogicalRDD leaf); the
+    * caller takes a REAL localCheckpoint every 8th round to bound the
+    * RDD-lineage depth task serialization must recurse. */
+  private def pinWords(spark: org.apache.spark.sql.SparkSession,
+                       ds: org.apache.spark.sql.Dataset[(Seq[String], Long)])
+      : (org.apache.spark.sql.Dataset[(Seq[String], Long)],
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    import spark.implicits._
+    val df = ds.toDF("symbols", "freq")
+    val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = spark.createDataFrame(r, df.schema).as[(Seq[String], Long)]
+    out.count() // materialize now, while parents are still persisted
+    (out, r)
   }
 
   /** [[bpeTrain]] from a pre-aggregated (word, freq) frame — the
@@ -653,12 +679,9 @@ object TextAnalysis {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = words.sparkSession
     import spark.implicits._
-    var vocab = words
+    var (vocab, vocabRdd) = pinWords(spark, words
       .as[(String, Long)]
-      .map { case (w, f) => (initialSymbols(w), f) }
-      .toDF("symbols", "freq")
-      .as[(Seq[String], Long)]
-      .cache()
+      .map { case (w, f) => (initialSymbols(w), f) })
 
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
@@ -677,17 +700,22 @@ object TextAnalysis {
         if (n < 2) rank = numMerges // nothing left worth merging
         else {
           merges += ((rank, l, r, l + r, n))
-          val next = vocab.map { case (syms, f) =>
+          val (next, nextRdd) = pinWords(spark, vocab.map { case (syms, f) =>
             (applyMerge(syms, l, r), f)
-          }.cache()
-          next.count() // materialize before dropping the parent cache
-          vocab.unpersist(blocking = false)
-          vocab = next
+          })
+          if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
           rank += 1
+          if (rank % 8 == 0) {
+            // eager lc completes before the pin's blocks are dropped
+            vocab = next.toDF("symbols", "freq").localCheckpoint()
+              .as[(Seq[String], Long)]
+            nextRdd.unpersist(blocking = false)
+            vocabRdd = null
+          } else { vocab = next; vocabRdd = nextRdd }
         }
       }
     }
-    vocab.unpersist(blocking = false)
+    if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
     merges.result().toDF("rank", "left", "right", "merged", "score")
   }
 

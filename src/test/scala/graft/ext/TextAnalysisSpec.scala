@@ -234,6 +234,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rb === rs)
   }
 
+  test("batched BPE survives deep round counts (loop-state pin)") {
+    // batchSize = 1 forces one merge per ROUND, so 18 merges = 18
+    // pinned iterations — crossing the every-8th-round real
+    // localCheckpoint twice and the ~17-link depth where a chained
+    // checkpoint re-executes its history (SCALE.md round 8c). The
+    // result must still be merge-for-merge the sequential schedule.
+    val words = TextAnalysis.wordFrequencies(
+      graft.io.Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+    val rounds = scala.collection.mutable.Buffer.empty[Int]
+    def render(m: org.apache.spark.sql.DataFrame) =
+      m.orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val deep = render(TextAnalysis.bpeTrainFromWordsBatched(
+      words, numMerges = 18, batchSize = 1, onRound = rounds += _))
+    assert(rounds.length === 18, "batchSize=1 must run one merge per round")
+    assert(deep === render(
+      TextAnalysis.bpeTrainFromWordsSequential(words, 18)))
+  }
+
   test("batched BPE selects many disjoint merges in one round") {
     // 8 disjoint letter pairs with strictly decreasing counts, each
     // spread over two words with DISTINCT tail characters so the top
