@@ -318,6 +318,17 @@ object SparkEntry {
           maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
+    // --- Dedup: sampled LSH recall/precision audit — "does THIS
+    // (numHashes, bands) config even GENERATE the true near-dup pairs
+    // as candidates?", answered on a deterministic fixed-size sample
+    // (exact Jaccard truth vs pure banding collisions), so the exact
+    // quadratic path never touches the full corpus. Same sketch
+    // config as q17; one summary row.
+    "q125_lsh_audit" -> ((s, dir) =>
+      graft.ext.Dedup.lshRecallAudit(Tables.documents(s, dir), "doc_id",
+        "text", tau = 0.5, ngram = 3, numHashes = 64, bands = 16,
+        sampleSize = 500)),
+
     // --- Dedup: INCREMENTAL minhash — a ~10% arriving batch (doc_id %
     // 10 = 7: sf-proportional, the real small-batch-vs-big-catalog
     // shape) checked against itself and the signature catalog of
@@ -1493,6 +1504,69 @@ object SparkEntry {
        |      j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5$extraWhere""".stripMargin
   }
 
+  /** q125's oracle: full replay of [[graft.ext.Dedup.lshRecallAudit]]
+    * — md5-ranked 500-doc sample, exact Jaccard truth (q16's CTEs
+    * restricted to the sample), minhash banding collisions (q17's CTEs,
+    * uncapped, no estimate threshold), one summary row. All counts are
+    * exact integers and the two ratios are single IEEE divisions, so no
+    * rounding is needed. */
+  private def lshAuditOracleSql(): String = {
+    val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
+      .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
+    s"""WITH samp AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |  ORDER BY md5('graft-audit:' || CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT 500),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+       |  FROM samp),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+       |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+       |    ELSE [array_to_string(ts, ' ')] END)) AS s
+       |  FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON inter.id_a = sa.doc_id
+       |  JOIN sizes sb ON inter.id_b = sb.doc_id
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+       |params(i, a, c) AS (VALUES $ps),
+       |hv AS (
+       |  SELECT sh.doc_id AS id, p.i,
+       |    min((p.a * (('0x' || substr(md5(sh.s), 1, 8))::BIGINT
+       |                % ${graft.ext.Dedup.MinhashPrime}) + p.c)
+       |        % ${graft.ext.Dedup.MinhashPrime}) AS mh
+       |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
+       |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
+       |banded AS (
+       |  SELECT id, b, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
+       |  FROM sig, range(0, 16) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
+       |agg AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+       |       JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught)
+       |SELECT n_sample, n_true_pairs, n_candidates, n_caught,
+       |  CASE WHEN n_true_pairs > 0
+       |       THEN CAST(n_caught AS DOUBLE) / n_true_pairs END AS recall,
+       |  CASE WHEN n_candidates > 0
+       |       THEN CAST(n_caught AS DOUBLE) / n_candidates END AS "precision"
+       |FROM agg""".stripMargin
+  }
+
   /** q16's pair SQL, shared with q77's recursive-closure oracle (which
     * restricts the doc set via `extraWhere`). */
   /** Shared CTE block for the q118/q119 oracles: the DSIR per-doc
@@ -2302,6 +2376,7 @@ object SparkEntry {
          |FROM u""".stripMargin
     },
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
+    "q125_lsh_audit" -> lshAuditOracleSql(),
     "q89_incremental_minhash" ->
       // identical sketch replay, restricted to pairs touching the
       // doc_id % 10 = 7 batch slice

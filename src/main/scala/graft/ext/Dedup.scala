@@ -596,6 +596,75 @@ object Dedup {
     estimatePairs(lshCandidates(sigs, bands, maxBucketSize), sigs, tau)
   }
 
+  /** Sampled recall/precision audit of a MinHash-LSH configuration —
+    * the production question "what fraction of TRUE near-dup pairs
+    * does this (numHashes, bands) banding even generate as
+    * candidates, and how much junk rides along?", answered without
+    * ever running the exact quadratic path on the full corpus.
+    *
+    * Method: a deterministic fixed-SIZE sample (lowest `sampleSize`
+    * ids by `md5(salt:id)` — content-independent, reproducible across
+    * runs and engines, computed as a map-side top-k, never a global
+    * sort); on the sample, ground truth = exact shingle-set Jaccard >=
+    * tau ([[jaccardPairs]], both guards off — the sample bounds the
+    * quadratic), candidates = pure banding collisions
+    * ([[lshCandidates]], no est threshold). One full-outer join +
+    * one aggregate yields a single row:
+    * `n_sample, n_true_pairs, n_candidates, n_caught,
+    * recall (= caught/true), precision (= caught/candidates)` —
+    * ratios null when their denominator is 0 (never NaN).
+    *
+    * Estimator validity: a pair collides in a band iff their own
+    * signatures agree on it — independent of every other document —
+    * so sample-restricted banding equals the GLOBAL banding restricted
+    * to sample pairs. The one global mechanism a sample cannot see is
+    * the `maxBucketSize` cap (bucket population is corpus-wide), so
+    * the audit runs UNcapped and reports the sketch-quality ceiling;
+    * a capped production run can only lose additional pairs in
+    * super-cap buckets, which the cap's own accounting bounds.
+    *
+    * Cost at any corpus size: one scan for the top-k sample, then
+    * everything is sampleSize-bounded (~500k exact comparisons at the
+    * default 1000). The same audit shape serves threshold tuning: run
+    * it per (bands, tau) grid cell on the SAME pinned sample.
+    */
+  def lshRecallAudit(df: DataFrame, id: String, text: String, tau: Double,
+                     ngram: Int = 3, numHashes: Int = 128,
+                     bands: Int = 32, sampleSize: Int = 1000,
+                     salt: String = "graft-audit"): DataFrame = {
+    require(sampleSize > 1, "sampleSize must be > 1")
+    // the sample feeds BOTH the exact path and the sketch path: eager
+    // checkpoint so the scan + top-k run once (the multi-consumer rule)
+    val sample = df
+      .filter(col(id).isNotNull && col(text).isNotNull)
+      .withColumn("__h", md5(concat(lit(salt + ":"), col(id).cast("string"))))
+      .orderBy(col("__h"), col(id))
+      .limit(sampleSize)
+      .drop("__h")
+      .localCheckpoint(eager = true)
+    val truth = jaccardPairs(sample, id, text, tau, ngram,
+        maxDocFrequency = None, maxTokenDocs = None)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+    val cand = lshCandidates(
+        minhashSignatures(sample, id, text, ngram, numHashes), bands,
+        maxBucketSize = None)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+    val n = sample.count()
+    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("__t")), lit(0L)).as("n_true_pairs"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_caught"))
+      .select(lit(n).as("n_sample"),
+        col("n_true_pairs"), col("n_candidates"), col("n_caught"),
+        when(col("n_true_pairs") > 0,
+          col("n_caught").cast(DoubleType) / col("n_true_pairs"))
+          .as("recall"),
+        when(col("n_candidates") > 0,
+          col("n_caught").cast(DoubleType) / col("n_candidates"))
+          .as("precision"))
+  }
+
   // --------------------------------------------------------------------
   // Benchmark decontamination
   // --------------------------------------------------------------------

@@ -712,4 +712,52 @@ class DedupSpec extends SparkSpec {
     assert(passed < totalClean / 2,
       s"fpp=0.01 gate must prune most clean shingles ($passed/$totalClean passed)")
   }
+
+  test("lshRecallAudit: exact duplicates give recall 1; caught set " +
+      "matches an independent driver-side banding check") {
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.lshRecallAudit(real, "doc_id", "text", tau = 0.5,
+        ngram = 3, numHashes = 64, bands = 16, sampleSize = 40)
+      .collect().head
+    assert(out.getLong(0) === 40L, "sample must be size-bounded")
+    val (nTrue, nCand, nCaught) =
+      (out.getLong(1), out.getLong(2), out.getLong(3))
+    assert(nCaught <= math.min(nTrue, nCand))
+    if (nTrue > 0) assert(out.getDouble(4) === nCaught.toDouble / nTrue)
+    // independent check of the candidate side: replay banding from
+    // collected signatures of the SAME sample and compare the caught
+    // count against the exact pairs from jaccardPairs on that sample
+    import org.apache.spark.sql.functions._
+    val sample = real
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("__h",
+        md5(concat(lit("graft-audit:"), col("doc_id").cast("string"))))
+      .orderBy(col("__h"), col("doc_id")).limit(40).drop("__h")
+    val sigs = Dedup.minhashSignatures(sample, "doc_id", "text", 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def collide(a: Long, b: Long): Boolean =
+      (0 until 16).exists(band => (0 until 4).forall(j =>
+        sigs(a)(band * 4 + j) === sigs(b)(band * 4 + j)))
+    val truePairs = Dedup.jaccardPairs(sample, "doc_id", "text", 0.5,
+        ngram = 3, maxDocFrequency = None, maxTokenDocs = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nTrue === truePairs.length)
+    assert(nCaught === truePairs.count { case (a, b) => collide(a, b) })
+    // exact duplicates always collide: a corpus of copies is fully caught
+    val copies = (1L to 30L).map(i => (i, base + s" tail${i % 3}"))
+      .toDF("doc_id", "text")
+    val dup = Dedup.lshRecallAudit(copies, "doc_id", "text", tau = 0.5,
+      ngram = 3, numHashes = 64, bands = 16, sampleSize = 30).collect().head
+    assert(dup.getLong(1) > 0, "copies must produce true pairs")
+    assert(dup.getDouble(4) === 1.0,
+      "identical-signature pairs must always be candidates")
+    // an all-distinct corpus yields no true pairs and NULL ratios
+    val distinctDocs = (1L to 20L)
+      .map(i => (i, (0 until 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val none = Dedup.lshRecallAudit(distinctDocs, "doc_id", "text",
+      tau = 0.5, sampleSize = 20).collect().head
+    assert(none.getLong(1) === 0L && none.isNullAt(4),
+      "recall must be NULL (not NaN) when there are no true pairs")
+  }
 }
