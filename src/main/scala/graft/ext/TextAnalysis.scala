@@ -1005,7 +1005,11 @@ object TextAnalysis {
     * full (doc, term, tf) stream because every term is in play); the
     * corpus stats (N, avgdl, df per term) are a second aggregation of
     * that docs-sized frame into ONE broadcast row. Only matched
-    * documents survive the final filter.
+    * documents survive the final filter. The per-doc frame feeds TWO
+    * consumers (the totals aggregate + the scored join), and exchange
+    * reuse does NOT fire across them (the totals branch re-plans the
+    * aggregation), so it is eager-checkpointed per the multi-consumer
+    * rule — measured at sf10: shuffle 178→96 MB, wall 3.4→2.9 s.
     *
     * N and avgdl count documents with at least one token (null/empty
     * texts never enter the token stream — the SQL oracle replays this
@@ -1027,6 +1031,7 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(col("term") === lit(t), 1L).otherwise(0L)).as(s"__tf$i")
         }: _*)
+      .localCheckpoint(eager = true)
     val totalCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
       terms.indices.map(i =>
         sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
