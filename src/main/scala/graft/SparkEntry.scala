@@ -329,6 +329,16 @@ object SparkEntry {
         "text", tau = 0.5, ngram = 3, numHashes = 64, bands = 16,
         sampleSize = 500)),
 
+    // --- Dedup: the audit over a BANDING GRID — the tuning loop,
+    // priced as one audit: sample/truth/signatures computed once, only
+    // banding + collision join re-run per config. Recall rises and
+    // precision falls monotonically down the rows (narrower bands can
+    // only ADD collisions).
+    "q126_lsh_tuning_grid" -> ((s, dir) =>
+      graft.ext.Dedup.lshRecallAuditGrid(Tables.documents(s, dir), "doc_id",
+        "text", tau = 0.5, ngram = 3, numHashes = 64,
+        bandsGrid = Seq(8, 16, 32), sampleSize = 500)),
+
     // --- Dedup: INCREMENTAL minhash — a ~10% arriving batch (doc_id %
     // 10 = 7: sf-proportional, the real small-batch-vs-big-catalog
     // shape) checked against itself and the signature catalog of
@@ -1510,10 +1520,10 @@ object SparkEntry {
     * uncapped, no estimate threshold), one summary row. All counts are
     * exact integers and the two ratios are single IEEE divisions, so no
     * rounding is needed. */
-  private def lshAuditOracleSql(): String = {
+  private def lshAuditCoreCtes(): String = {
     val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
       .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
-    s"""WITH samp AS (
+    s"""samp AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
        |  ORDER BY md5('graft-audit:' || CAST(doc_id AS VARCHAR)), doc_id
@@ -1544,27 +1554,52 @@ object SparkEntry {
        |                % ${graft.ext.Dedup.MinhashPrime}) + p.c)
        |        % ${graft.ext.Dedup.MinhashPrime}) AS mh
        |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
-       |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
-       |banded AS (
-       |  SELECT id, b, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
-       |  FROM sig, range(0, 16) AS t(b)),
-       |cand AS (
-       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |  FROM banded x JOIN banded y
-       |    ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
-       |agg AS (
-       |  SELECT
-       |    (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
-       |       JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught)
-       |SELECT n_sample, n_true_pairs, n_candidates, n_caught,
-       |  CASE WHEN n_true_pairs > 0
-       |       THEN CAST(n_caught AS DOUBLE) / n_true_pairs END AS recall,
-       |  CASE WHEN n_candidates > 0
-       |       THEN CAST(n_caught AS DOUBLE) / n_candidates END AS "precision"
-       |FROM agg""".stripMargin
+       |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id)""".stripMargin
+  }
+
+  /** One banding + collision + summary block per config (64 hashes /
+    * `bands` bands, width w = 64/bands) as (CTE list, final SELECT) —
+    * shared by q125 (single) and q126 (grid; prefixes a `bands`
+    * column). */
+  private def lshAuditConfig(bands: Int,
+                             withBandsCol: Boolean): (String, String) = {
+    val w = 64 / bands
+    val pre = if (withBandsCol) s"CAST($bands AS INT) AS bands, " else ""
+    val ctes =
+      s"""banded$bands AS (
+         |  SELECT id, b, array_to_string(list_slice(sig, b*$w + 1, b*$w + $w), ',') AS bucket
+         |  FROM sig, range(0, $bands) AS t(b)),
+         |cand$bands AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM banded$bands x JOIN banded$bands y
+         |    ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
+         |agg$bands AS (
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand$bands) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |       JOIN cand$bands c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught)""".stripMargin
+    val sel =
+      s"""SELECT ${pre}n_sample, n_true_pairs, n_candidates, n_caught,
+         |  CASE WHEN n_true_pairs > 0
+         |       THEN CAST(n_caught AS DOUBLE) / n_true_pairs END AS recall,
+         |  CASE WHEN n_candidates > 0
+         |       THEN CAST(n_caught AS DOUBLE) / n_candidates END AS "precision"
+         |FROM agg$bands""".stripMargin
+    (ctes, sel)
+  }
+
+  private def lshAuditOracleSql(): String = {
+    val (ctes, sel) = lshAuditConfig(16, withBandsCol = false)
+    s"WITH ${lshAuditCoreCtes()},\n$ctes\n$sel"
+  }
+
+  private def lshAuditGridOracleSql(grid: Seq[Int]): String = {
+    val parts = grid.sorted.map(b => lshAuditConfig(b, withBandsCol = true))
+    val ctes = parts.map(_._1).mkString(",\n")
+    val sels = parts.map(_._2).mkString("\nUNION ALL\n")
+    s"WITH ${lshAuditCoreCtes()},\n$ctes\n$sels"
   }
 
   /** q16's pair SQL, shared with q77's recursive-closure oracle (which
@@ -2377,6 +2412,7 @@ object SparkEntry {
     },
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
     "q125_lsh_audit" -> lshAuditOracleSql(),
+    "q126_lsh_tuning_grid" -> lshAuditGridOracleSql(Seq(8, 16, 32)),
     "q89_incremental_minhash" ->
       // identical sketch replay, restricted to pairs touching the
       // doc_id % 10 = 7 batch slice

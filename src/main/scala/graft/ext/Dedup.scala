@@ -631,8 +631,30 @@ object Dedup {
   def lshRecallAudit(df: DataFrame, id: String, text: String, tau: Double,
                      ngram: Int = 3, numHashes: Int = 128,
                      bands: Int = 32, sampleSize: Int = 1000,
-                     salt: String = "graft-audit"): DataFrame = {
+                     salt: String = "graft-audit"): DataFrame =
+    lshRecallAuditGrid(df, id, text, tau, ngram, numHashes, Seq(bands),
+      sampleSize, salt).drop("bands")
+
+  /** [[lshRecallAudit]] over a GRID of banding configs — the tuning
+    * loop the audit exists for, priced as ONE audit: the sample, the
+    * exact-Jaccard truth and the minhash signatures are each computed
+    * once (eager-checkpointed — every grid row consumes all three) and
+    * only the banding + collision join re-run per config. One row per
+    * `bandsGrid` entry, ordered by bands ascending; more/narrower
+    * bands monotonically admit MORE candidate pairs (a b-band
+    * collision implies a 2b-band collision on either half), so recall
+    * rises and precision falls down the rows — the S-curve trade the
+    * grid makes visible. */
+  def lshRecallAuditGrid(df: DataFrame, id: String, text: String,
+                         tau: Double, ngram: Int = 3, numHashes: Int = 128,
+                         bandsGrid: Seq[Int] = Seq(8, 16, 32),
+                         sampleSize: Int = 1000,
+                         salt: String = "graft-audit"): DataFrame = {
     require(sampleSize > 1, "sampleSize must be > 1")
+    require(bandsGrid.nonEmpty && bandsGrid.distinct.size == bandsGrid.size,
+      "bandsGrid must be non-empty with distinct entries")
+    bandsGrid.foreach(b => require(b > 0 && numHashes % b == 0,
+      s"bands ($b) must divide numHashes ($numHashes)"))
     // the sample feeds BOTH the exact path and the sketch path: eager
     // checkpoint so the scan + top-k run once (the multi-consumer rule)
     val sample = df
@@ -645,24 +667,27 @@ object Dedup {
     val truth = jaccardPairs(sample, id, text, tau, ngram,
         maxDocFrequency = None, maxTokenDocs = None)
       .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
-    val cand = lshCandidates(
-        minhashSignatures(sample, id, text, ngram, numHashes), bands,
-        maxBucketSize = None)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+      .localCheckpoint(eager = true)
+    val sigs = minhashSignatures(sample, id, text, ngram, numHashes)
+      .localCheckpoint(eager = true)
     val n = sample.count()
-    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
-      .agg(
-        coalesce(sum(col("__t")), lit(0L)).as("n_true_pairs"),
-        coalesce(sum(col("__c")), lit(0L)).as("n_candidates"),
-        coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_caught"))
-      .select(lit(n).as("n_sample"),
-        col("n_true_pairs"), col("n_candidates"), col("n_caught"),
-        when(col("n_true_pairs") > 0,
-          col("n_caught").cast(DoubleType) / col("n_true_pairs"))
-          .as("recall"),
-        when(col("n_candidates") > 0,
-          col("n_caught").cast(DoubleType) / col("n_candidates"))
-          .as("precision"))
+    bandsGrid.sorted.map { b =>
+      val cand = lshCandidates(sigs, b, maxBucketSize = None)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+      truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("__t")), lit(0L)).as("n_true_pairs"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_candidates"),
+          coalesce(sum(col("__t") * col("__c")), lit(0L)).as("n_caught"))
+        .select(lit(b).as("bands"), lit(n).as("n_sample"),
+          col("n_true_pairs"), col("n_candidates"), col("n_caught"),
+          when(col("n_true_pairs") > 0,
+            col("n_caught").cast(DoubleType) / col("n_true_pairs"))
+            .as("recall"),
+          when(col("n_candidates") > 0,
+            col("n_caught").cast(DoubleType) / col("n_candidates"))
+            .as("precision"))
+    }.reduce(_ union _)
   }
 
   // --------------------------------------------------------------------

@@ -760,4 +760,29 @@ class DedupSpec extends SparkSpec {
     assert(none.getLong(1) === 0L && none.isNullAt(4),
       "recall must be NULL (not NaN) when there are no true pairs")
   }
+
+  test("lshRecallAuditGrid: rows match single audits; candidates and " +
+      "recall monotone in bands") {
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val grid = Dedup.lshRecallAuditGrid(real, "doc_id", "text", tau = 0.5,
+        ngram = 3, numHashes = 64, bandsGrid = Seq(32, 8, 16),
+        sampleSize = 40)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toSeq
+    assert(grid.map(_._1) === Seq(8, 16, 32), "rows ordered by bands asc")
+    // narrower bands can only ADD collisions: a b-band collision means
+    // some width-2w slice agrees fully, so both width-w halves agree
+    val byBands = grid.toMap
+    assert(byBands(8)._2 <= byBands(16)._2 && byBands(16)._2 <= byBands(32)._2,
+      s"candidates must be monotone in bands: $grid")
+    assert(byBands(8)._3 <= byBands(16)._3 && byBands(16)._3 <= byBands(32)._3,
+      s"caught must be monotone in bands: $grid")
+    // each grid row is exactly the single-config audit
+    for (b <- Seq(8, 16, 32)) {
+      val single = Dedup.lshRecallAudit(real, "doc_id", "text", tau = 0.5,
+        ngram = 3, numHashes = 64, bands = b, sampleSize = 40).collect().head
+      assert((single.getLong(1), single.getLong(2), single.getLong(3))
+        === byBands(b), s"grid row bands=$b diverges from single audit")
+    }
+  }
 }
