@@ -123,7 +123,11 @@ object Bench {
       s"\"" + k + "\":" + s }.mkString("{", ",", "}")
     val shuffleTotal = p2.map(_._4._2).sum
     val spillTotal = p2.map(_._4._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"shuffle_write_bytes":$sw,"shuffle_write_total":$shuffleTotal,"spill_bytes":$sp,"spill_total":$spillTotal}""")
+    // Field ORDER matters downstream: the driver artifact keeps only the
+    // last ~2000 chars of stdout, so the bulky per-query dicts go FIRST
+    // and every scalar total goes LAST — round 8's artifact lost
+    // value/failed/pass_ratio because the spill dict trailed them.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged}""")
     spark.stop()
   }
 }

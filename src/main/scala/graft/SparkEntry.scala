@@ -261,16 +261,17 @@ object SparkEntry {
       graft.ext.Dedup.exactSurvivors(Tables.documents(s, dir), "doc_id", "text")),
 
     // --- Dedup: exact trigram-shingle Jaccard similarity join (ground
-    // truth for the sketch path; shared trigrams are sparse so the
-    // candidate join is near-linear — unlike unigrams on this corpus's
-    // 31-word vocabulary, where every token pairs every doc).
-    // (jaccardPairsPrefix exists as the heavy-df scale path; on THIS
-    // corpus shared shingles are sparse and the plain join measured
-    // faster — 11.5s vs 15.7s at sf0.1 — so the simple form is bound.)
+    // truth for the sketch path), bound to the PREFIX-FILTER plan
+    // (ppjoin-family): candidates join only on each doc's rarest
+    // (1-tau)·n shingles, which excludes exactly the hot tokens that
+    // made the naive token join the board's only sf1 spiller (22.3 GB,
+    // 12x for 10x data in round 8). Spec-equal to the naive join
+    // (DedupSpec equivalence anchor); same oracle. At sf0.1 the naive
+    // form is ~4 s faster (shared shingles are sparse there), but the
+    // Σdf² blowup above sf1 is the cost that matters at 100 TB.
     "q16_jaccard_pairs" -> ((s, dir) =>
-      graft.ext.Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          tau = 0.5, ngram = 3, maxDocFrequency = None,
-          maxTokenDocs = None) // oracle-exact: both skew guards off
+      graft.ext.Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id",
+          "text", tau = 0.5, ngram = 3) // exact: prefix filter loses no pair
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // --- Dedup: transitive near-dup CLUSTERS over the exact pairs
@@ -317,6 +318,38 @@ object SparkEntry {
           tau = 0.5, ngram = 3, numHashes = 64, bands = 16,
           maxBucketSize = Some(1000))
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    // --- Dedup: the CHARACTER-shingle near-dup path (CCNet/RefinedWeb
+    // practice) — same md5-affine minhash family and banding as q17,
+    // but shingles are 5-char grams of the whitespace-collapsed text,
+    // the mode that keeps near-dup detection alive on unsegmented
+    // scripts (CJK/Thai), where whitespace tokenization yields ~one
+    // token per run and word-shingled signatures carry no signal
+    // (DedupSpec: planted CJK near-dups are MISSED by word shingles,
+    // CAUGHT by char shingles). Fully DuckDB-oracled via substr-grams.
+    "q127_char_minhash" -> ((s, dir) =>
+      graft.ext.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          tau = 0.5, numHashes = 64, bands = 16, maxBucketSize = Some(1000),
+          mode = graft.ext.Dedup.ShingleMode.Char, charK = 5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    // --- Learned quality classifier (fastText-style hashed-n-gram
+    // linear inference): the main quality filter of modern curation
+    // stacks — one codegen'd dot product per doc (weights ride
+    // addReferenceObj), zero shuffle. Weights here are the md5-derived
+    // demo table so DuckDB regenerates them; real deployments load
+    // offline-trained weights (ClassifierSpec trains/scores separable
+    // planted classes). Score snapped with the shared repr-robust
+    // floor form; keep decided on the RAW score in both engines.
+    "q128_quality_classifier" -> ((s, dir) =>
+      graft.ext.TextAnalysis.classifierScores(
+          Tables.documents(s, dir).filter(col("text").isNotNull),
+          "doc_id", "text",
+          weights = graft.functions.HashedNgramScorer.md5Weights(256),
+          bias = -0.05)
+        .select(col("doc_id"), col("n_features"),
+          graft.functions.Rounding.reprRound6(col("score")).as("score"),
+          col("keep"))),
 
     // --- Dedup: sampled LSH recall/precision audit — "does THIS
     // (numHashes, bands) config even GENERATE the true near-dup pairs
@@ -1474,19 +1507,78 @@ object SparkEntry {
     * buckets, 1000-cap, agreement estimate). `extraWhere` appends to
     * the final pair filter — q89 restricts to pairs touching the batch.
     */
-  private def minhashPairsOracleSql(extraWhere: String = ""): String = {
+  /** The word-trigram shingle CTE pair shared by the q17 oracle (and,
+    * parameterized, the char-gram q127 one). Ends with an `sh(doc_id,
+    * s)` CTE. */
+  private val WordShingleShCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+      |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+      |    ELSE [array_to_string(ts, ' ')] END)) AS s
+      |  FROM toks)""".stripMargin
+
+  /** Character 5-gram shingle CTEs (q127): lowercase, collapse every
+    * whitespace run to one space, trim, then substr-slide — the exact
+    * replay of Dedup.charShingleArray. */
+  private val CharShingleShCtes: String =
+    """nt AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS norm
+      |  FROM documents WHERE text IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN length(norm) >= 5
+      |    THEN [substr(norm, i, 5) FOR i IN range(1, length(norm) - 3)]
+      |    ELSE [norm] END)) AS s
+      |  FROM nt)""".stripMargin
+
+  /** q128 replay: regenerate the md5-derived weight table as a DOUBLE[]
+    * literal, rebuild the ordered feature list (unigrams then adjacent
+    * bigrams — the engine's exact accumulation order), fold bucket
+    * weights with list_aggregate (in-order sum), snap with the shared
+    * floor form. `keep` is decided on the RAW score, as in the engine.
+    */
+  private def classifierOracleSql(buckets: Int = 256,
+                                  bias: Double = -0.05): String = {
+    val w = graft.functions.HashedNgramScorer.md5Weights(buckets)
+      .mkString(", ")
+    s"""WITH wl AS (SELECT CAST([$w] AS DOUBLE[]) AS w),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, ts,
+       |    list_concat(ts,
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS fs
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN len(ts) > 0 THEN 2*len(ts) - 1 ELSE 0 END
+       |      AS BIGINT) AS n_features,
+       |    CASE WHEN len(ts) = 0 THEN $bias
+       |         ELSE $bias + list_aggregate(
+       |             [wl.w[('0x' || substr(md5(x), 1, 8))::BIGINT % $buckets + 1]
+       |              FOR x IN fs], 'sum') / (2*len(ts) - 1)
+       |    END AS raw
+       |  FROM f, wl)
+       |SELECT doc_id, n_features,
+       |  floor(raw * 1e6 + 0.5) / 1e6 AS score,
+       |  CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM s""".stripMargin
+  }
+
+  private def minhashPairsOracleSql(extraWhere: String = "",
+                                    shCtes: String = WordShingleShCtes)
+      : String = {
     // the engine's exact hash family, regenerated from the same code
     val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
       .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
-       |  FROM documents WHERE text IS NOT NULL),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
-       |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
-       |    ELSE [array_to_string(ts, ' ')] END)) AS s
-       |  FROM toks),
+    s"""WITH $shCtes,
        |params(i, a, c) AS (VALUES $ps),
        |hv AS (
        |  SELECT sh.doc_id AS id, p.i,
@@ -2411,6 +2503,8 @@ object SparkEntry {
          |FROM u""".stripMargin
     },
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
+    "q127_char_minhash" -> minhashPairsOracleSql(shCtes = CharShingleShCtes),
+    "q128_quality_classifier" -> classifierOracleSql(),
     "q125_lsh_audit" -> lshAuditOracleSql(),
     "q126_lsh_tuning_grid" -> lshAuditGridOracleSql(Seq(8, 16, 32)),
     "q89_incremental_minhash" ->

@@ -26,27 +26,114 @@ import graft.functions.Rounding.reprRound6
   */
 object Dedup {
 
+  /** Shingle construction mode for the near-dup family (minhash /
+    * Jaccard / simhash). Word shingles carry the most signal per
+    * shingle on space-delimited text, but are nearly BLIND on
+    * unsegmented scripts — a Chinese/Japanese/Thai document whitespace-
+    * tokenizes to ~one giant token per run, so word-shingled
+    * signatures of two near-identical CJK documents share almost
+    * nothing. Character k-grams (k≈5, the CCNet/RefinedWeb practice)
+    * are script-agnostic; [[Auto]] picks per DOCUMENT by script ratio,
+    * so one corpus-wide call handles a mixed multilingual crawl.
+    */
+  sealed trait ShingleMode
+  object ShingleMode {
+    /** n-word shingles over lowercase whitespace tokens (default). */
+    case object Word extends ShingleMode
+    /** k-character shingles over lowercased, whitespace-collapsed
+      * text. */
+    case object Char extends ShingleMode
+    /** Per-document: [[Char]] when ≥ 30% of non-space characters are
+      * in unsegmented scripts (CJK/kana/Hangul/Thai), else [[Word]] —
+      * the existing lang-id signal, computed as one map-side regex. */
+    case object Auto extends ShingleMode
+  }
+
+  /** Character class of scripts where whitespace does not delimit
+    * words: Thai, Hangul jamo + syllables, the CJK block run (radicals
+    * through unified ideographs, incl. kana), compatibility
+    * ideographs. `\x{...}` syntax is identical in Java regex and RE2,
+    * so SQL oracles replay the same class verbatim. */
+  private[ext] val UnsegmentedScriptClass: String =
+    "[\\x{0e00}-\\x{0e7f}\\x{1100}-\\x{11ff}\\x{2e80}-\\x{9fff}" +
+      "\\x{ac00}-\\x{d7af}\\x{f900}-\\x{faff}]"
+
   /** Distinct lowercase whitespace tokens: (id, tok). */
   def tokensDF(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id).as("id"),
         explode(array_distinct(split(lower(col(text)), "[ \\t\\n\\f\\r]+"))).as("tok"))
       .filter(length(col("tok")) > 0)
 
-  /** Word n-gram shingles, distinct per doc: (id, shingle).
-    * Documents shorter than n words contribute their whole text as one
-    * shingle so they can still be compared. NULL-text docs contribute
-    * nothing (they cannot be meaningfully near-dup'd; this also matches
-    * the oracles' `WHERE text IS NOT NULL` — without the filter they'd
-    * get an empty-string shingle and pair with each other).
-    */
-  def shinglesDF(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val nonNull = df.filter(col(text).isNotNull)
-    val sh = when(size(toks) >= n,
+  /** Word n-gram shingle ARRAY (pre-distinct) of a text column:
+    * documents shorter than n words contribute their whole text as one
+    * shingle so they can still be compared. */
+  private def wordShingleArray(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
-    nonNull.select(col(id).as("id"), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Lowercased text with every whitespace run collapsed to one space
+    * and ends trimmed — the char-shingle normalization (whitespace
+    * differences are formatting, not content). */
+  private def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\f\\r]+", " "))
+
+  /** Character k-gram shingle ARRAY (pre-distinct) over the
+    * whitespace-normalized text; shorter documents contribute the
+    * whole normalized text as one shingle. */
+  private def charShingleArray(text: Column, k: Int): Column = {
+    val norm = normText(text)
+    when(length(norm) >= k,
+        transform(sequence(lit(1), length(norm) - (k - 1)),
+          i => norm.substr(i, lit(k))))
+      .otherwise(array(norm))
+  }
+
+  /** Fraction of non-space characters in unsegmented scripts — the
+    * [[ShingleMode.Auto]] per-document switch. One map-side regex
+    * pass; 0.0 for empty text (word mode). */
+  private def unsegmentedRatio(text: Column): Column = {
+    val norm = normText(text)
+    val nonspace = length(translate(norm, " ", ""))
+    val unseg = nonspace -
+      length(translate(regexp_replace(norm, UnsegmentedScriptClass, ""), " ", ""))
+    when(nonspace > 0, unseg.cast(DoubleType) / nonspace).otherwise(lit(0.0))
+  }
+
+  /** Word n-gram shingles, distinct per doc: (id, shingle).
+    * NULL-text docs contribute nothing (they cannot be meaningfully
+    * near-dup'd; this also matches the oracles' `WHERE text IS NOT
+    * NULL` — without the filter they'd get an empty-string shingle and
+    * pair with each other).
+    */
+  def shinglesDF(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.filter(col(text).isNotNull)
+      .select(col(id).as("id"),
+        explode(array_distinct(wordShingleArray(col(text), n))).as("shingle"))
+
+  /** Shingles under an explicit [[ShingleMode]], distinct per doc:
+    * (id, shingle). `n` is the shingle width in MODE units — words for
+    * [[ShingleMode.Word]], characters for [[ShingleMode.Char]];
+    * [[ShingleMode.Auto]] uses `n` words / `charK` characters chosen
+    * per document by [[unsegmentedRatio]] ≥ 0.3. The per-doc branch is
+    * one `when` over two map-side array expressions — no extra pass,
+    * no shuffle, and a mixed corpus never pays both explosions.
+    */
+  def shinglesByModeDF(df: DataFrame, id: String, text: String, n: Int,
+                       mode: ShingleMode, charK: Int = 5): DataFrame = {
+    val t = col(text)
+    val arr = mode match {
+      case ShingleMode.Word => wordShingleArray(t, n)
+      case ShingleMode.Char => charShingleArray(t, charK)
+      case ShingleMode.Auto =>
+        when(unsegmentedRatio(t) >= 0.3, charShingleArray(t, charK))
+          .otherwise(wordShingleArray(t, n))
+    }
+    df.filter(t.isNotNull)
+      .select(col(id).as("id"), explode(array_distinct(arr)).as("shingle"))
   }
 
   // --------------------------------------------------------------------
@@ -140,11 +227,24 @@ object Dedup {
                           onRound: Int => Unit = _ => (),
                           maxDriverEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Null-endpoint edges are dropped BEFORE the size gate so both
+    // size-gated paths see the identical graph (null ids never join —
+    // CLAUDE.md; previously the driver path dropped the whole edge
+    // while the distributed path still labeled the non-null side, a
+    // silent path-dependence on null-id data). A node whose only edge
+    // touches a null id gets no component row; callers treat missing
+    // ids as singleton clusters (the q80 coalesce pattern).
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
 
     // small-graph fast path: one evaluation of the pair stream, capped
     // at maxDriverEdges + 1 rows so an over-budget graph is detected
-    // without collecting it (LocalLimit early-exits per partition)
+    // without collecting it (LocalLimit early-exits per partition).
+    // Driver memory at the 2M default is a few hundred MB of boxed
+    // Rows TRANSIENTLY (the raw payload is 2×8 B/edge; boxing is
+    // ~10×) — sized for a driver provisioned like an executor; an
+    // over-budget probe pays one capped pass before the distributed
+    // path recomputes the stream.
     val capped = fwd.limit(
       math.min(maxDriverEdges, Int.MaxValue - 2L).toInt + 1).collect()
     if (capped.length <= maxDriverEdges) {
@@ -157,12 +257,10 @@ object Dedup {
         r
       }
       capped.foreach { row =>
-        if (!row.isNullAt(0) && !row.isNullAt(1)) { // null ids never join
-          val a = row.getLong(0); val b = row.getLong(1)
-          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
       val labels = new Array[(Long, Long)](parent.size())
       val it = parent.keySet().iterator()
@@ -184,22 +282,25 @@ object Dedup {
     // round-trips add ~0.5 s of pure scheduling latency per round
     // (measured at sf0.1 — 2× the data time), and none of its
     // benefits (skew splits, runtime broadcast) apply to a frame this
-    // regular. Restored in finally — the conf is session-global.
+    // regular. Restored in finally — the conf is SESSION-global, so
+    // this loop is not concurrency-safe on a shared session: a
+    // concurrent query on the same SparkSession runs with AQE off for
+    // the duration, and overlapping connectedComponents calls would
+    // race the save/restore. Run concurrent instances on separate
+    // sessions (`spark.newSession()` — configs are per-session).
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
+    // loop state rides the shared pin pattern (PinnedLoop — one
+    // implementation for this loop and the BPE trainer); release() in
+    // finally so a mid-loop failure (including the fail-loud
+    // non-convergence throw) can never leak the persisted label blocks
+    var loop: PinnedLoop = null
     try {
-
-    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
-      val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = spark.createDataFrame(r, df.schema)
-      out.count() // materialize now, while parents are still persisted
-      (out, r)
-    }
-
-    var (labels, labelsRdd) = pin(
+    loop = PinnedLoop.start(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
+    var labels = loop.current
     // Hops per round, by edge count (cheap — edges is checkpointed):
     // convergence on near-dup graphs is edge-HOP-bound (long chains;
     // measured — doubling pointer JUMPS didn't cut rounds), so a big
@@ -228,32 +329,18 @@ object Dedup {
         .select(col("x.id").as("id"), col("y.component").as("component"))
       // the convergence flag rides INSIDE the pinned frame (one
       // materialization job instead of job + a separate check join);
-      // reading the flag afterwards is a block scan of the pin
-      val (nextAll, nextRdd) = pin(
+      // reading the flag afterwards is a block scan of the fresh pin.
+      // advance() materializes before dropping the previous round and
+      // localCheckpoints every 8th round (the lineage-depth bound —
+      // see PinnedLoop for the measured failure modes)
+      val nextAll = loop.advance(
         j1.join(labels.select(col("id"), col("component").as("__prev")),
             Seq("id"))
           .select(col("id"), col("component"),
             (col("component") =!= col("__prev")).as("__changed")))
       converged = nextAll.filter(col("__changed")).head(1).isEmpty
-      // nextAll is materialized and the check has run: the previous
-      // round's blocks are now unreachable, drop them
-      labelsRdd.unpersist(blocking = false)
-      labelsRdd = nextRdd
+      labels = nextAll.select("id", "component")
       it += 1
-      // persist does NOT truncate RDD lineage: ~10 narrow levels per
-      // round accumulate and task (de)serialization recursion
-      // stack-overflows near round ~25 (measured, sf10 SemDeDup).
-      // Every 8th round a real localCheckpoint truncates — the lc
-      // CHAIN this builds is <= maxIterations/8 links, far below the
-      // ~17-link depth where chained lc re-executes its history
-      // (SCALE.md round 8c); it reads the just-pinned blocks, so the
-      // truncation pass costs one scan of the label table
-      labels =
-        if (it % 8 == 0) {
-          val t = nextAll.select("id", "component").localCheckpoint()
-          labelsRdd.unpersist(blocking = false)
-          t
-        } else nextAll.select("id", "component")
       onRound(it)
     }
     if (!converged)
@@ -261,13 +348,14 @@ object Dedup {
         s"connectedComponents: not converged after $maxIterations rounds " +
           "— double path-halving covers any real graph in far fewer; " +
           "this indicates a logic bug, not a large input")
-    // ONE final localCheckpoint truly truncates lineage so the result
-    // survives the unpersist below and later block eviction can never
-    // cascade a recompute through the loop's RDDs
-    val out = labels.select("id", "component").localCheckpoint()
-    labelsRdd.unpersist(blocking = false)
-    out
-    } finally spark.conf.set(aqeKey, aqePrev)
+    // finish(): ONE final localCheckpoint truly truncates lineage so
+    // the result survives the pin release and later block eviction can
+    // never cascade a recompute through the loop's RDDs
+    loop.finish(_.select("id", "component"))
+    } finally {
+      if (loop != null) loop.release()
+      spark.conf.set(aqeKey, aqePrev)
+    }
   }
 
   // --------------------------------------------------------------------
@@ -298,7 +386,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 1,
                    maxDocFrequency: Option[Double] = Some(0.5),
-                   maxTokenDocs: Option[Long] = Some(1000L)): DataFrame = {
+                   maxTokenDocs: Option[Long] = Some(1000L),
+                   mode: ShingleMode = ShingleMode.Word,
+                   charK: Int = 5): DataFrame = {
     // Keep the hot candidate-pair stream as NARROW as possible: sizes
     // are attached by joining back onto the (small) aggregated pair set,
     // not carried through the explode. The alternative — ride n along on
@@ -308,8 +398,9 @@ object Dedup {
     // sized join-backs. (General rule for similarity joins: move payload
     // AFTER the aggregation, never through it.)
     val t0 =
-      if (ngram <= 1) tokensDF(df, id, text)
-      else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
+      if (mode == ShingleMode.Word && ngram <= 1) tokensDF(df, id, text)
+      else shinglesByModeDF(df, id, text, ngram, mode, charK)
+        .withColumnRenamed("shingle", "tok")
     val tPlan =
       if (maxDocFrequency.isEmpty && maxTokenDocs.isEmpty) t0
       else {
@@ -367,11 +458,14 @@ object Dedup {
     * ones excluded from prefixes.
     */
   def jaccardPairsPrefix(df: DataFrame, id: String, text: String, tau: Double,
-                         ngram: Int = 3): DataFrame = {
+                         ngram: Int = 3,
+                         mode: ShingleMode = ShingleMode.Word,
+                         charK: Int = 5): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
     val t =
-      if (ngram <= 1) tokensDF(df, id, text)
-      else shinglesDF(df, id, text, ngram).withColumnRenamed("shingle", "tok")
+      if (mode == ShingleMode.Word && ngram <= 1) tokensDF(df, id, text)
+      else shinglesByModeDF(df, id, text, ngram, mode, charK)
+        .withColumnRenamed("shingle", "tok")
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc shingles ordered (df asc, tok asc); full array kept for
     // exact verification, prefix exploded for candidate generation
@@ -442,8 +536,10 @@ object Dedup {
     * xxhash64 seeding is not.
     */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-                        ngram: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = shinglesDF(df, id, text, ngram)
+                        ngram: Int = 3, numHashes: Int = 128,
+                        mode: ShingleMode = ShingleMode.Word,
+                        charK: Int = 5): DataFrame = {
+    val sh = shinglesByModeDF(df, id, text, ngram, mode, charK)
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10)
         .cast(LongType) % MinhashPrime)
     val mins: Seq[Column] = minhashParams(numHashes).zipWithIndex.map {
@@ -576,7 +672,9 @@ object Dedup {
                    ngram: Int = 3, numHashes: Int = 128,
                    bands: Int = 32,
                    maxBucketSize: Option[Int] = None,
-                   materializeSignatures: Boolean = true): DataFrame = {
+                   materializeSignatures: Boolean = true,
+                   mode: ShingleMode = ShingleMode.Word,
+                   charK: Int = 5): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a fractional " +
         "band width silently skips signature positions")
@@ -590,7 +688,7 @@ object Dedup {
     // result DataFrame is dropped, where a CacheManager entry stays
     // pinned for the session with no clean unpersist point — long-lived
     // sessions that profile many corpora would accumulate it.
-    val base = minhashSignatures(df, id, text, ngram, numHashes)
+    val base = minhashSignatures(df, id, text, ngram, numHashes, mode, charK)
     val sigs =
       if (materializeSignatures) base.localCheckpoint(eager = true) else base
     estimatePairs(lshCandidates(sigs, bands, maxBucketSize), sigs, tau)
@@ -1025,9 +1123,23 @@ object Dedup {
     * overflow a signed long) — md5 is what lets a SQL oracle replay
     * every fingerprint bit (q18); xxhash64 seeding is engine-private.
     */
-  def simhashDF(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = df.select(col(id).as("id"),
-        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("tok"))
+  def simhashDF(df: DataFrame, id: String, text: String,
+                mode: ShingleMode = ShingleMode.Word,
+                charK: Int = 5): DataFrame = {
+    // feature stream is NON-distinct (simhash weights by frequency);
+    // char mode streams char k-grams so unsegmented scripts carry
+    // per-position signal instead of one giant token per run
+    val t = col(text)
+    val wordFeats = filter(split(lower(t), "[ \\t\\n\\f\\r]+"), x => length(x) > 0)
+    val feats = mode match {
+      case ShingleMode.Word => wordFeats
+      case ShingleMode.Char => charShingleArray(t, charK)
+      case ShingleMode.Auto =>
+        when(unsegmentedRatio(t) >= 0.3, charShingleArray(t, charK))
+          .otherwise(wordFeats)
+    }
+    val toks = df.filter(t.isNotNull)
+      .select(col(id).as("id"), explode(feats).as("tok"))
       .filter(length(col("tok")) > 0)
       .withColumn("lo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
       .withColumn("hi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))
@@ -1082,8 +1194,11 @@ object Dedup {
     * fingerprints through the shared [[hammingPairs64]] banding.
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame =
-    hammingPairs64(simhashDF(df, id, text), "id", "simhash", maxHamming)
+                   maxHamming: Int = 3,
+                   mode: ShingleMode = ShingleMode.Word,
+                   charK: Int = 5): DataFrame =
+    hammingPairs64(simhashDF(df, id, text, mode, charK), "id", "simhash",
+      maxHamming)
 
   // --------------------------------------------------------------------
   // Embedding-cosine near-dup

@@ -263,8 +263,13 @@ object Sampling {
     private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
       s.sortBy { case (k, p) => (-p, k) }.take(n)
     override def zero: CapBuf = CapBuf(Vector.empty)
+    // p + 0.0 maps -0.0 to +0.0 BEFORE Scala's total ordering sees it:
+    // sortBy ranks 0.0 strictly above -0.0, while the spec-pinned
+    // window twin (and SQL oracles) treat signed zeros as equal peers
+    // broken by key — unnormalized, a group holding both zero signs
+    // could select different rows than capPerGroup.
     override def reduce(b: CapBuf, a: (Long, Double)): CapBuf =
-      CapBuf(trim(b.items :+ a))
+      CapBuf(trim(b.items :+ ((a._1, a._2 + 0.0))))
     override def merge(x: CapBuf, y: CapBuf): CapBuf =
       CapBuf(trim(x.items ++ y.items))
     override def finish(r: CapBuf): CapBuf = r

@@ -438,6 +438,36 @@ object TextAnalysis {
         col("ok_length") && col("ok_token_len") && col("ok_punct"))
   }
 
+  /** Learned quality classification — fastText-style hashed-n-gram
+    * linear inference ([[graft.functions.HashedNgramScoreExpr]]): the
+    * MAIN quality filter of modern curation stacks (CCNet/FineWeb
+    * practice), where [[qualityRules]] is the rule-based gate and the
+    * surprisal family the LM gate. Weights come from OFFLINE training
+    * (a one-node logistic regression over hashed bags — not a cluster
+    * job); inference is one codegen'd dot product per document, a
+    * zero-shuffle map-side projection that composes with the Gumbel
+    * draw (q119) for soft quality-weighted sampling.
+    *
+    * Output: (id, n_features, score, keep) — n_features = 2·tokens − 1
+    * (unigrams + adjacent bigrams), score = bias + mean feature
+    * weight (RAW double; snap with Rounding.reprRound6 before any
+    * cross-engine compare), keep = score > 0 as int. Null text → null
+    * score/keep and null n_features.
+    */
+  def classifierScores(df: DataFrame, id: String, text: String,
+                       weights: Array[Double], bias: Double = 0.0): DataFrame = {
+    val lowered = lower(col(text))
+    val toks = filter(split(lowered, "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val score = graft.functions.Classifier.hashedNgramScore(lowered, weights, bias)
+    df.select(
+      col(id),
+      when(col(text).isNotNull,
+        when(size(toks) > 0, size(toks) * 2 - 1).otherwise(0))
+        .cast(LongType).as("n_features"),
+      score.as("score"),
+      (score > 0).cast("int").as("keep"))
+  }
+
   // --------------------------------------------------------------------
   // BPE merge training (tokenizer vocabulary construction)
   // --------------------------------------------------------------------
@@ -548,9 +578,15 @@ object TextAnalysis {
     require(batchSize >= 1, "batchSize must be >= 1")
     val spark = words.sparkSession
     import spark.implicits._
-    var (vocab, vocabRdd) = pinWords(spark, words
+    // per-round word-table state rides the shared PinnedLoop (same
+    // pattern as connectedComponents; release() in finally so a
+    // mid-train failure never leaks the pinned blocks)
+    val loop = PinnedLoop.start(words
       .as[(String, Long)]
-      .map { case (w, f) => (initialSymbols(w), f) })
+      .map { case (w, f) => (initialSymbols(w), f) }
+      .toDF("symbols", "freq"))
+    try {
+    var vocab = loop.current.as[(Seq[String], Long)]
     // the alphabet in play: base graphemes (one aggregation) + each
     // merged symbol as training adds it — vocabulary-scale, driver-held
     // like the merge table itself
@@ -560,7 +596,6 @@ object TextAnalysis {
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
-    var round = 0
     while (rank < numMerges && !exhausted) {
       // candidate window: well past the batch so the strictness
       // boundary is almost always the true next-interacting pair, not
@@ -621,53 +656,20 @@ object TextAnalysis {
           }
         if (selected.nonEmpty) {
           onRound(selected.size)
-          round += 1
           selected.foreach { case (l, r, n) =>
             merges += ((rank, l, r, l + r, n))
             present += (l + r)
             rank += 1
           }
           val toApply = selected.map { case (l, r, _) => (l, r) }
-          val (next, nextRdd) = pinWords(spark, vocab.map { case (syms, f) =>
+          vocab = loop.advance(vocab.map { case (syms, f) =>
             (toApply.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }, f)
-          })
-          // next is materialized: the previous round's blocks are
-          // unreachable, drop them
-          if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
-          if (round % 8 == 0) {
-            // eager lc completes before the pin's blocks are dropped
-            vocab = next.toDF("symbols", "freq").localCheckpoint()
-              .as[(Seq[String], Long)]
-            nextRdd.unpersist(blocking = false)
-            vocabRdd = null
-          } else { vocab = next; vocabRdd = nextRdd }
+          }.toDF("symbols", "freq")).as[(Seq[String], Long)]
         }
       }
     }
-    if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
     merges.result().toDF("rank", "left", "right", "merged", "score")
-  }
-
-  /** Loop-state pin (SCALE.md round 8c) for the BPE trainers' per-round
-    * word table: a per-round cache/checkpoint CHAIN is the iterative
-    * pathology — chained localCheckpoint re-executes its history past
-    * ~17 links, and chained cache grows a plan whose analysis/explain
-    * cost alone is super-linear in rounds (a 32k-vocab train OOMs on
-    * the plan STRING before any data moves). Each round instead
-    * round-trips the table through a persisted RDD (constant plan
-    * depth: createDataFrame over the RDD is a LogicalRDD leaf); the
-    * caller takes a REAL localCheckpoint every 8th round to bound the
-    * RDD-lineage depth task serialization must recurse. */
-  private def pinWords(spark: org.apache.spark.sql.SparkSession,
-                       ds: org.apache.spark.sql.Dataset[(Seq[String], Long)])
-      : (org.apache.spark.sql.Dataset[(Seq[String], Long)],
-         org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    import spark.implicits._
-    val df = ds.toDF("symbols", "freq")
-    val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = spark.createDataFrame(r, df.schema).as[(Seq[String], Long)]
-    out.count() // materialize now, while parents are still persisted
-    (out, r)
+    } finally loop.release()
   }
 
   /** [[bpeTrain]] from a pre-aggregated (word, freq) frame — the
@@ -679,9 +681,12 @@ object TextAnalysis {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = words.sparkSession
     import spark.implicits._
-    var (vocab, vocabRdd) = pinWords(spark, words
+    val loop = PinnedLoop.start(words
       .as[(String, Long)]
-      .map { case (w, f) => (initialSymbols(w), f) })
+      .map { case (w, f) => (initialSymbols(w), f) }
+      .toDF("symbols", "freq"))
+    try {
+    var vocab = loop.current.as[(Seq[String], Long)]
 
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
@@ -700,23 +705,15 @@ object TextAnalysis {
         if (n < 2) rank = numMerges // nothing left worth merging
         else {
           merges += ((rank, l, r, l + r, n))
-          val (next, nextRdd) = pinWords(spark, vocab.map { case (syms, f) =>
+          vocab = loop.advance(vocab.map { case (syms, f) =>
             (applyMerge(syms, l, r), f)
-          })
-          if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
+          }.toDF("symbols", "freq")).as[(Seq[String], Long)]
           rank += 1
-          if (rank % 8 == 0) {
-            // eager lc completes before the pin's blocks are dropped
-            vocab = next.toDF("symbols", "freq").localCheckpoint()
-              .as[(Seq[String], Long)]
-            nextRdd.unpersist(blocking = false)
-            vocabRdd = null
-          } else { vocab = next; vocabRdd = nextRdd }
         }
       }
     }
-    if (vocabRdd != null) vocabRdd.unpersist(blocking = false)
     merges.result().toDF("rank", "left", "right", "merged", "score")
+    } finally loop.release()
   }
 
   /** Oracle-checkable invariant summary of a BPE train+encode round

@@ -7,9 +7,11 @@ import graft.GraftSession
 /** Minimal reproduction of the iterative-localCheckpoint blowup seen in
   * connectedComponents at sf10: constant-size data, constant plan, yet
   * per-iteration wall time doubles after ~15 rounds. Variants:
-  *   lc    — Dataset.localCheckpoint() per iteration (status quo)
-  *   rdd   — round-trip through a persisted RDD + createDataFrame,
-  *           unpersisting the previous iteration after materialization
+  *   lc    — Dataset.localCheckpoint() per iteration (the pathology)
+  *   rdd   — the shared [[graft.ext.PinnedLoop]] pin (flat at any
+  *           depth; its structural invariants are pinned by
+  *           PinnedLoopSpec — this probe remains the manual wall-clock
+  *           demonstration of the cliff the utility exists to avoid)
   */
 object ProbeCkptLoop {
   def main(args: Array[String]): Unit = {
@@ -32,7 +34,7 @@ object ProbeCkptLoop {
       .distinct().localCheckpoint()
     var labels: DataFrame = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    val loop = if (variant == "rdd") graft.ext.PinnedLoop.start(labels) else null
 
     for (it <- 1 to iters) {
       val t0 = System.nanoTime()
@@ -49,17 +51,11 @@ object ProbeCkptLoop {
         .select(col("x.id").as("id"), col("y.component").as("component"))
       labels = variant match {
         case "lc" => joined.localCheckpoint()
-        case "rdd" =>
-          val r = joined.rdd.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val out = spark.createDataFrame(r, joined.schema)
-          out.count() // materialize before dropping the previous blocks
-          prevRdd.foreach(_.unpersist(blocking = false))
-          prevRdd = Some(r)
-          out
+        case "rdd" => loop.advance(joined)
       }
       println(f"[ckptloop] $variant iter $it  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    if (loop != null) loop.release()
     spark.stop()
   }
 }

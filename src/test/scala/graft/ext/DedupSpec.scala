@@ -785,4 +785,92 @@ class DedupSpec extends SparkSpec {
         === byBands(b), s"grid row bands=$b diverges from single audit")
     }
   }
+
+  // --- character-shingle mode (the CJK blind spot, round 9) ----------
+
+  // Two near-identical Chinese documents (only the final clause
+  // differs) plus an unrelated one — no whitespace anywhere, so
+  // whitespace tokenization yields exactly ONE token per document and
+  // every word-shingled comparison is all-or-nothing.
+  private val cjkA =
+    "机器学习模型需要大量高质量的训练数据来提升泛化能力并减少过拟合现象"
+  private val cjkB =
+    "机器学习模型需要大量高质量的训练数据来提升泛化能力并避免过拟合问题"
+  private val cjkC =
+    "今天的晚餐我们准备了西红柿鸡蛋面和一些新鲜的水果沙拉味道很好"
+  private lazy val cjkDocs =
+    Seq((1L, cjkA), (2L, cjkB), (3L, cjkC)).toDF("doc_id", "text")
+
+  test("planted CJK near-dups: word shingles MISS, char shingles CATCH") {
+    // word mode: each doc is one giant token — the near-dup pair
+    // shares zero shingles and no pair survives any tau
+    assert(Dedup.jaccardPairs(cjkDocs, "doc_id", "text", 0.3,
+      maxDocFrequency = None, maxTokenDocs = None).count() === 0)
+    val char = Dedup.jaccardPairs(cjkDocs, "doc_id", "text", 0.3,
+        maxDocFrequency = None, maxTokenDocs = None,
+        mode = Dedup.ShingleMode.Char)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(char === Set((1L, 2L)),
+      s"char shingles must pair exactly the planted near-dup: $char")
+  }
+
+  test("char-shingle minhash catches the CJK pair word minhash misses") {
+    assert(Dedup.minhashPairs(cjkDocs, "doc_id", "text", 0.3, ngram = 3,
+      numHashes = 64, bands = 16).count() === 0)
+    val char = Dedup.minhashPairs(cjkDocs, "doc_id", "text", 0.3,
+        numHashes = 64, bands = 16, mode = Dedup.ShingleMode.Char)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(char === Set((1L, 2L)))
+  }
+
+  test("char-shingle simhash separates CJK near-dups from unrelated") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val char = Dedup.simhashDF(cjkDocs, "doc_id", "text", Dedup.ShingleMode.Char)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = ham(char(1L), char(2L))
+    val far = math.min(ham(char(1L), char(3L)), ham(char(2L), char(3L)))
+    assert(near < far,
+      s"char simhash: near-dup hamming $near must beat unrelated $far")
+    // simhash's hamming<=3 band-collide regime needs a SMALL edited
+    // fraction: a one-char edit in a 4x-longer document perturbs ~5 of
+    // ~120 grams, the re-encode-style duplicate the 4x16 banding must
+    // catch — while word shingling still sees one giant token per doc
+    val longA = cjkA * 4
+    val longB = cjkA * 2 + cjkA.replace('减', '降') + cjkA
+    val longDocs = Seq((1L, longA), (2L, longB), (3L, cjkC * 4))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(longDocs, "doc_id", "text",
+        maxHamming = 3, mode = Dedup.ShingleMode.Char)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"char simhash must band-collide exactly the planted pair: $pairs")
+    assert(Dedup.simhashPairs(longDocs, "doc_id", "text",
+      maxHamming = 3).count() === 0,
+      "word simhash is blind to the planted CJK near-dup")
+  }
+
+  test("auto mode picks char shingles per CJK doc, word per English doc") {
+    val mixed = Seq((1L, base), (2L, cjkA)).toDF("doc_id", "text")
+    val auto = Dedup.shinglesByModeDF(mixed, "doc_id", "text", 3,
+      Dedup.ShingleMode.Auto)
+    val en = auto.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .select("shingle").as[String].collect()
+    val zh = auto.filter(org.apache.spark.sql.functions.col("id") === 2L)
+      .select("shingle").as[String].collect()
+    assert(en.nonEmpty && en.forall(_.split(" ").length == 3),
+      "English doc must get word trigrams")
+    assert(zh.nonEmpty && zh.forall(s => s.length == 5 && !s.contains(" ")),
+      "CJK doc must get 5-char grams")
+  }
+
+  test("auto-mode jaccard catches near-dups in BOTH scripts in one call") {
+    val mixed = Seq((1L, base), (2L, nearDup), (11L, cjkA), (12L, cjkB),
+      (21L, unrelated), (22L, cjkC)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(mixed, "doc_id", "text", 0.3, ngram = 3,
+        maxDocFrequency = None, maxTokenDocs = None,
+        mode = Dedup.ShingleMode.Auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (11L, 12L)),
+      s"one auto call must find the English AND the CJK pair: $pairs")
+  }
 }
