@@ -44,6 +44,7 @@ object SparkEntry {
     * SQL-expressible, so the q120 oracle replays the Hamming pairing
     * over the captured fingerprint table. */
   @volatile private var imageFp120: Option[(Array[(Long, Long)], Int)] = None
+  @volatile private var audioFp130: Option[(Array[(Long, Long)], Int)] = None
   /** (centroids, tau) — q121 SemDeDup replays assignment, within-cell
     * pairing and the keep policy from the captured centroids. */
   @volatile private var semCtrs121
@@ -332,6 +333,51 @@ object SparkEntry {
           tau = 0.5, numHashes = 64, bands = 16, maxBucketSize = Some(1000),
           mode = graft.ext.Dedup.ShingleMode.Char, charK = 5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    // --- URL canonicalization + registrable domain (the op a crawl
+    // corpus needs BEFORE the q123 domain quota makes sense): messy
+    // deterministic URLs synthesized from stable columns in BOTH
+    // engines, then scheme/host case-folding, userinfo + default-port
+    // + fragment stripping, tracking-param removal, bytewise param
+    // sort, PSL-subset domain extraction — all map-side regex/array
+    // expressions, replayed verbatim in the oracle. UrlsSpec pins the
+    // tricky cases (IPv6 brackets, trailing dots, co.uk, bare IPs).
+    "q129_url_canonical" -> ((s, dir) => {
+      val idStr = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(5))
+      val url = when(v === 0, concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".Example.COM:443/Articles/"), idStr,
+          lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(v === 1, concat(lit("http://"), col("source"),
+          lit(".example.co.uk:8080/a/b/c?z=9&utm_campaign=x&y=1")))
+        .when(v === 2, concat(lit("https://user:pass@"), col("source"),
+          lit(".example.org./path/?id="), idStr))
+        .when(v === 3, concat(lit("http://"), col("source"),
+          lit(".example.com:80")))
+        .otherwise(concat(lit("https://192.168."),
+          pmod(col("doc_id"), lit(200)).cast("string"), lit(".1/x?q="), idStr))
+      graft.ext.Urls.withUrlParts(
+        Tables.documents(s, dir).select(col("doc_id"), url.as("url")), "url")
+    }),
+
+    // --- Multimodal: audio-CONTENT dedup — the audio twin of q120.
+    // Every doc becomes a REAL mono 16-bit PCM WAV (ids ≡ 3 mod 7 are
+    // planted RE-ENCODINGS of their predecessor: half sample rate,
+    // half gain — different bytes, different header, same content);
+    // the 65-segment energy-envelope fingerprint is invariant to
+    // resampling and uniform gain, and the shared 4x16-banded Hamming
+    // join pairs the re-encoded duplicates byte digests sail past.
+    // Oracle replays the pairing over the CAPTURED fingerprints.
+    "q130_audio_phash_dedup" -> ((s, dir) => {
+      val media = graft.ext.Multimodal.wavAudioTable(Tables.documents(s, dir))
+      val fp = graft.ext.Multimodal.audioPerceptualHash(media).toDF()
+        .filter(col("afp").isNotNull)
+        .select(col("media_id"), col("afp"))
+        .localCheckpoint(eager = true)
+      audioFp130 = Some((fp.collect()
+        .map(r => (r.getLong(0), r.getLong(1))), 3))
+      graft.ext.Dedup.hammingPairs64(fp, "media_id", "afp", maxHamming = 3)
+    }),
 
     // --- Learned quality classifier (fastText-style hashed-n-gram
     // linear inference): the main quality filter of modern curation
@@ -1572,6 +1618,81 @@ object SparkEntry {
        |FROM s""".stripMargin
   }
 
+  /** q129 replay: rebuild the same messy URLs from (doc_id, source),
+    * then mirror Urls.canonicalizeUrl / registrableDomain step for
+    * step in RE2 + list ops. string_split is literal-delimiter in
+    * DuckDB and regex in Spark — the delimiters here ('&', '.') are
+    * regex-inert, so the splits agree. */
+  private def urlCanonicalOracleSql(): String = {
+    val suffixes = graft.ext.Urls.MultiPartSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    raw"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 5 AS INT)
+       |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) ||
+       |        '.Example.COM:443/Articles/' || CAST(doc_id AS VARCHAR) ||
+       |        '?utm_source=feed&b=2&a=1#frag'
+       |      WHEN 1 THEN 'http://' || source ||
+       |        '.example.co.uk:8080/a/b/c?z=9&utm_campaign=x&y=1'
+       |      WHEN 2 THEN 'https://user:pass@' || source ||
+       |        '.example.org./path/?id=' || CAST(doc_id AS VARCHAR)
+       |      WHEN 3 THEN 'http://' || source || '.example.com:80'
+       |      ELSE 'https://192.168.' || CAST(doc_id % 200 AS VARCHAR) ||
+       |        '.1/x?q=' || CAST(doc_id AS VARCHAR)
+       |    END AS url
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+       |    regexp_extract(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$$', 1) AS hp
+       |  FROM u),
+       |h AS (
+       |  SELECT *,
+       |    regexp_replace(CASE WHEN hp LIKE '[%'
+       |        THEN lower(regexp_extract(hp, '^(\[[^\]]*\])', 1))
+       |        ELSE lower(regexp_extract(hp, '^([^:]*)', 1)) END,
+       |      '\.+$$', '', 'g') AS host,
+       |    regexp_extract(hp, ':([0-9]+)$$', 1) AS port,
+       |    regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+       |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
+       |  FROM p),
+       |c AS (
+       |  SELECT doc_id, url, scheme, host,
+       |    CASE WHEN port = '' OR port = (CASE scheme WHEN 'http' THEN '80'
+       |        WHEN 'https' THEN '443' ELSE '' END)
+       |      THEN '' ELSE ':' || port END AS portsuffix,
+       |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+       |    list_sort(list_filter(string_split(q, '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x,
+       |        '^(utm_[^=]*|fbclid|gclid)(=|$$)'))) AS params
+       |  FROM h),
+       |canon AS (
+       |  SELECT doc_id, url,
+       |    CASE WHEN scheme IN ('http', 'https') AND host <> ''
+       |      THEN scheme || '://' || host || portsuffix || path ||
+       |        CASE WHEN len(params) = 0 THEN ''
+       |             ELSE '?' || array_to_string(params, '&') END
+       |    END AS canonical_url,
+       |    CASE WHEN scheme IN ('http', 'https') AND host <> ''
+       |      THEN host END AS host
+       |  FROM c),
+       |lab AS (SELECT *, string_split(host, '.') AS ls FROM canon)
+       |SELECT doc_id, url, canonical_url, host,
+       |  CASE
+       |    WHEN host IS NULL THEN NULL
+       |    WHEN regexp_matches(host, '^[0-9]+(\.[0-9]+){3}$$')
+       |      OR host LIKE '[%' THEN host
+       |    WHEN len(ls) >= 3 AND list_contains($suffixes,
+       |        ls[-2] || '.' || ls[-1])
+       |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |    WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+       |    ELSE host
+       |  END AS domain
+       |FROM lab""".stripMargin
+  }
+
   private def minhashPairsOracleSql(extraWhere: String = "",
                                     shCtes: String = WordShingleShCtes)
       : String = {
@@ -1805,7 +1926,9 @@ object SparkEntry {
     ivfPq116.map { case (c, b, np, kr) =>
       "q116_ivf_pq" -> ivfPqOracleSql(c, b, np, kr) } ++
     imageFp120.map { case (fp, maxH) =>
-      "q120_image_phash_dedup" -> imagePhashOracleSql(fp, maxH) } ++
+      "q120_image_phash_dedup" -> fingerprintHammingOracleSql(fp, maxH) } ++
+    audioFp130.map { case (fp, maxH) =>
+      "q130_audio_phash_dedup" -> fingerprintHammingOracleSql(fp, maxH) } ++
     semCtrs121.map { case (c, tau) =>
       "q121_semdedup" -> semDedupOracleSql(c, tau) }
 
@@ -1884,8 +2007,12 @@ object SparkEntry {
     * join (banding is exhaustive to Hamming 3 by pigeonhole), and the
     * brute-force form keeps the SQL free of shift-semantics questions.
     */
-  private def imagePhashOracleSql(fp: Array[(Long, Long)],
-                                  maxHamming: Int): String = {
+  /** Shared q120/q130 replay: brute-force Hamming join over CAPTURED
+    * 64-bit fingerprints (image dHash / audio energy hash — the decode
+    * is not SQL-expressible; the capture is the narrow 16 B/row frame
+    * the plan shuffles anyway, collected only to render the oracle). */
+  private def fingerprintHammingOracleSql(fp: Array[(Long, Long)],
+                                          maxHamming: Int): String = {
     val rows = fp.map { case (id, d) => s"($id, $d)" }.mkString(",\n    ")
     s"""WITH fpv(media_id, dhash) AS (VALUES
        |    $rows),
@@ -2505,6 +2632,7 @@ object SparkEntry {
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
     "q127_char_minhash" -> minhashPairsOracleSql(shCtes = CharShingleShCtes),
     "q128_quality_classifier" -> classifierOracleSql(),
+    "q129_url_canonical" -> urlCanonicalOracleSql(),
     "q125_lsh_audit" -> lshAuditOracleSql(),
     "q126_lsh_tuning_grid" -> lshAuditGridOracleSql(Seq(8, 16, 32)),
     "q89_incremental_minhash" ->

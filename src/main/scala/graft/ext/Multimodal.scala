@@ -470,6 +470,170 @@ object Multimodal {
       }
   }
 
+  // --------------------------------------------------------------------
+  // Audio perceptual hashing (content dedup for re-encoded duplicates)
+  // --------------------------------------------------------------------
+
+  /** Chunk-walk shared with [[parseWavHeader]], additionally returning
+    * the data chunk's byte OFFSET (the fingerprint path needs the PCM
+    * bytes, not just their count). */
+  private def wavPcmLocation(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong & 0xffffffffL
+    def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Long)] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+        val channels = le16(i + 10)
+        val rate = le32(i + 12)
+        val bits = le16(i + 22)
+        if (le16(i + 8) == 1 && channels > 0 && rate > 0 && rate <= Int.MaxValue && bits > 0)
+          fmt = Some((channels, rate.toInt, bits))
+      } else if (id == "data") {
+        data = Some((i + 8, math.min(sz, (b.length - i - 8).toLong)))
+      }
+      val step = 8L + sz + (sz & 1L)
+      if (step <= 0 || i + step > Int.MaxValue) i = b.length
+      else i += step.toInt
+    }
+    for { (c, r, bits) <- fmt; (off, len) <- data }
+      yield (c, r, bits, off, len)
+  }
+
+  /** 64-bit energy-envelope fingerprint of a 16-bit PCM WAV payload —
+    * the audio twin of [[perceptualHashes]]: the clip's duration is
+    * cut into 65 equal TIME segments, per-segment energy = mean square
+    * of the (channel-summed) samples, and bit j compares segment j+1
+    * against segment j. Energy RATIOS are what survive re-encoding:
+    * a resampled copy keeps the same per-segment mean square (the
+    * envelope is a function of normalized time, not of sample index)
+    * and a gain change scales every segment equally — so requantized /
+    * resampled duplicates land at Hamming ≈ 0 while byte digests see
+    * unrelated files. None for non-WAV, non-16-bit, or clips shorter
+    * than 65 frames (no stable envelope to compare). Feed through
+    * [[graft.ext.Dedup.hammingPairs64]] — 8 B/clip shuffles, payloads
+    * never move.
+    */
+  private[ext] def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    wavPcmLocation(bytes).flatMap { case (channels, _, bits, off, len) =>
+      val frameBytes = 2 * channels
+      val n = (len / frameBytes).toInt
+      if (bits != 16 || n < 65) None
+      else {
+        val sum2 = new Array[Long](65)
+        val cnt = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          var s = 0L
+          var c = 0
+          val base = off + i * frameBytes
+          while (c < channels) {
+            val lo = bytes(base + 2 * c) & 0xff
+            val hi = bytes(base + 2 * c + 1)
+            s += (hi << 8) | lo // sign-extends through hi
+            c += 1
+          }
+          val seg = (i.toLong * 65 / n).toInt
+          sum2(seg) += s * s
+          cnt(seg) += 1
+          i += 1
+        }
+        var fp = 0L
+        var j = 0
+        while (j < 64) {
+          // mean-square compare; doubles only at the compare (sums are
+          // exact Longs), so a uniform gain factors out exactly
+          if (sum2(j + 1).toDouble / cnt(j + 1) >
+              sum2(j).toDouble / cnt(j)) fp |= 1L << j
+          j += 1
+        }
+        Some(fp)
+      }
+    }
+
+  final case class AudioFp(media_id: Option[Long], afp: Option[Long])
+
+  /** Energy-envelope fingerprints per media row — batched map-side
+    * pass like [[imagePerceptualHash]]; nulls for payloads that are
+    * not decodable 16-bit PCM WAV. */
+  def audioPerceptualHash(media: DataFrame, id: String = "media_id",
+                          content: String = "content",
+                          batchSize: Int = 64): Dataset[AudioFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Option[Long], Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (mid, bytes) =>
+            AudioFp(mid,
+              audioFingerprint(Option(bytes).getOrElse(Array.emptyByteArray)))
+          }
+        }
+      }
+  }
+
+  /** A REAL mono 16-bit PCM WAV (canonical 44-byte header + LE
+    * samples) — parseable by any decoder, including [[parseWavHeader]].
+    */
+  private[ext] def buildWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byte rate = rate * block align
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Per-segment amplitude of the synthetic clip for `seed` — EVEN
+    * values in [2000, 15998] so a 0.5 gain stays integer-exact. */
+  private def audioAmplitude(seed: Long, seg: Int): Int =
+    2 * (1000 + math.floorMod(mix(seed * 9176L + seg * 2654435761L), 7000L).toInt)
+
+  /** Deterministic REAL-audio table derived from `documents`: each doc
+    * becomes a 0.4 s mono 16-bit WAV whose 65-segment amplitude
+    * envelope is a hash of the doc id (square-wave carrier, so segment
+    * energy is amplitude² exactly) — and every id ≡ 3 (mod 7) becomes
+    * a RE-ENCODED duplicate of its predecessor's clip: half the sample
+    * rate, half the gain, same envelope. Byte-level digests (q15) and
+    * even the WAV header fields see different files; the energy
+    * fingerprint must land them at Hamming ≈ 0. The audio twin of
+    * [[bmpImageTable]].
+    */
+  def wavAudioTable(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(id).isNotNull)
+      .select(col(id).cast("long")).as[Long]
+      .map { mid =>
+        val (seed, rate, shift) =
+          if (mid % 7 == 3) (mid - 1, 4000, 1) else (mid, 8000, 0)
+        val n = rate * 2 / 5 // 0.4 s
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val a = audioAmplitude(seed, (i.toLong * 65 / n).toInt) >> shift
+          samples(i) = (if ((i / 8) % 2 == 0) a else -a).toShort
+          i += 1
+        }
+        (mid, buildWav(rate, samples))
+      }.toDF("media_id", "content")
+  }
+
   /** Resize plan: a metadata-level transform (the payload op is the
     * stubbed codec's job; scheduling-wise the operation is the same
     * map-side batch). Keeps aspect metadata consistent.

@@ -268,4 +268,71 @@ class MultimodalSpec extends SparkSpec {
     assert(Dedup.hammingPairs64(fpJunk, "media_id", "dhash", 2)
       .filter($"id_a" === 999999L || $"id_b" === 999999L).count() === 0L)
   }
+
+  // --- audio perceptual fingerprint (round 9) -------------------------
+
+  /** A clip with amplitude envelope `amp(seg)` at the given rate/gain
+    * shift — the spec's own generator, independent of wavAudioTable. */
+  private def clip(rate: Int, secs: Double, shift: Int,
+                   amp: Int => Int): Array[Byte] = {
+    val n = (rate * secs).toInt
+    val samples = Array.tabulate(n) { i =>
+      val a = amp((i.toLong * 65 / n).toInt) >> shift
+      (if ((i / 8) % 2 == 0) a else -a).toShort
+    }
+    Multimodal.buildWav(rate, samples)
+  }
+
+  test("audio fingerprint survives resampling and uniform gain change") {
+    // avalanche-mixed, NOT affine-in-seed: an affine map keeps adjacent
+    // ORDERING across seeds and two "different" clips fingerprint
+    // nearly equal (the CLAUDE.md wrap lesson, re-learned here first)
+    def amp(seed: Long)(seg: Int): Int = {
+      var h = seed * 0x9E3779B97F4A7C15L + seg * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 31; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      2 * (1000 + math.floorMod(h, 7000L).toInt)
+    }
+    val a = clip(8000, 0.4, 0, amp(1L))
+    val resampled = clip(4000, 0.4, 0, amp(1L)) // half rate
+    val quieter = clip(8000, 0.4, 1, amp(1L)) // half gain
+    val both = clip(2000, 0.4, 1, amp(1L))
+    val other = clip(8000, 0.4, 0, amp(2L)) // different content
+    val Some(fa) = Multimodal.audioFingerprint(a)
+    assert(Multimodal.audioFingerprint(resampled) === Some(fa),
+      "resampling must not move the energy-envelope fingerprint")
+    assert(Multimodal.audioFingerprint(quieter) === Some(fa),
+      "uniform gain must factor out of energy ratios")
+    assert(Multimodal.audioFingerprint(both) === Some(fa))
+    val Some(fo) = Multimodal.audioFingerprint(other)
+    assert(java.lang.Long.bitCount(fa ^ fo) > 10,
+      s"distinct clips must not collide: ${java.lang.Long.bitCount(fa ^ fo)}")
+    // the byte level sees four DIFFERENT files
+    assert(Set(a.length, resampled.length).size == 2)
+    // non-audio / truncated payloads: None
+    assert(Multimodal.audioFingerprint("not audio".getBytes) === None)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.buildWav(8000, new Array[Short](10))) === None,
+      "clips shorter than the segment grid have no stable envelope")
+  }
+
+  test("audio phash dedup finds planted re-encoded duplicates end-to-end") {
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.wavAudioTable(real)
+    // payloads are REAL WAVs: header parser agrees with the generator
+    val metaRow = Multimodal.wavHeaderMeta(media).toDF()
+      .filter($"media_id" === 7L).collect().head
+    assert(metaRow.getInt(1) == 1 && metaRow.getInt(2) == 8000 &&
+      metaRow.getInt(3) == 16)
+    val fp = Multimodal.audioPerceptualHash(media).toDF()
+    val pairs = Dedup.hammingPairs64(fp, "media_id", "afp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = real.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ids.filter(i => i % 7 == 3 && ids.contains(i - 1))
+      .map(i => (i - 1, i))
+    assert(pairs.map(p => (p._1, p._2)).toSet === expected,
+      s"got ${pairs.length} pairs, expected ${expected.size}")
+    pairs.foreach { case (_, _, hm) =>
+      assert(hm === 0, "re-encoding must not move the energy envelope")
+    }
+  }
 }
