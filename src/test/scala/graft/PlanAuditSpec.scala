@@ -257,6 +257,37 @@ class PlanAuditSpec extends SparkSpec {
       s"confirm join must stay an equi-join:\n$p")
   }
 
+  test("q128 (quality classifier): one codegen'd projection, zero exchanges") {
+    val p = plan("q128_quality_classifier")
+    assert(exchanges(p) === 0,
+      s"classifier inference must be map-side only:\n$p")
+    // the codegen expression (weights via addReferenceObj) must be the
+    // scorer — a refactor to a UDF or a join-against-weights-table
+    // would both lose the zero-shuffle shape
+    assert(p.contains("hashed_ngram_score"),
+      s"hashed_ngram_score expression missing from the plan:\n$p")
+  }
+
+  test("q129 (url canonical): pure projection, zero exchanges") {
+    assert(exchanges(plan("q129_url_canonical")) === 0,
+      "canonicalization + domain extraction is a map-side projection")
+  }
+
+  test("q127/q130 (char minhash, audio phash): fingerprints pinned once, " +
+      "equi-joins only") {
+    for (q <- Seq("q127_char_minhash", "q130_audio_phash_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate pairing must stay an equi-join:\n$p")
+      // both sides of the pairing must read the eager-checkpointed
+      // signature/fingerprint frame (Scan ExistingRDD), not recompute
+      // the shingle explode / WAV decode per consumer branch
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: pairing must read the pinned fingerprint frame:\n$p")
+    }
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)
