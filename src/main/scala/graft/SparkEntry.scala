@@ -379,6 +379,18 @@ object SparkEntry {
       graft.ext.Dedup.hammingPairs64(fp, "media_id", "afp", maxHamming = 3)
     }),
 
+    // --- Corpus-scale heavy hitters: global top-k bigrams via a
+    // Misra–Gries sketch + exact candidate verification. The exact
+    // q58-style groupBy shuffles one row per DISTINCT n-gram per
+    // partition — billions of keys on a web corpus (Heaps' law); the
+    // sketch path shuffles a constant ≤ capacity entries per partition,
+    // then exact-counts only the surviving candidates. The MG merge
+    // guarantee makes the output provably EQUAL to the brute-force
+    // "HAVING cnt·(capacity+1) > N, top k" the oracle computes.
+    "q131_heavy_hitters" -> ((s, dir) =>
+      graft.ext.Sketches.heavyHitters(Tables.documents(s, dir), "text",
+        k = 20, ngram = 2, capacity = 4096)),
+
     // --- Learned quality classifier (fastText-style hashed-n-gram
     // linear inference): the main quality filter of modern curation
     // stacks — one codegen'd dot product per doc (weights ride
@@ -2943,6 +2955,24 @@ object SparkEntry {
         |  FROM toks)
         |SELECT ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
         |FROM g GROUP BY ngram HAVING count(*) >= 25""".stripMargin,
+    // q131: brute-force replay of the sketch's contract — exact bigram
+    // counts, keep cnt·(capacity+1) > N (integer arithmetic, no float
+    // boundary), top k by (cnt desc, term asc). capacity=4096, k=20
+    // mirror the Spark binding.
+    "q131_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(ts) >= 2
+        |    THEN [array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS term
+        |  FROM toks),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM g)
+        |SELECT term, cnt FROM c, n
+        |WHERE cnt * 4097 > total
+        |ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin,
     "q59_train_test" ->
       """SELECT CASE WHEN substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 4)
         |         < '3333' THEN 'test' ELSE 'train' END AS split,

@@ -288,6 +288,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q131 (heavy hitters): candidate prune is a broadcast semi-join; " +
+      "only candidate terms reach the aggregation shuffle") {
+    val p = plan("q131_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate prune must broadcast, not shuffle the term stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge prune would shuffle the full vocabulary:\n$p")
+    // exactly one term-keyed shuffle (partial->final agg of candidates
+    // only); the sketch pass is an already-executed RDD job outside
+    // this plan. q86 counting convention: formatted explain prints
+    // each node twice.
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      s"expected a single candidate-only aggregation shuffle:\n$p")
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)
