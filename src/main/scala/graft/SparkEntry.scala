@@ -1557,6 +1557,95 @@ object SparkEntry {
       graft.ext.Sampling.shuffleShards(surv, "doc_id", nShards = 4)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
+    }),
+
+    // --- Hybrid retrieval: BM25 top-50 and embedding-cosine top-50
+    // fused by reciprocal rank (RRF, k=60) — lexical + semantic
+    // retrieval without score calibration. Both component retrievers
+    // keep their own scale paths; the fuse is rank arithmetic over
+    // ≤ 100 rows at ANY corpus size (bounded-input contract). Ranks
+    // come off the ROUNDED bm25/cosine with doc_id tiebreaks, so the
+    // cross-engine ranking-key rule holds end-to-end.
+    "q132_rrf_fusion" -> ((s, dir) => {
+      val bm = graft.ext.TextAnalysis.bm25Scores(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "join", "window"))
+      val bmTop = graft.ext.Retrieval.rankTopK(
+          bm, Seq(col("bm25").desc, col("doc_id").asc), 50)
+        .select("doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val cosTop = graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("id").as("doc_id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse(Seq(bmTop, cosTop), Nil, Seq("doc_id"),
+          kRrf = 60, topK = 10)
+        .select(col("doc_id"), col("rank_0").as("rank_bm25"),
+          col("rank_1").as("rank_cos"), col("rrf"), col("fused_rank"))
+    }),
+
+    // --- Leakage-safe train/test split: q17's near-dup pairs → the
+    // transitive closure → the split hash taken over CLUSTER labels,
+    // so near-duplicates can never straddle train/test (q59's doc-hash
+    // split CAN leak a near-copy into test). n_leaky_clusters is the
+    // audited invariant — 0 by construction, and the oracle recomputes
+    // it from scratch. Checkpointed once: the split frame feeds both
+    // the per-split aggregate and the leak audit.
+    "q133_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+      val pairs = graft.ext.Dedup.minhashPairs(docs, "doc_id", "text",
+        tau = 0.5, ngram = 3, numHashes = 64, bands = 16,
+        maxBucketSize = Some(1000))
+      val comps = graft.ext.Dedup.connectedComponents(pairs)
+      val split = graft.ext.Sampling.splitByComponent(
+          docs.select("doc_id", "n_chars"), "doc_id", comps, 0.2, "s1")
+        .localCheckpoint(true)
+      val leaky = split.groupBy("cluster")
+        .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1)
+        .agg(count(lit(1)).as("n_leaky_clusters"))
+      split.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(leaky))
+    }),
+
+    // --- HTML → text extraction: documents wrapped in deterministic
+    // messy HTML (comments, script/style elements with hostile
+    // content, entities — the q129 rebuild-the-mess pattern), then the
+    // regex-layer extractor recovers prose. Zero-shuffle map plan.
+    "q134_html_extract" -> ((s, dir) => {
+      val messy = Tables.documents(s, dir).withColumn("html", concat(
+        lit("<html><head><!-- job "), col("doc_id").cast("string"),
+        lit(" --><script type=\"text/javascript\">if (1 < 2) " +
+          "{ var s = \"</p>\"; }</script><style media=\"all\">" +
+          "p { color: #333; }</style></head><body><h1>"),
+        upper(col("source")),
+        lit("</h1>\n<p>"),
+        replace(col("text"), lit(" value "), lit(" &quot;value&quot; ")),
+        lit("</p>\n<div class=\"footer\">&copy; 2026 &amp; beyond&nbsp;" +
+          "&lt;end&gt;</div></body></html>")))
+      graft.ext.TextAnalysis.htmlToText(messy, "doc_id", "html")
+    }),
+
+    // --- Blocked fuzzy join (entity resolution): dirty part names
+    // (one char dropped / one char appended, key-deterministic)
+    // reconciled against the distinct canonical catalog at edit
+    // distance ≤ 1 — prefix+length blocking keeps the distance calls
+    // inside equi-join blocks, never a cartesian.
+    "q135_fuzzy_join" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val canon = part.select(col("p_name").as("name")).distinct()
+      val dirty = part.select(col("p_partkey"),
+        when(pmod(col("p_partkey"), lit(3)) === 0,
+            col("p_name").substr(lit(1), length(col("p_name")) - 1))
+          .when(pmod(col("p_partkey"), lit(3)) === 1,
+            concat(col("p_name"), lit("s")))
+          .otherwise(col("p_name")).as("dirty_name"))
+      graft.ext.Joins.fuzzyJoinEditDistance(dirty, canon,
+          "dirty_name", "name", maxDist = 1, prefixLen = 4)
+        .select(col("p_partkey"), col("dirty_name"),
+          col("name").as("matched_name"),
+          col("edit_dist").cast("long").as("edit_dist"))
     })
   )
 
@@ -1592,6 +1681,48 @@ object SparkEntry {
       |    THEN [substr(norm, i, 5) FOR i IN range(1, length(norm) - 3)]
       |    ELSE [norm] END)) AS s
       |  FROM nt)""".stripMargin
+
+  /** The q124 BM25 replay as a CTE chain ending in
+    * `bm(doc_id, n_tokens, n_matched, bm25)` — shared by q124 (plain
+    * scoring) and q132 (rank-fused with the cosine retriever). dl, tf,
+    * df, n_docs are exact integers and avgdl an exact integer ratio in
+    * both engines; ln is not correctly rounded, so bm25 carries the
+    * shared 6 dp floor-snap, and the term order of the score sum
+    * matches the Spark literal order (IEEE addition is
+    * order-sensitive). */
+  private val Bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+      |    CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+      |    CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+      |    CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+      |  FROM toks GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM perdoc),
+      |bm AS (
+      |SELECT doc_id, dl AS n_tokens,
+      |  CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      |  floor((
+      |    ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE)
+      |      * 2.2 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+      |    ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE)
+      |      * 2.2 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+      |    ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE)
+      |      * 2.2 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |  ) * 1e6 + 0.5) / 1e6 AS bm25
+      |FROM perdoc, tot
+      |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)""".stripMargin
 
   /** q128 replay: regenerate the md5-derived weight table as a DOUBLE[]
     * literal, rebuild the ordered feature list (unigrams then adjacent
@@ -1705,13 +1836,18 @@ object SparkEntry {
        |FROM lab""".stripMargin
   }
 
-  private def minhashPairsOracleSql(extraWhere: String = "",
-                                    shCtes: String = WordShingleShCtes)
+  /** The minhash near-dup replay as a CTE chain ending in a
+    * `p(id_a, id_b, est_jaccard)` pair CTE — shared by the pair
+    * queries (q17/q89/q127) and the closure consumers (q133's
+    * leakage-safe split, which needs the pairs as a CTE under a
+    * RECURSIVE WITH). */
+  private def minhashPairsCtes(extraWhere: String = "",
+                               shCtes: String = WordShingleShCtes)
       : String = {
     // the engine's exact hash family, regenerated from the same code
     val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
       .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
-    s"""WITH $shCtes,
+    s"""$shCtes,
        |params(i, a, c) AS (VALUES $ps),
        |hv AS (
        |  SELECT sh.doc_id AS id, p.i,
@@ -1728,16 +1864,23 @@ object SparkEntry {
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |  FROM banded x
        |  JOIN ok ON ok.b = x.b AND ok.bucket = x.bucket
-       |  JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id)
-       |SELECT c.id_a, c.id_b,
-       |  round(len(list_filter(generate_series(1, 64),
-       |        j -> sa.sig[j] = sb.sig[j])) / 64.0, 6) AS est_jaccard
-       |FROM cand c
-       |JOIN sig sa ON c.id_a = sa.id
-       |JOIN sig sb ON c.id_b = sb.id
-       |WHERE len(list_filter(generate_series(1, 64),
-       |      j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5$extraWhere""".stripMargin
+       |  JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.id < y.id),
+       |p AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(len(list_filter(generate_series(1, 64),
+       |          j -> sa.sig[j] = sb.sig[j])) / 64.0, 6) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON c.id_a = sa.id
+       |  JOIN sig sb ON c.id_b = sb.id
+       |  WHERE len(list_filter(generate_series(1, 64),
+       |        j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5$extraWhere)""".stripMargin
   }
+
+  private def minhashPairsOracleSql(extraWhere: String = "",
+                                    shCtes: String = WordShingleShCtes)
+      : String =
+    s"""WITH ${minhashPairsCtes(extraWhere, shCtes)}
+       |SELECT id_a, id_b, est_jaccard FROM p""".stripMargin
 
   /** q125's oracle: full replay of [[graft.ext.Dedup.lshRecallAudit]]
     * — md5-ranked 500-doc sample, exact Jaccard truth (q16's CTEs
@@ -2643,6 +2786,124 @@ object SparkEntry {
     },
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
     "q127_char_minhash" -> minhashPairsOracleSql(shCtes = CharShingleShCtes),
+    // q132: the q124 BM25 replay and the q20 cosine replay, each
+    // row_number-ranked on (rounded score DESC, doc_id ASC), top-50
+    // both, full-outer joined, rrf = 1/(60+r_bm25) + 1/(60+r_cos) in
+    // that fixed term order (each term one correctly-rounded IEEE
+    // division — exact, no ln crosses the fuse), fused rank tiebroken
+    // by doc_id.
+    "q132_rrf_fusion" ->
+      s"""WITH $Bm25Ctes,
+         |bmrk AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+         |    AS r FROM bm),
+         |bmtop AS (SELECT doc_id, r FROM bmrk WHERE r <= 50),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |cork AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY
+         |      list_cosine_similarity(v, qv) DESC, doc_id ASC) AS r
+         |  FROM c, q),
+         |cotop AS (SELECT doc_id, r FROM cork WHERE r <= 50),
+         |fused AS (
+         |  SELECT coalesce(b.doc_id, co.doc_id) AS doc_id,
+         |    CAST(b.r AS BIGINT) AS rank_bm25, CAST(co.r AS BIGINT) AS rank_cos,
+         |    coalesce(1.0 / (60.0 + CAST(b.r AS DOUBLE)), 0.0)
+         |      + coalesce(1.0 / (60.0 + CAST(co.r AS DOUBLE)), 0.0) AS rrf
+         |  FROM bmtop b FULL OUTER JOIN cotop co ON b.doc_id = co.doc_id),
+         |rk AS (
+         |  SELECT doc_id, rank_bm25, rank_cos, rrf,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+         |  FROM fused)
+         |SELECT doc_id, rank_bm25, rank_cos,
+         |  floor(rrf * 1e6 + 0.5) / 1e6 AS rrf, fused_rank
+         |FROM rk WHERE fused_rank <= 10""".stripMargin,
+    // q133: q17's pair CTEs + the recursive closure, cluster label =
+    // coalesce(component, doc_id), split = the engine's md5 predicate
+    // over the CLUSTER (0.2 → bound 0x3333), and the leak audit
+    // recomputed from scratch — clusters seen in both splits must
+    // count 0.
+    "q133_leakage_split" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes()},
+         |$ClosureCtes,
+         |d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id IS NOT NULL),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+         |    d.n_chars
+         |  FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sp AS (
+         |  SELECT doc_id, cluster, n_chars,
+         |    CASE WHEN substr(md5('s1' || CAST(cluster AS VARCHAR)), 1, 4)
+         |      < '3333' THEN 'test' ELSE 'train' END AS split
+         |  FROM lab),
+         |leaky AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters
+         |  FROM (SELECT cluster FROM sp GROUP BY cluster
+         |        HAVING count(DISTINCT split) > 1))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, n_leaky_clusters
+         |FROM sp CROSS JOIN leaky
+         |GROUP BY split, n_leaky_clusters""".stripMargin,
+    // q134: rebuild the identical messy HTML (|| propagates NULL like
+    // Spark's concat), then replay the extraction chain — same inline
+    // (?is) RE2 flags, same non-greedy spans, same entity decode ORDER
+    // (&amp; strictly last), same whitespace collapse.
+    "q134_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><!-- job ' || CAST(doc_id AS VARCHAR)
+        |    || ' --><script type="text/javascript">if (1 < 2) '
+        |    || '{ var s = "</p>"; }</script><style media="all">'
+        |    || 'p { color: #333; }</style></head><body><h1>'
+        |    || upper(source)
+        |    || '</h1>' || chr(10) || '<p>'
+        |    || replace(text, ' value ', ' &quot;value&quot; ')
+        |    || '</p>' || chr(10) || '<div class="footer">&copy; 2026 '
+        |    || '&amp; beyond&nbsp;&lt;end&gt;</div></body></html>' AS html
+        |  FROM documents),
+        |e1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+        |e2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+        |  FROM e1),
+        |e3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+        |  FROM e2),
+        |e4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+        |  FROM e3),
+        |e5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+        |  FROM e4),
+        |e6 AS (SELECT doc_id,
+        |  trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS clean_text
+        |  FROM e5)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM e6""".stripMargin,
+    // q135: same key-deterministic perturbation, same prefix+length
+    // blocking predicate (the blocking is part of the operator's
+    // recall contract, so the oracle replays it, not the unblocked
+    // ideal), same classic Levenshtein.
+    "q135_fuzzy_join" ->
+      """WITH canon AS (SELECT DISTINCT p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0
+        |           THEN substr(p_name, 1, length(p_name) - 1)
+        |         WHEN p_partkey % 3 = 1 THEN p_name || 's'
+        |         ELSE p_name END AS dirty_name
+        |  FROM part)
+        |SELECT d.p_partkey, d.dirty_name, c.name AS matched_name,
+        |  CAST(levenshtein(d.dirty_name, c.name) AS BIGINT) AS edit_dist
+        |FROM dirty d JOIN canon c
+        |  ON substr(lower(d.dirty_name), 1, 4) = substr(lower(c.name), 1, 4)
+        | AND abs(length(d.dirty_name) - length(c.name)) <= 1
+        | AND levenshtein(d.dirty_name, c.name) <= 1""".stripMargin,
     "q128_quality_classifier" -> classifierOracleSql(),
     "q129_url_canonical" -> urlCanonicalOracleSql(),
     "q125_lsh_audit" -> lshAuditOracleSql(),
@@ -3390,37 +3651,8 @@ object SparkEntry {
     // 6 dp floor-snap absorbs it. Term order in the score sum matches
     // the Spark literal order (IEEE addition is order-sensitive).
     "q124_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text),
-        |      '[ \t\n\f\r]+'), t -> t <> '')) AS term
-        |  FROM documents),
-        |perdoc AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
-        |    CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
-        |    CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
-        |    CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
-        |  FROM toks GROUP BY 1),
-        |tot AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
-        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        |  FROM perdoc)
-        |SELECT doc_id, dl AS n_tokens,
-        |  CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
-        |       (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
-        |       (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-        |  floor((
-        |    ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * CAST(tf0 AS DOUBLE)
-        |      * 2.2 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
-        |    ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * CAST(tf1 AS DOUBLE)
-        |      * 2.2 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
-        |    ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * CAST(tf2 AS DOUBLE)
-        |      * 2.2 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  ) * 1e6 + 0.5) / 1e6 AS bm25
-        |FROM perdoc, tot
-        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+      s"""WITH $Bm25Ctes
+        |SELECT doc_id, n_tokens, n_matched, bm25 FROM bm""".stripMargin,
     // q123: the skew-safe bounded-heap quota selects EXACTLY what the
     // window formulation selects (spec-pinned), so the oracle replays
     // the window form over the same md5 priority.

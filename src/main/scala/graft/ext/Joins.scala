@@ -117,4 +117,61 @@ object Joins {
       .select(col(key) +: lPayload.map(col) ++:
         rOut.map(c => col(s"__r_filled.$c").as(c)): _*)
   }
+
+  /** Blocked approximate string join: pairs of (left, right) rows whose
+    * key strings are within Levenshtein distance `maxDist` — the entity
+    * resolution / catalog reconciliation primitive (matching dirty
+    * records against canonical names, reconciling titles across
+    * snapshots).
+    *
+    * The naive formulation is a cartesian product with an edit-distance
+    * filter — quadratic in corpus size and unshippable. This is the
+    * standard BLOCKED form: candidates must agree on a cheap invariant
+    * before any distance is computed —
+    *
+    *  - `prefixLen`-char lowercased prefix equality (an equi-join key —
+    *    hash-partitionable, so both sides can be arbitrarily large);
+    *  - length within ±`maxDist` (an edit changes length by ≤ 1), made
+    *    EQUI by exploding the right side once per admissible length
+    *    (2·maxDist+1 rows, constant) instead of a range predicate that
+    *    would force a nested-loop join.
+    *
+    * Levenshtein then runs only inside blocks. RECALL CONTRACT: an edit
+    * inside the first `prefixLen` characters escapes the block and the
+    * pair is missed — the documented trade every blocking scheme makes
+    * (CCNet-style fingerprint blocking has the same property). Callers
+    * needing full recall at maxDist=k run 2 passes with complementary
+    * blocking (prefix + suffix), outside this primitive's scope.
+    *
+    * Skew: blocks are keyed by (prefix, length); a degenerate corpus
+    * (every string "aaaa…") collapses into one block and goes quadratic
+    * — same failure shape as LSH hot buckets, same remedy upstream
+    * (AQE skew-join splits the straggler partition; the pair budget is
+    * the caller's via distinct-ing the canonical side).
+    *
+    * Output: every column of `left`, every column of `right`, plus
+    * `edit_dist` (INT ≤ maxDist). Null keys never match (SQL join
+    * semantics; a null name has no spelling to be near).
+    */
+  def fuzzyJoinEditDistance(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            maxDist: Int, prefixLen: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"fuzzyJoinEditDistance: maxDist >= 0, got $maxDist")
+    require(prefixLen >= 1,
+      s"fuzzyJoinEditDistance: prefixLen >= 1, got $prefixLen")
+    val lBlocked = left
+      .withColumn("__bp", lower(substring(col(leftKey), 1, prefixLen)))
+      .withColumn("__bl", length(col(leftKey)))
+    // right side: one row per admissible LEFT length (|len(l)−len(r)|
+    // ≤ maxDist), so the block key is a plain equi-join key
+    val rBlocked = right
+      .withColumn("__bp", lower(substring(col(rightKey), 1, prefixLen)))
+      .withColumn("__bl",
+        explode(sequence(length(col(rightKey)) - maxDist,
+          length(col(rightKey)) + maxDist)))
+    lBlocked.join(rBlocked, Seq("__bp", "__bl"))
+      .withColumn("edit_dist", levenshtein(col(leftKey), col(rightKey)))
+      .filter(col("edit_dist") <= maxDist)
+      .drop("__bp", "__bl")
+  }
 }

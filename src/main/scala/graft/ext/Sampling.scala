@@ -70,6 +70,48 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-safe train/test split: assign whole NEAR-DUP CLUSTERS to
+    * a split, never individual documents. [[trainTestSplit]] hashes the
+    * document key, so two near-duplicate documents (different keys,
+    * ~same content) can land on opposite sides — and a test set that
+    * contains near-copies of training documents silently inflates every
+    * evaluation run on the model trained from it. Splitting on the
+    * cluster label closes that channel: `components` is an
+    * (id, component) frame — [[Dedup.connectedComponents]] over
+    * minhash/simhash pairs — and the split hash is taken over
+    * `coalesce(component, id)` (docs absent from the closure are their
+    * own singleton clusters), so every member of a cluster shares one
+    * draw by construction.
+    *
+    * Output = `df` + `cluster` (BIGINT) + `split` ('train' | 'test').
+    *
+    * Scale shape: one left equi-join of the corpus against the
+    * docs-sized label frame (no wider than the exact-dedup join) plus
+    * the same map-side md5 predicate as [[trainTestSplit]] — the
+    * near-dup pair generation upstream dominates at any scale, and it
+    * is the caller's (LSH-capped) problem. `keyCol` must be non-null:
+    * a null key cannot be joined to its label (CLAUDE.md null-key
+    * rule), so null-key rows are rejected loudly rather than silently
+    * split at doc granularity.
+    */
+  def splitByComponent(df: DataFrame, keyCol: String, components: DataFrame,
+                       testFraction: Double, salt: String = "graft")
+      : DataFrame = {
+    requireFreeColumns(df, "splitByComponent", "split")
+    requireFreeColumns(df, "splitByComponent", "cluster")
+    val labels = components
+      .select(col("id").as(keyCol), col("component").as("cluster"))
+    df.join(labels, Seq(keyCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(keyCol)))
+      .withColumn("split",
+        when(col(keyCol).isNull,
+          raise_error(lit("splitByComponent: null key — a null id has " +
+            "no cluster label and would silently fall back to " +
+            "doc-granular splitting; assign ids upstream")))
+          .when(sampleExpr(col("cluster"), testFraction, salt), lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** Keep at most `k` rows per group, chosen by `order` (caller supplies
     * deterministic tiebreaks). The standard "cap documents per domain"
     * pipeline op: one shuffle on the group key, rank, filter. At scale,

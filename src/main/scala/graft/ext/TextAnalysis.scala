@@ -1361,4 +1361,58 @@ object TextAnalysis {
     Dedup.shinglesDF(df, id, text, k)
       .groupBy(col("id").as(id))
       .agg(min(pmod(xxhash64(col("shingle")), lit(FpMod))).as("min_fingerprint"))
+
+  // --------------------------------------------------------------------
+  // HTML → text extraction (the step BEFORE every text op on a crawl)
+  // --------------------------------------------------------------------
+
+  /** Named entities [[htmlToText]] decodes, in decode ORDER: every
+    * other entity strictly before `&amp;` — HTML escapes the escape
+    * character, so `&amp;lt;` means the four characters "&lt;", and
+    * decoding `&amp;` first would wrongly double-decode it to "<".
+    * Deliberately a small fixed subset (the five XML entities + nbsp);
+    * numeric character references pass through untouched — documented
+    * contract, not an oversight (a full HTML5 entity table is a
+    * dictionary lookup, not a pipeline-shaping concern). */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** Plain text extracted from raw HTML: drop comments and whole
+    * `<script>`/`<style>` elements (their CONTENT is code, not prose —
+    * a tag-only strip would leak JavaScript into the corpus), strip
+    * remaining tags to a space, decode [[HtmlEntities]], collapse
+    * whitespace runs, trim. The extraction step every crawl-derived
+    * corpus runs before tokenizing/shingling anything; a regex-layer
+    * extractor by design (malformed-HTML recovery à la html5lib is a
+    * parser, not an expression) — unterminated script/style/comment
+    * blocks keep their raw tail, which downstream quality gates
+    * (entropy q96, boilerplate q68) are built to catch.
+    *
+    * Output: `id`, `clean_text`, `n_chars_clean`. NULL html stays NULL
+    * (a missing payload is not an empty page).
+    *
+    * Scale shape: a fixed chain of codegen'd `regexp_replace`/`replace`
+    * passes inside the scan — per-row string work, zero shuffle at any
+    * corpus size, exactly like [[cleanText]]. Patterns use RE2-safe
+    * constructs only (inline `(?is)` flags, non-greedy spans, no
+    * backrefs), so a SQL oracle replays the extraction verbatim.
+    */
+  def htmlToText(df: DataFrame, id: String, html: String): DataFrame = {
+    val noComments =
+      regexp_replace(col(html), "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    val collapsed =
+      trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
+    df.select(col(id), collapsed.as("clean_text"),
+      length(collapsed).cast("long").as("n_chars_clean"))
+  }
 }

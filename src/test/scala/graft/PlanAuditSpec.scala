@@ -133,7 +133,11 @@ class PlanAuditSpec extends SparkSpec {
       "q91_tfidf", "q92_knn", "q97_surprisal",
       "q106_quantize_int8", "q107_bigram_surprisal", "q108_mixture_plan",
       "q112_pq_topk", "q113_ref_surprisal", "q115_pq_refined",
-      "q118_dsir_weights", "q119_dsir_sample", "q124_bm25")
+      "q118_dsir_weights", "q119_dsir_sample", "q124_bm25",
+      // q132: inherits q124's one-row totals broadcast + q20's
+      // broadcast query-vector non-equi join; q133: one-row leak-audit
+      // totals attach — all the documented crossJoin(broadcast) shape
+      "q132_rrf_fusion", "q133_leakage_split")
 
   test("q114 (token chunks): pure map-side, zero exchanges") {
     assert(exchanges(plan("q114_token_chunks")) === 0,
@@ -301,6 +305,29 @@ class PlanAuditSpec extends SparkSpec {
     // each node twice.
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
       s"expected a single candidate-only aggregation shuffle:\n$p")
+  }
+
+  test("q132 (rrf fusion): retriever top-ks are partial TakeOrdered, " +
+      "never a global sort of the scored corpus") {
+    val p = plan("q132_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rankTopK must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q134 (html extract): pure projection, zero exchanges") {
+    assert(exchanges(plan("q134_html_extract")) === 0,
+      "the extraction chain must stay inside the scan")
+  }
+
+  test("q135 (fuzzy join): blocking plans as an equi hash join, " +
+      "never a cartesian distance sweep") {
+    val p = plan("q135_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked fuzzy join must not plan a product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"expected a hash-partitionable equi join on the block key:\n$p")
   }
 
   test("no registered query plans a nested-loop join (allowlist excepted)") {

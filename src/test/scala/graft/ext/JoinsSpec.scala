@@ -2,6 +2,7 @@ package graft.ext
 
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{levenshtein, lower, substring}
 
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
@@ -153,5 +154,60 @@ class JoinsSpec extends SparkSpec {
         s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() === 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("fuzzy join recovers planted tail edits at distance <= 1") {
+    val canon = Seq("blue widget", "red gizmo", "green fixture")
+      .toDF("name")
+    val dirty = Seq(
+      (1L, "blue widge"),    // last char dropped
+      (2L, "red gizmos"),    // char appended
+      (3L, "green fixtura"), // last char substituted
+      (4L, "blue widget"),   // exact (distance 0)
+      (5L, "purple cog")     // no canonical within 1
+    ).toDF("rid", "dirty")
+    val got = Joins.fuzzyJoinEditDistance(dirty, canon, "dirty", "name",
+        maxDist = 1, prefixLen = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3))).toSet
+    assert(got === Set(
+      (1L, "blue widget", 1), (2L, "red gizmo", 1),
+      (3L, "green fixture", 1), (4L, "blue widget", 0)))
+  }
+
+  test("fuzzy join equals the unblocked reference when edits avoid the prefix") {
+    // random-ish strings with a stable 4-char prefix, edits at the tail
+    val names = (0 until 40).map(i => s"name${i}xx${('a' + i % 7).toChar}")
+    val left = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, if (i % 2 == 0) n.dropRight(1) else n) }
+      .toDF("rid", "s")
+    val right = names.toDF("t")
+    val blocked = Joins.fuzzyJoinEditDistance(left, right, "s", "t",
+        maxDist = 1, prefixLen = 4)
+      .select("rid", "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val reference = left.crossJoin(right)
+      .filter(levenshtein($"s", $"t") <= 1)
+      .filter(lower(substring($"s", 1, 4)) === lower(substring($"t", 1, 4)))
+      .select("rid", "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(blocked === reference)
+    assert(blocked.size >= 40) // every row matches at least its source name
+  }
+
+  test("fuzzy join recall contract: an edit inside the prefix is missed") {
+    val canon = Seq("blue widget").toDF("name")
+    val dirty = Seq((1L, "flue widget")).toDF("rid", "dirty") // edit at char 1
+    val got = Joins.fuzzyJoinEditDistance(dirty, canon, "dirty", "name",
+      maxDist = 1, prefixLen = 4)
+    assert(got.count() === 0) // distance 1, but outside the block — documented
+  }
+
+  test("fuzzy join: null keys never match; maxDist=0 is exact equality") {
+    val canon = Seq(Some("alpha"), None).toDF("name")
+    val dirty = Seq((1L, Some("alpha")), (2L, None)).toDF("rid", "dirty")
+    val d1 = Joins.fuzzyJoinEditDistance(dirty, canon, "dirty", "name", 1)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d1 === Set((1L, "alpha")))
+    val d0 = Joins.fuzzyJoinEditDistance(dirty, canon, "dirty", "name", 0)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(d0 === Set((1L, 0)))
   }
 }

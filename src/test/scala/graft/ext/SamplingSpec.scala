@@ -446,4 +446,51 @@ class SamplingSpec extends SparkSpec {
       }.toSet
     assert(viaOp === expected)
   }
+
+  test("splitByComponent: cluster members never straddle the split") {
+    import spark.implicits._
+    val docs = spark.range(0, 2000).toDF("id")
+    // clusters of 4 consecutive ids, chained pairwise (0-1, 1-2, 2-3)
+    val pairs = (0L until 2000L).filter(i => i % 4 != 3)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val s = Sampling.splitByComponent(docs, "id", comps, 0.3, "s1")
+    assert(s.count() === 2000L)
+    val straddlers = s.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddlers === 0L)
+    // cluster label is the component min: 4 members per cluster
+    val sizes = s.groupBy("cluster").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(sizes === Set(4L))
+    // ~30% of CLUSTERS land in test (the draw is per cluster, not per doc)
+    val testClusters = s.filter(col("split") === "test")
+      .select("cluster").distinct().count()
+    assert(testClusters > 100 && testClusters < 200,
+      s"expected ~150 of 500 clusters in test, got $testClusters")
+  }
+
+  test("splitByComponent: docs absent from the closure are singletons " +
+      "and draw exactly like trainTestSplit on their own id") {
+    val docs = spark.range(0, 1000).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val viaComponent = Sampling.splitByComponent(docs, "id", comps, 0.25, "sX")
+      .filter(!col("id").isInCollection(Seq(1L, 2L, 3L)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaKey = Sampling.trainTestSplit(docs, "id", 0.25, "sX")
+      .filter(!col("id").isInCollection(Seq(1L, 2L, 3L)))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaComponent === viaKey)
+  }
+
+  test("splitByComponent rejects null keys loudly") {
+    import spark.implicits._
+    val docs = Seq(Some(1L), Some(2L), None).toDF("id")
+    val comps = Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val ex = intercept[Exception] {
+      Sampling.splitByComponent(docs, "id", comps, 0.5, "s1").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

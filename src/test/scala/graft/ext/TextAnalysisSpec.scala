@@ -764,4 +764,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) === fp(2L)) // min over shared shingles survives the edit
     assert(fp(1L) !== fp(3L))
   }
+
+  private def extractOne(html: String): String =
+    TextAnalysis.htmlToText(Seq((1L, html)).toDF("doc_id", "html"),
+      "doc_id", "html").collect().head.getString(1)
+
+  test("htmlToText drops script/style CONTENT, not just the tags") {
+    val html = "<body><script>var hostile = \"</p> 1 < 2\";</script>" +
+      "<style>p { color: red; }</style><p>real prose</p></body>"
+    assert(extractOne(html) === "real prose")
+  }
+
+  test("htmlToText strips comments and tags to spaces, collapses runs") {
+    val html = "<!-- header\nspanning lines --><h1>Title</h1>\n\n<p>a\tb</p>"
+    assert(extractOne(html) === "Title a b")
+  }
+
+  test("htmlToText decodes entities in order: &amp;lt; means literal &lt;") {
+    assert(extractOne("<p>a &lt; b &amp;&amp; c &gt; d</p>") === "a < b && c > d")
+    // the double-escape: &amp;lt; is the TEXT "&lt;", never "<"
+    assert(extractOne("<p>&amp;lt;</p>") === "&lt;")
+    assert(extractOne("<p>x&nbsp;&nbsp;y &quot;z&quot; &#39;w&apos;</p>")
+      === "x y \"z\" 'w'")
+  }
+
+  test("htmlToText: unknown entities pass through; null stays null") {
+    assert(extractOne("<p>&copy; 2026</p>") === "&copy; 2026")
+    val rows = TextAnalysis.htmlToText(
+      Seq((1L, Option.empty[String]), (2L, Some("<p></p>")))
+        .toDF("doc_id", "html"), "doc_id", "html")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) === null)
+    assert(rows(2L) === "")
+  }
 }
