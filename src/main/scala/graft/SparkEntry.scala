@@ -1646,7 +1646,18 @@ object SparkEntry {
         .select(col("p_partkey"), col("dirty_name"),
           col("name").as("matched_name"),
           col("edit_dist").cast("long").as("edit_dist"))
-    })
+    }),
+
+    // --- Dedup: DIRECTED containment (Broder) — the asymmetric twin
+    // of q16's Jaccard that catches a snippet engulfed by a 100×
+    // larger aggregator page (J ≈ |A|/|B| but containment(A→B) ≈ 1).
+    // Both hot-shingle guards ON (the library default, replayed by the
+    // oracle) — unlike q16, whose exact-twin role needs them off.
+    "q136_containment_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.containmentPairs(Tables.documents(s, dir), "doc_id",
+          "text", tau = 0.8, ngram = 3)
+        .select(col("id_inner"), col("id_outer"),
+          round(col("containment"), 6).as("containment")))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -2885,6 +2896,40 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
         |FROM e6""".stripMargin,
+    // q136: q16's shingle CTEs + the engine's guard replay (bound =
+    // least(0.5·corpus_rows, 1000) shingle-df cap, sizes from the
+    // PRUNED sets), intersections with id_a < id_b computed once and
+    // fanned out to both directed scores.
+    "q136_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+        |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM toks),
+        |bound AS (SELECT least(0.5 * count(*), 1000.0) AS b FROM documents),
+        |keep AS (SELECT s FROM sh0 GROUP BY s
+        |         HAVING count(*) <= (SELECT b FROM bound)),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pw AS (
+        |  SELECT id_a, id_b, i, sa.n AS n_a, sb.n AS n_b
+        |  FROM inter
+        |  JOIN sizes sa ON inter.id_a = sa.doc_id
+        |  JOIN sizes sb ON inter.id_b = sb.doc_id),
+        |d AS (
+        |  SELECT id_a AS id_inner, id_b AS id_outer, i * 1.0 / n_a AS c FROM pw
+        |  UNION ALL
+        |  SELECT id_b, id_a, i * 1.0 / n_b FROM pw)
+        |SELECT id_inner, id_outer, round(c, 6) AS containment
+        |FROM d WHERE c >= 0.8""".stripMargin,
     // q135: same key-deterministic perturbation, same prefix+length
     // blocking predicate (the blocking is part of the operator's
     // recall contract, so the oracle replays it, not the unblocked

@@ -383,6 +383,34 @@ object Dedup {
     * bounded-budget shape as the LSH `capBuckets` guard. Both default
     * guards are on; `None` on both gives textbook-exact Jaccard.
     */
+  /** The (id, tok) stream behind every exact set-similarity op, with
+    * the two hot-token guards applied (shared by [[jaccardPairs]] and
+    * [[containmentPairs]] so the guard semantics can never diverge):
+    * one df aggregation serves both guards; the corpus count is only
+    * paid when the fractional guard needs it. */
+  private def guardedTokenStream(df: DataFrame, id: String, text: String,
+                                 ngram: Int,
+                                 maxDocFrequency: Option[Double],
+                                 maxTokenDocs: Option[Long],
+                                 mode: ShingleMode,
+                                 charK: Int): DataFrame = {
+    val t0 =
+      if (mode == ShingleMode.Word && ngram <= 1) tokensDF(df, id, text)
+      else shinglesByModeDF(df, id, text, ngram, mode, charK)
+        .withColumnRenamed("shingle", "tok")
+    if (maxDocFrequency.isEmpty && maxTokenDocs.isEmpty) t0
+    else {
+      val fracBound = maxDocFrequency.map(f => f * df.count())
+      val bound = (fracBound, maxTokenDocs.map(_.toDouble)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case (a, b) => a.orElse(b).get
+      }
+      val keep = t0.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(bound))
+      t0.join(keep.select("tok"), Seq("tok"), "left_semi")
+    }
+  }
+
   def jaccardPairs(df: DataFrame, id: String, text: String, tau: Double,
                    ngram: Int = 1,
                    maxDocFrequency: Option[Double] = Some(0.5),
@@ -397,24 +425,8 @@ object Dedup {
     // of magnitude, so widening them costs far more than two broadcast-
     // sized join-backs. (General rule for similarity joins: move payload
     // AFTER the aggregation, never through it.)
-    val t0 =
-      if (mode == ShingleMode.Word && ngram <= 1) tokensDF(df, id, text)
-      else shinglesByModeDF(df, id, text, ngram, mode, charK)
-        .withColumnRenamed("shingle", "tok")
-    val tPlan =
-      if (maxDocFrequency.isEmpty && maxTokenDocs.isEmpty) t0
-      else {
-        // one df aggregation serves both guards; the corpus count is
-        // only paid when the fractional guard needs it
-        val fracBound = maxDocFrequency.map(f => f * df.count())
-        val bound = (fracBound, maxTokenDocs.map(_.toDouble)) match {
-          case (Some(a), Some(b)) => math.min(a, b)
-          case (a, b) => a.orElse(b).get
-        }
-        val keep = t0.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= lit(bound))
-        t0.join(keep.select("tok"), Seq("tok"), "left_semi")
-      }
+    val tPlan = guardedTokenStream(df, id, text, ngram,
+      maxDocFrequency, maxTokenDocs, mode, charK)
     // (id, tok) feeds three branches (sizes + both join sides):
     // checkpoint EAGERLY so it computes once. Lazy is NOT enough:
     // Spark submits the sibling consumer stages of one action
@@ -441,6 +453,54 @@ object Dedup {
         col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Directed containment pairs: (id_inner, id_outer, containment)
+    * where containment = |S(inner) ∩ S(outer)| / |S(inner)| ≥ tau over
+    * n-gram shingle sets (Broder's containment, the asymmetric twin of
+    * resemblance). Jaccard is blind to exactly the duplication a crawl
+    * is full of: a snippet quoted inside a 100× larger aggregator page
+    * has J ≈ |A|/|B| ≈ 0.01 but containment(A→B) ≈ 1. This finds the
+    * quoted/engulfed side so curation can drop the redundant copy (or
+    * the aggregator).
+    *
+    * Same scale shape as [[jaccardPairs]] — shared guarded token
+    * stream (both hot-token guards ON by default; pruning shrinks
+    * numerator and denominator together, so guarded containment =
+    * containment of the pruned sets, exactly), narrow (tok, id)
+    * candidate join, sizes attached AFTER aggregation. Each undirected
+    * intersection row fans out to its two directed scores via one
+    * in-plan explode — the pair subtree is computed once, not once per
+    * direction.
+    */
+  def containmentPairs(df: DataFrame, id: String, text: String, tau: Double,
+                       ngram: Int = 3,
+                       maxDocFrequency: Option[Double] = Some(0.5),
+                       maxTokenDocs: Option[Long] = Some(1000L),
+                       mode: ShingleMode = ShingleMode.Word,
+                       charK: Int = 5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val t = guardedTokenStream(df, id, text, ngram,
+        maxDocFrequency, maxTokenDocs, mode, charK)
+      .localCheckpoint(eager = true) // sizes + both join sides
+    val sizes = t.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = t.select(col("id").as("id_a"), col("tok"))
+    val b = t.select(col("id").as("id_b"), col("tok"))
+    val inter = a.join(b, a("tok") === b("tok") && a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val withSizes = inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    withSizes
+      .select(explode(array(
+        struct(col("id_a").as("id_inner"), col("id_b").as("id_outer"),
+          (col("inter").cast(DoubleType) / col("n_a")).as("containment")),
+        struct(col("id_b").as("id_inner"), col("id_a").as("id_outer"),
+          (col("inter").cast(DoubleType) / col("n_b")).as("containment"))))
+        .as("e"))
+      .select(col("e.id_inner").as("id_inner"),
+        col("e.id_outer").as("id_outer"), col("e.containment").as("containment"))
+      .filter(col("containment") >= tau)
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (the ppjoin-family

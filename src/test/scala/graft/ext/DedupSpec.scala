@@ -32,6 +32,57 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containment finds the snippet engulfed by a larger page that " +
+      "jaccard misses") {
+    val snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, snippet),                  // the quoted source
+      (2L, s"$snippet $filler"),      // aggregator: snippet + 40 words
+      (3L, "totally unrelated words here none shared at all")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, "doc_id", "text", tau = 0.9,
+        ngram = 3, maxDocFrequency = None, maxTokenDocs = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every 3-gram of the snippet appears contiguously inside doc 2
+    assert(c((1L, 2L)) === 1.0)
+    // the reverse direction is far below tau: 2's shingles mostly novel
+    assert(!c.contains((2L, 1L)))
+    assert(!c.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // and jaccard at the same tau sees nothing: |A|/|B| ≈ 6/46
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", 0.5, ngram = 3,
+      maxDocFrequency = None, maxTokenDocs = None).count() === 0)
+  }
+
+  test("containment: exact duplicates contain each other (both directions)") {
+    val d = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, "doc_id", "text", tau = 0.99, ngram = 3,
+        maxDocFrequency = None, maxTokenDocs = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c === Map((1L, 2L) -> 1.0, (2L, 1L) -> 1.0))
+  }
+
+  test("containment guards prune hot shingles from numerator AND " +
+      "denominator together") {
+    // the shared boilerplate sentence is in every doc (df = 3 > 0.7*3);
+    // after pruning, docs 1 and 2 are identical -> containment 1.0 both
+    // ways, and doc 3 shares nothing that survives
+    val boiler = "subscribe to our newsletter today"
+    val d = Seq(
+      (1L, s"$boiler unique alpha beta gamma delta"),
+      (2L, s"$boiler unique alpha beta gamma delta"),
+      (3L, s"$boiler other content entirely different")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(d, "doc_id", "text", tau = 0.9, ngram = 3,
+        maxDocFrequency = Some(0.7), maxTokenDocs = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.keySet === Set((1L, 2L), (2L, 1L)))
+    assert(c((1L, 2L)) === 1.0)
+  }
+
   test("doc-frequency pruning keeps identical docs at jaccard 1.0") {
     // 'the'/'and' appear in every doc and get pruned; identical docs must
     // still compare at 1.0 (pruned similarity = similarity of pruned sets)
