@@ -1653,11 +1653,38 @@ object SparkEntry {
     // larger aggregator page (J ≈ |A|/|B| but containment(A→B) ≈ 1).
     // Both hot-shingle guards ON (the library default, replayed by the
     // oracle) — unlike q16, whose exact-twin role needs them off.
+    // Bound to the PREFIX-FILTERED form (spec-equal to the naive
+    // join; 60-bit hashed shingles) on a FIXED doc_id < 5000 slice —
+    // the q77 convention for exact pairwise verification twins, so the
+    // board entry's cost never rescales with sf. Exact containment is
+    // inherently Σ(prefixdf·df) in candidates, and THIS synthetic
+    // corpus (tiny vocabulary, 50k+ mutually-similar docs at sf1+) is
+    // its worst case: naive 29 s / 22.4 GB spill, prefix+hash 22 s /
+    // 7.1 GB at sf1 full-corpus (SCALE.md round 10). Real crawls are
+    // low-overlap and the prefix join stays sparse.
     "q136_containment_pairs" -> ((s, dir) =>
-      graft.ext.Dedup.containmentPairs(Tables.documents(s, dir), "doc_id",
-          "text", tau = 0.8, ngram = 3)
+      graft.ext.Dedup.containmentPairsPrefix(
+          Tables.documents(s, dir).filter(col("doc_id") < 5000),
+          "doc_id", "text", tau = 0.8, ngram = 3)
         .select(col("id_inner"), col("id_outer"),
-          round(col("containment"), 6).as("containment")))
+          round(col("containment"), 6).as("containment"))),
+
+    // --- ANN evaluation harness: recall@10 / MRR / nDCG of the
+    // sign-LSH index (q21's exact config) against the brute-force
+    // truth (q20) — the "is the ANN trade worth it on MY corpus"
+    // report, fully DuckDB-replayed including both rankings. Metric
+    // folds run over SORTED rank lists so no float sum rides shuffle
+    // order.
+    "q137_ann_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+      val truth = graft.ext.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 10)
+      val cand = graft.ext.Similarity.signLshCosineTopK(
+        emb, qs, "vec_id", "embedding", k = 10,
+        tables = 12, nPlanes = 4, dim = 64)
+      graft.ext.Retrieval.rankingMetrics(truth, cand, Seq("qid"), k = 10)
+    })
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -2896,6 +2923,79 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
         |FROM e6""".stripMargin,
+    // q137: q20's truth ranking + q21's sign-LSH candidate ranking
+    // (CTEs inlined with t_/c_ prefixes), then recall/MRR/nDCG with
+    // DCG and IDCG as SEQUENTIAL folds over rank-sorted lists — the
+    // same accumulation order as the engine's aggregate() over
+    // sort_array — and the shared 6 dp floor-snap over the ln's.
+    "q137_ann_metrics" ->
+      """WITH tq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 5),
+        |tc AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings),
+        |tsims AS (SELECT qid, id, list_cosine_similarity(v, qv) AS cosine
+        |          FROM tc, tq WHERE id <> qid),
+        |tr AS (SELECT qid, id, rank FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, id ASC) AS rank FROM tsims)
+        |  WHERE rank <= 10),
+        |signs AS (
+        |  SELECT t.t, p.p, i.i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substring(md5(concat(t.t, ':', p.p, ':', i.i)), 1, 1)) - 1)
+        |        % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(12) t(t), range(4) p(p), range(64) i(i)),
+        |comp AS (
+        |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) i(i)),
+        |dots AS (
+        |  SELECT c.vec_id, s.t, s.p, sum(s.s * c.x) AS d
+        |  FROM comp c JOIN signs s ON c.i = s.i
+        |  GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |ccand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+        |  FROM buckets c JOIN (SELECT * FROM buckets WHERE vec_id < 5) q
+        |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |csims AS (
+        |  SELECT ccand.qid, ccand.id, list_cosine_similarity(a.ve, b.ve) AS cosine
+        |  FROM ccand
+        |  JOIN cv a ON ccand.id = a.vec_id
+        |  JOIN cv b ON ccand.qid = b.vec_id),
+        |ca AS (SELECT qid, id, rank FROM (
+        |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, id ASC) AS rank FROM csims)
+        |  WHERE rank <= 10),
+        |tsz AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth FROM tr GROUP BY 1),
+        |hits AS (SELECT ca.qid, ca.rank FROM ca
+        |         JOIN tr ON tr.qid = ca.qid AND tr.id = ca.id),
+        |hagg AS (SELECT qid, CAST(count(*) AS BIGINT) AS h,
+        |         min(rank) AS min_rank,
+        |         list(CAST(rank AS DOUBLE) ORDER BY rank) AS ranks
+        |         FROM hits GROUP BY 1),
+        |m AS (
+        |  SELECT t.qid, t.n_truth, coalesce(h.h, 0) AS n_hits,
+        |    coalesce(h.h, 0) * 1.0 / least(10, t.n_truth) AS recall,
+        |    coalesce(1.0 / h.min_rank, 0.0) AS mrr,
+        |    CASE WHEN coalesce(h.h, 0) > 0 THEN
+        |      list_aggregate(list_transform(h.ranks,
+        |        r -> 1.0 / (ln(r + 1.0) / ln(2.0))), 'sum')
+        |      / list_aggregate(list_transform(
+        |          generate_series(1, least(10, t.n_truth)),
+        |          i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))), 'sum')
+        |    ELSE 0.0 END AS ndcg
+        |  FROM tsz t LEFT JOIN hagg h ON t.qid = h.qid)
+        |SELECT qid, n_truth, CAST(n_hits AS BIGINT) AS n_hits,
+        |  floor(recall * 1e6 + 0.5) / 1e6 AS recall,
+        |  floor(mrr * 1e6 + 0.5) / 1e6 AS mrr,
+        |  floor(ndcg * 1e6 + 0.5) / 1e6 AS ndcg
+        |FROM m""".stripMargin,
     // q136: q16's shingle CTEs + the engine's guard replay (bound =
     // least(0.5·corpus_rows, 1000) shingle-df cap, sizes from the
     // PRUNED sets), intersections with id_a < id_b computed once and
@@ -2904,13 +3004,14 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 5000),
         |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
         |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
         |    ELSE [array_to_string(ts, ' ')] END)) AS s
         |  FROM toks),
-        |bound AS (SELECT least(0.5 * count(*), 1000.0) AS b FROM documents),
+        |bound AS (SELECT least(0.5 * count(*), 1000.0) AS b
+        |          FROM documents WHERE doc_id < 5000),
         |keep AS (SELECT s FROM sh0 GROUP BY s
         |         HAVING count(*) <= (SELECT b FROM bound)),
         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),

@@ -503,6 +503,79 @@ object Dedup {
       .filter(col("containment") >= tau)
   }
 
+  /** [[containmentPairs]] via PREFIX FILTERING — same results (asserted
+    * in DedupSpec), different candidate generation. Containment is
+    * asymmetric, so the prefix principle applies to the INNER side
+    * only: C(A→B) ≥ tau needs |A∩B| ≥ ⌈tau·|A|⌉, so B must contain one
+    * of A's first |A| − ⌈tau·|A|⌉ + 1 tokens in GLOBAL
+    * rarest-first order — the candidate join is inner-PREFIX ×
+    * outer-FULL, and hot tokens (the Σdf² spill source) sit at the END
+    * of every rarest-first array, so they almost never enter a prefix:
+    * each token t contributes prefixdf(t)·df(t) candidate rows instead
+    * of df(t)², with prefixdf(t) ≈ 0 exactly where df(t) explodes.
+    * Verification is one `array_intersect` over the full sorted
+    * hash arrays.
+    *
+    * Measured at sf1 (50k docs, tau 0.8, default guards) on the
+    * SYNTHETIC bench corpus — which is close to this op's worst case,
+    * a tiny shared vocabulary making every doc pair share shingles:
+    * naive 29.1 s / 22.4 GB spill; prefix over shingle STRINGS 42 s /
+    * 7.1 GB (candidates drop, but wide string arrays ride the verify
+    * shuffle); prefix over 60-bit hashes 22.1 s / 7.1 GB. On a
+    * low-overlap real crawl the prefix join is sparse and the gap
+    * widens; where even that is too hot, exact containment is the
+    * verification twin — sample or slice it (the q136 board binding)
+    * and let LSH near-dup (q17) carry the corpus-wide pass.
+    */
+  def containmentPairsPrefix(df: DataFrame, id: String, text: String,
+                             tau: Double, ngram: Int = 3,
+                             maxDocFrequency: Option[Double] = Some(0.5),
+                             maxTokenDocs: Option[Long] = Some(1000L),
+                             mode: ShingleMode = ShingleMode.Word,
+                             charK: Int = 5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    // Shingles ride as 60-BIT HASHES (15 md5 hex digits — the q17
+    // trick, so any SQL engine regenerates the identical values), not
+    // strings: the candidate join keys, the sorted per-doc arrays, and
+    // the verification intersect all shrink from ~24-byte shingle
+    // strings to 8-byte longs, which is where this operator's shuffle
+    // bytes live. Intersection SIZES are what containment needs, and a
+    // 60-bit space makes a corpus-wide collision ~1e-8 at 10⁷ distinct
+    // shingles — identically in every engine, so oracle compares stay
+    // exact. The guarded stream feeds dfreq + the per-doc arrays + the
+    // outer join side — checkpoint once (multi-consumer rule).
+    val t = guardedTokenStream(df, id, text, ngram,
+        maxDocFrequency, maxTokenDocs, mode, charK)
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("tok"))
+      .localCheckpoint(eager = true)
+    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = t.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
+      .select(col("id"), transform(col("sorted"), s => s.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("plen",
+        (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+      .localCheckpoint(eager = true) // prefixes + both verify sides
+    val prefixes = ordered.select(col("id").as("id_inner"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val cand = prefixes
+      .join(t.select(col("id").as("id_outer"), col("tok")), Seq("tok"))
+      .filter(col("id_inner") =!= col("id_outer"))
+      .select("id_inner", "id_outer").distinct()
+    val setsI = ordered.select(col("id").as("id_inner"),
+      col("toks").as("toks_i"), col("n").as("n_i"))
+    val setsO = ordered.select(col("id").as("id_outer"), col("toks").as("toks_o"))
+    cand.join(setsI, Seq("id_inner")).join(setsO, Seq("id_outer"))
+      .withColumn("containment",
+        size(array_intersect(col("toks_i"), col("toks_o"))).cast(DoubleType) /
+          col("n_i"))
+      .filter(col("containment") >= tau)
+      .select("id_inner", "id_outer", "containment")
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (the ppjoin-family
     * optimization from the distributed set-similarity-join literature,
     * PAPERS.md): order each document's shingles by ascending global

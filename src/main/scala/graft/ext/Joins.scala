@@ -169,9 +169,16 @@ object Joins {
       .withColumn("__bl",
         explode(sequence(length(col(rightKey)) - maxDist,
           length(col(rightKey)) + maxDist)))
+    // thresholded levenshtein: O(maxDist·len) banded DP with early
+    // exit (returns -1 past the bound) instead of the O(len²) full
+    // matrix — the distance call is the blocked join's hot loop, and
+    // almost all candidates exceed the bound, so the early exit is
+    // where the time goes. Exact distance is returned whenever ≤
+    // maxDist, so kept rows are identical to the unthresholded form.
     lBlocked.join(rBlocked, Seq("__bp", "__bl"))
-      .withColumn("edit_dist", levenshtein(col(leftKey), col(rightKey)))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col(leftKey), col(rightKey), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .drop("__bp", "__bl")
   }
 }

@@ -38,6 +38,60 @@ object Retrieval {
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
   }
 
+  /** Retrieval-quality metrics of a candidate ranking against a truth
+    * ranking — the evaluation harness for every ANN index in this repo
+    * (is the LSH/IVF/PQ recall trade actually worth it on MY corpus?).
+    * Inputs carry `queryCols ++ (id, rank)`; both are cut at top-`k`.
+    * Output per query: `n_truth`, `n_hits`, `recall` (hits /
+    * min(k, n_truth)), `mrr` (1/rank of the first true item in the
+    * candidate list, 0 if none), `ndcg` (binary relevance against
+    * truth-membership, log2 discounts, ideal = all truth items packed
+    * at the top). All three snapped to 6 dp with the cross-engine
+    * floor form.
+    *
+    * Cross-engine exactness: the DCG and IDCG float sums NEVER ride a
+    * shuffle-ordered SUM — hit ranks are collected, SORTED, and folded
+    * sequentially (`aggregate` over `sort_array`), and IDCG folds
+    * `sequence(1, …)` the same way, so both engines accumulate in
+    * ascending-rank order; ln is the only non-correctly-rounded op and
+    * the 6 dp snap absorbs it (the q124 rule).
+    *
+    * Scale shape: both inputs are top-k-bounded per query, so every
+    * join and aggregation here is O(queries · k) at any corpus size —
+    * like [[rrfFuse]], all corpus-sized work lives in the retrievers.
+    */
+  def rankingMetrics(truth: DataFrame, cand: DataFrame,
+                     queryCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics: k must be >= 1, got $k")
+    require(queryCols.nonEmpty, "rankingMetrics: queryCols must be non-empty")
+    val qc = queryCols.map(col)
+    val sel = (queryCols :+ "id" :+ "rank").map(col)
+    val tK = truth.filter(col("rank") <= k).select(sel: _*)
+    val cK = cand.filter(col("rank") <= k).select(sel: _*)
+    val tsz = tK.groupBy(qc: _*).agg(count(lit(1)).as("n_truth"))
+    val hits = cK.join(tK.select((queryCols :+ "id").map(col): _*),
+      queryCols :+ "id")
+    val hagg = hits.groupBy(qc: _*).agg(
+      count(lit(1)).as("__h"),
+      min(col("rank")).as("__min_rank"),
+      sort_array(collect_list(col("rank").cast("double"))).as("__ranks"))
+    def gain(r: Column) = lit(1.0) / (log(r + lit(1.0)) / log(lit(2.0)))
+    val dcg = aggregate(col("__ranks"), lit(0.0), (acc, r) => acc + gain(r))
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k.toLong), col("n_truth")).cast("int")),
+      lit(0.0), (acc, i) => acc + gain(i.cast("double")))
+    val r6 = (c: Column) => graft.functions.Rounding.reprRound(c, 6)
+    tsz.join(hagg, queryCols, "left")
+      .withColumn("n_hits", coalesce(col("__h"), lit(0L)))
+      .select(qc ++ Seq(col("n_truth"), col("n_hits"),
+        r6(col("n_hits").cast("double") /
+          least(lit(k.toLong), col("n_truth")).cast("double")).as("recall"),
+        r6(coalesce(lit(1.0) / col("__min_rank").cast("double"), lit(0.0)))
+          .as("mrr"),
+        r6(when(col("n_hits") > 0, dcg / idcg).otherwise(lit(0.0)))
+          .as("ndcg")): _*)
+  }
+
   /** Reciprocal-rank fusion of `rankings` of the same id space: each
     * input carries `queryCols ++ idCols` plus a `rank` column; the
     * fused score of an id is Σ_i 1/(kRrf + rank_i) over the inputs

@@ -136,8 +136,9 @@ class PlanAuditSpec extends SparkSpec {
       "q118_dsir_weights", "q119_dsir_sample", "q124_bm25",
       // q132: inherits q124's one-row totals broadcast + q20's
       // broadcast query-vector non-equi join; q133: one-row leak-audit
-      // totals attach — all the documented crossJoin(broadcast) shape
-      "q132_rrf_fusion", "q133_leakage_split")
+      // totals attach; q137: composes q20's truth retriever directly —
+      // all the documented crossJoin(broadcast) shape
+      "q132_rrf_fusion", "q133_leakage_split", "q137_ann_metrics")
 
   test("q114 (token chunks): pure map-side, zero exchanges") {
     assert(exchanges(plan("q114_token_chunks")) === 0,

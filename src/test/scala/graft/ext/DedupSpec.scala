@@ -83,6 +83,33 @@ class DedupSpec extends SparkSpec {
     assert(c((1L, 2L)) === 1.0)
   }
 
+  test("containmentPairsPrefix ≡ containmentPairs (row-identical, " +
+      "guards on and off)") {
+    // overlapping word soup: every doc shares a sliding window with its
+    // neighbors, plus planted exact dups and an engulfed snippet
+    val words = (0 until 60).map(i => s"w${i % 23}")
+    val d = ((0 until 30).map { i =>
+      (i.toLong, words.slice(i % 18, i % 18 + 12 + i % 5).mkString(" "))
+    } ++ Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta plus extra tail words here"),
+      (102L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    for (guards <- Seq(true, false)) {
+      val mdf = if (guards) Some(0.5) else None
+      val mtd = if (guards) Some(1000L) else None
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+      val naive = Dedup.containmentPairs(d, "doc_id", "text", tau = 0.7,
+        ngram = 3, maxDocFrequency = mdf, maxTokenDocs = mtd)
+        .collect().map(key).toSet
+      val prefix = Dedup.containmentPairsPrefix(d, "doc_id", "text", tau = 0.7,
+        ngram = 3, maxDocFrequency = mdf, maxTokenDocs = mtd)
+        .collect().map(key).toSet
+      assert(prefix === naive, s"guards=$guards")
+      assert(naive.nonEmpty)
+    }
+  }
+
   test("doc-frequency pruning keeps identical docs at jaccard 1.0") {
     // 'the'/'and' appear in every doc and get pruned; identical docs must
     // still compare at 1.0 (pruned similarity = similarity of pruned sets)

@@ -48,6 +48,29 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq(5L, 7L))
   }
 
+  test("rankingMetrics: hand-computed recall/mrr/ndcg; no-hit query zeroes") {
+    val truth = Seq(
+      ("a", 1L, 1), ("a", 2L, 2), ("a", 3L, 3), ("a", 4L, 4),
+      ("b", 1L, 1), ("b", 2L, 2)
+    ).toDF("q", "id", "rank")
+    val cand = Seq(
+      ("a", 3L, 1), ("a", 9L, 2), ("a", 1L, 3), ("a", 8L, 4), ("a", 7L, 5),
+      ("b", 5L, 1), ("b", 6L, 2)
+    ).toDF("q", "id", "rank")
+    val m = Retrieval.rankingMetrics(truth, cand, Seq("q"), k = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // query a: hits 3@1 and 1@3 -> dcg = 1/log2(2) + 1/log2(4);
+    // idcg over min(5, 4) ideal positions
+    val dcg = 1.0 / log2(2.0) + 1.0 / log2(4.0)
+    val idcg = (1 to 4).map(i => 1.0 / log2(i + 1.0)).sum
+    assert(m("a") === ((4L, 2L, snap6(2.0 / 4.0), snap6(1.0), snap6(dcg / idcg))))
+    assert(m("b") === ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("rrfFuse partitions fused ranks per query") {
     val a = Seq(("q1", 10L, 1), ("q2", 20L, 1)).toDF("q", "id", "rank")
     val b = Seq(("q1", 10L, 3), ("q2", 21L, 1)).toDF("q", "id", "rank")
