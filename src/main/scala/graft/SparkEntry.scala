@@ -1684,6 +1684,25 @@ object SparkEntry {
         emb, qs, "vec_id", "embedding", k = 10,
         tables = 12, nPlanes = 4, dim = 64)
       graft.ext.Retrieval.rankingMetrics(truth, cand, Seq("qid"), k = 10)
+    }),
+
+    // --- Z-order layout audit: Morton-interleave (custkey, order day)
+    // and report per-bucket extents — files written in this order
+    // carry tight min/max on BOTH dimensions, the layout that lets a
+    // 100 TB scan prune on either filter. Pure integer bit math, one
+    // aggregation; the rectangle bound itself is pinned in LayoutSpec.
+    "q138_zorder_layout" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+      graft.ext.Layout.zOrderBuckets(o, "o_custkey", "d",
+          bits = 21, bucketShift = 20)
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("cust_min"),
+          max(col("o_custkey")).as("cust_max"),
+          min(col("d")).as("day_min"),
+          max(col("d")).as("day_max"))
     })
   )
 
@@ -2923,6 +2942,22 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
         |FROM e6""".stripMargin,
+    // q138: the Morton interleave replayed as the same fixed-order
+    // 64-bit integer fold (shifts/masks/adds are exact in any engine);
+    // order day = CAST to DATE minus epoch, the q41/q66 convention.
+    "q138_zorder_layout" ->
+      """WITH z AS (
+        |  SELECT o_custkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+        |    CAST(list_sum(list_transform(generate_series(0, 20), i ->
+        |      (((o_custkey >> i) & 1) << (2 * i)) +
+        |      ((((CAST(o_orderdate AS DATE) - DATE '1970-01-01') >> i) & 1)
+        |        << (2 * i + 1)))) AS BIGINT) AS zvalue
+        |  FROM orders)
+        |SELECT zvalue >> 20 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_custkey) AS cust_min, max(o_custkey) AS cust_max,
+        |  CAST(min(d) AS INT) AS day_min, CAST(max(d) AS INT) AS day_max
+        |FROM z GROUP BY 1""".stripMargin,
     // q137: q20's truth ranking + q21's sign-LSH candidate ranking
     // (CTEs inlined with t_/c_ prefixes), then recall/MRR/nDCG with
     // DCG and IDCG as SEQUENTIAL folds over rank-sorted lists — the

@@ -595,10 +595,22 @@ object Dedup {
                          mode: ShingleMode = ShingleMode.Word,
                          charK: Int = 5): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
-    val t =
+    // Shingles ride as 60-bit md5-derived hashes from here on (the
+    // [[containmentPairsPrefix]] rationale: candidate join keys and
+    // the verify arrays shrink from ~24-byte strings to 8-byte longs,
+    // which is where this op's shuffle bytes live; the 60-bit space
+    // keeps corpus-wide collisions ~1e-8 and IDENTICAL in any SQL
+    // engine, so oracle compares stay exact). Checkpointed eagerly:
+    // the stream feeds dfreq + the array build, and the arrays feed
+    // prefixes + both verify sides (multi-consumer rule).
+    val t0 =
       if (mode == ShingleMode.Word && ngram <= 1) tokensDF(df, id, text)
       else shinglesByModeDF(df, id, text, ngram, mode, charK)
         .withColumnRenamed("shingle", "tok")
+    val t = t0.select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("tok"))
+      .localCheckpoint(eager = true)
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc shingles ordered (df asc, tok asc); full array kept for
     // exact verification, prefix exploded for candidate generation
@@ -609,6 +621,7 @@ object Dedup {
       .withColumn("n", size(col("toks")))
       .withColumn("plen",
         (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+      .localCheckpoint(eager = true)
     val prefixes = ordered.select(col("id"), col("n"),
       explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
     val a = prefixes.select(col("id").as("id_a"), col("tok"))
