@@ -270,8 +270,15 @@ object SparkEntry {
     // (DedupSpec equivalence anchor); same oracle. At sf0.1 the naive
     // form is ~4 s faster (shared shingles are sparse there), but the
     // Σdf² blowup above sf1 is the cost that matters at 100 TB.
+    // Exact verification twin bound on a FIXED doc_id < 50000 slice
+    // (the whole corpus at sf ≤ 1; 10% at sf10): exact pairwise
+    // Jaccard over the full 500k-doc sf10 corpus stalled the driver
+    // heartbeat for 3 minutes mid-run (SCALE.md round 10) — the
+    // corpus-wide pass is q17/q127's LSH job, and this entry's job is
+    // verifying it, which a fixed slice does at any sf.
     "q16_jaccard_pairs" -> ((s, dir) =>
-      graft.ext.Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id",
+      graft.ext.Dedup.jaccardPairsPrefix(
+          Tables.documents(s, dir).filter(col("doc_id") < 50000), "doc_id",
           "text", tau = 0.5, ngram = 3) // exact: prefix filter loses no pair
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -2673,7 +2680,9 @@ object SparkEntry {
         |SELECT tok, count(*) AS occurrences,
         |  count(DISTINCT doc_id) AS doc_freq
         |FROM toks GROUP BY tok HAVING count(*) >= 100""".stripMargin,
-    "q16_jaccard_pairs" -> jaccardPairsSql(),
+    // doc_id < 50000 mirrors the board binding's fixed slice (a no-op
+    // at the driver's sf0.01)
+    "q16_jaccard_pairs" -> jaccardPairsSql(" AND doc_id < 50000"),
     "q80_canonical" ->
       s"""WITH RECURSIVE p AS (${jaccardPairsSql(" AND doc_id < 500")}),
          |$ClosureCtes,

@@ -17,4 +17,5 @@ exec java \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_GRAFT_HEAP:-8g}" \
+  ${SPARK_GRAFT_JAVA_OPTS} \
   -cp "/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes:/opt/spark/jars/*" "$MAIN" "$@"
