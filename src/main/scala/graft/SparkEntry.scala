@@ -1710,6 +1710,90 @@ object SparkEntry {
           max(col("o_custkey")).as("cust_max"),
           min(col("d")).as("day_min"),
           max(col("d")).as("day_max"))
+    }),
+
+    // --- KMV / theta distinct sketch: "how much vocabulary do these
+    // two corpus slices share?" from two k-long bottom-k sketches
+    // (treeAggregate, nothing value-keyed shuffles), every estimate
+    // beside its exact verification twin — the q125/q131 audit
+    // convention. The 60-bit md5 universe + exact-double estimator
+    // arithmetic replay verbatim in DuckDB (bottom-k = ORDER BY h
+    // LIMIT k).
+    "q139_kmv_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = graft.ext.Sketches.termHashes(
+        docs.filter(col("doc_id") % 2 === 0), "text", ngram = 3)
+      val b = graft.ext.Sketches.termHashes(
+        docs.filter(col("doc_id") % 2 === 1), "text", ngram = 3)
+      graft.ext.Sketches.kmvCompare(a, b, "h", k = 256)
+    }),
+
+    // --- Classifier operating-point sweep: precision/recall/F1 of the
+    // hashed-n-gram scorer (q128) at each candidate keep-threshold,
+    // measured against the rule gate (q70) as the truth signal — the
+    // table a curation stack actually picks its threshold from. One
+    // scan × tiny broadcast threshold list; sweeping happens on the
+    // SNAPPED score (raw-double cuts let a one-ulp engine disagreement
+    // flip a count — the rounded-ranking-key rule).
+    "q140_classifier_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.ext.TextAnalysis.classifierScores(
+          docs.filter(col("text").isNotNull), "doc_id", "text",
+          weights = graft.functions.HashedNgramScorer.md5Weights(256),
+          bias = -0.05)
+        .select(col("doc_id"),
+          graft.functions.Rounding.reprRound6(col("score")).as("score"))
+      // maxTokens=60 (NOT q70's 500): at the oracle SFs the corpus is
+      // 10-99 tokens/doc, so the 500 cap labels EVERYTHING keep and the
+      // sweep's fp/tn columns never exercise — a truth that splits is
+      // the point of the report.
+      val truth = graft.ext.TextAnalysis.qualityRules(
+          docs.filter(col("text").isNotNull), "doc_id", "text",
+          minTokens = 10L, maxTokens = 60L,
+          minAvgTokenLen = 2.0, maxAvgTokenLen = 10.0,
+          maxPunctRatio = 0.05)
+        .select(col("doc_id"), col("keep").as("label"))
+      graft.ext.TextAnalysis.thresholdSweep(
+          scored.join(truth, Seq("doc_id")), "score", "label",
+          Seq(-0.1, -0.075, -0.05, -0.025, 0.0, 0.025))
+        .orderBy("threshold")
+    }),
+
+    // --- Layout pruning audit: the number that justifies q138's
+    // z-order — for each workload predicate, files that must be READ
+    // (min/max overlap) under z-order vs linear-by-custkey vs
+    // linear-by-date layouts of the same orders table. ONE scan
+    // (each row explodes to its three (layout,bucket) keys map-side,
+    // partial agg collapses to O(files) rows pre-shuffle) + a second
+    // partial-agg scan for the layout-independent exact answer;
+    // predicate list is a broadcast literal. Pure integer arithmetic
+    // + one snapped ratio → verbatim DuckDB replay.
+    "q141_pruning_audit" -> ((s, dir) => {
+      import graft.ext.Layout
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("d"))
+      Layout.pruningAudit(o, "o_custkey", "d",
+          bits = 21, bucketShift = 20, xShift = 6, yShift = 5,
+          preds = Seq(
+            Layout.RangePred(1, 64, 127, 8100, 8291),   // both-dim box
+            Layout.RangePred(2, 64, 127, 0, 2097151),   // custkey-only
+            Layout.RangePred(3, 0, 2097151, 8100, 8291),// date-only
+            Layout.RangePred(4, 256, 271, 9000, 9063))) // tight box
+        .orderBy("pred_id", "layout")
+    }),
+
+    // --- Exact mutual-marked kNN graph on the fixed 500-vector slice
+    // (the q77 exact-pairwise convention: the corpus-scale path is
+    // knnGraphLsh, recall-audited against this in SimilaritySpec).
+    // Edges ride the bounded-heap Aggregator — ≤ k rows per node per
+    // partition shuffle, never the n² candidate stream; the mutual
+    // mark is a self-join of the n·k edge list.
+    "q142_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      graft.ext.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .select(col("src"), col("dst"),
+          round(col("cosine"), 6).as("cosine"), col("rank"), col("mutual"))
     })
   )
 
@@ -1823,6 +1907,88 @@ object SparkEntry {
        |  floor(raw * 1e6 + 0.5) / 1e6 AS score,
        |  CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM s""".stripMargin
+  }
+
+  /** q140 replay: q128's snapped score CTEs + q70's rule-gate truth,
+    * inner-joined, swept over the DOUBLE-cast threshold list (a bare
+    * decimal list literal would type DECIMAL and change the compare
+    * semantics); tp/fp/fn/tn as exact integers, ratios and F1 with the
+    * shared floor-snap, F1 folded from the SNAPPED precision/recall in
+    * the engine's exact double order. */
+  private def classifierSweepOracleSql(buckets: Int = 256,
+                                       bias: Double = -0.05): String = {
+    val w = graft.functions.HashedNgramScorer.md5Weights(buckets)
+      .mkString(", ")
+    s"""WITH wl AS (SELECT CAST([$w] AS DOUBLE[]) AS w),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, ts,
+       |    list_concat(ts,
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS fs
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    floor((CASE WHEN len(ts) = 0 THEN $bias
+       |         ELSE $bias + list_aggregate(
+       |             [wl.w[('0x' || substr(md5(x), 1, 8))::BIGINT % $buckets + 1]
+       |              FOR x IN fs], 'sum') / (2*len(ts) - 1)
+       |    END) * 1e6 + 0.5) / 1e6 AS s
+       |  FROM f, wl),
+       |qt AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |         x -> x <> '')) AS DOUBLE) AS n_tokens,
+       |    CAST(list_sum(list_transform(list_filter(
+       |         string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+       |         x -> length(x))) AS DOUBLE) AS tok_chars,
+       |    length(text) * 1.0 AS n_chars,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 AS punct
+       |  FROM documents WHERE text IS NOT NULL),
+       |lab AS (
+       |  SELECT doc_id,
+       |    ((n_tokens >= 10 AND n_tokens <= 60)
+       |      AND ((CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+       |            ELSE 0.0 END) >= 2.0
+       |       AND (CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+       |            ELSE 0.0 END) <= 10.0)
+       |      AND ((CASE WHEN n_chars > 0 THEN punct / n_chars
+       |            ELSE 0.0 END) <= 0.05)) AS y
+       |  FROM qt),
+       |j AS (SELECT s, y FROM sc JOIN lab USING (doc_id)
+       |      WHERE s IS NOT NULL AND y IS NOT NULL),
+       |th AS (SELECT unnest(CAST([-0.1, -0.075, -0.05, -0.025, 0.0, 0.025]
+       |       AS DOUBLE[])) AS threshold),
+       |c AS (
+       |  SELECT threshold,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN s >= threshold AND y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN s >= threshold AND NOT y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN s < threshold AND y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN s < threshold AND NOT y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn
+       |  FROM j, th GROUP BY threshold),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN tp + fp > 0 THEN
+       |      floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1e6 + 0.5)
+       |        / 1e6 END AS "precision",
+       |    CASE WHEN tp + fn > 0 THEN
+       |      floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1e6 + 0.5)
+       |        / 1e6 END AS recall
+       |  FROM c)
+       |SELECT threshold, n, tp, fp, fn, tn, "precision", recall,
+       |  CASE WHEN "precision" IS NOT NULL AND recall IS NOT NULL
+       |      AND "precision" + recall > 0
+       |    THEN floor(2.0 * "precision" * recall / ("precision" + recall)
+       |      * 1e6 + 0.5) / 1e6 END AS f1
+       |FROM m ORDER BY threshold""".stripMargin
   }
 
   /** q129 replay: rebuild the same messy URLs from (doc_id, source),
@@ -2967,6 +3133,139 @@ object SparkEntry {
         |  min(o_custkey) AS cust_min, max(o_custkey) AS cust_max,
         |  CAST(min(d) AS INT) AS day_min, CAST(max(d) AS INT) AS day_max
         |FROM z GROUP BY 1""".stripMargin,
+    // q139: the KMV sketch replayed literally — bottom-k distinct
+    // hashes = ORDER BY h LIMIT k; θ = max of the union sketch; the
+    // estimator chain (long→double cast, one exact multiply, one
+    // divide, floor-snap) is IEEE correctly-rounded in both engines.
+    // Shingles use q58/termStream semantics: docs shorter than 3
+    // words contribute NOTHING (no whole-doc fallback — that is the
+    // q17 CTE's convention, not this one's).
+    "q139_kmv_sketch" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |terms AS (
+        |  SELECT doc_id % 2 AS slice, unnest(CASE WHEN len(ts) >= 3
+        |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s
+        |  FROM toks),
+        |ha AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |       FROM terms WHERE slice = 0),
+        |hb AS (SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |       FROM terms WHERE slice = 1),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        |        ORDER BY h LIMIT 256),
+        |st AS (SELECT
+        |  (SELECT count(*) FROM ha) AS da_exact,
+        |  (SELECT count(*) FROM hb) AS db_exact,
+        |  (SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+        |    AS union_exact,
+        |  (SELECT count(*) FROM ha JOIN hb USING (h)) AS inter_exact,
+        |  (SELECT count(*) FROM ska) AS na,
+        |  (SELECT count(*) FROM skb) AS nb,
+        |  (SELECT count(*) FROM sku) AS nu,
+        |  (SELECT max(h) FROM ska) AS hka,
+        |  (SELECT max(h) FROM skb) AS hkb,
+        |  (SELECT max(h) FROM sku) AS theta),
+        |bo AS (SELECT
+        |  (SELECT count(*) FROM ska JOIN skb USING (h)) AS both_all,
+        |  (SELECT count(*) FROM ska JOIN skb USING (h), st
+        |   WHERE h < st.theta) AS both_below)
+        |SELECT CAST(256 AS INT) AS k,
+        |  CAST(da_exact AS BIGINT) AS da_exact,
+        |  CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+        |    ELSE floor(255.0 * 1152921504606846976.0 / CAST(hka AS DOUBLE)
+        |      * 10000.0) / 10000.0 END AS da_est,
+        |  CAST(db_exact AS BIGINT) AS db_exact,
+        |  CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+        |    ELSE floor(255.0 * 1152921504606846976.0 / CAST(hkb AS DOUBLE)
+        |      * 10000.0) / 10000.0 END AS db_est,
+        |  CAST(union_exact AS BIGINT) AS union_exact,
+        |  CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+        |    ELSE floor(255.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+        |      * 10000.0) / 10000.0 END AS union_est,
+        |  CAST(inter_exact AS BIGINT) AS inter_exact,
+        |  CASE WHEN nu < 256 THEN CAST(both_all AS DOUBLE)
+        |    ELSE floor(CAST(both_below AS DOUBLE) * 1152921504606846976.0
+        |      / CAST(theta AS DOUBLE) * 10000.0) / 10000.0 END AS inter_est,
+        |  floor(CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE)
+        |    * 1000000.0) / 1000000.0 AS jaccard_exact,
+        |  CASE WHEN nu < 256 THEN (CASE WHEN nu = 0 THEN 0.0
+        |      ELSE floor(CAST(both_all AS DOUBLE) / CAST(nu AS DOUBLE)
+        |        * 1000000.0) / 1000000.0 END)
+        |    ELSE floor(CAST(both_below AS DOUBLE) / 255.0
+        |      * 1000000.0) / 1000000.0 END AS jaccard_est
+        |FROM st, bo""".stripMargin,
+    // q141: the pruning audit replayed — q138's z-value fold, the two
+    // linear shift keys, per-(layout,bucket) min/max stats, overlap
+    // counting against the literal predicate list, exact matches via
+    // the same BETWEEN; all integers except the one snapped ratio.
+    "q141_pruning_audit" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS x,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS y,
+        |    CAST(list_sum(list_transform(generate_series(0, 20), i ->
+        |      (((o_custkey >> i) & 1) << (2 * i)) +
+        |      ((((CAST(o_orderdate AS DATE) - DATE '1970-01-01') >> i) & 1)
+        |        << (2 * i + 1)))) AS BIGINT) AS zvalue
+        |  FROM orders),
+        |lb AS (
+        |  SELECT 'zorder' AS layout, zvalue >> 20 AS bucket, x, y FROM base
+        |  UNION ALL
+        |  SELECT 'linear_x', x >> 6, x, y FROM base
+        |  UNION ALL
+        |  SELECT 'linear_y', y >> 5, x, y FROM base),
+        |stats AS (
+        |  SELECT layout, bucket, count(*) AS n,
+        |    min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+        |  FROM lb GROUP BY 1, 2),
+        |preds AS (SELECT * FROM (VALUES
+        |    (1, 64, 127, 8100, 8291),
+        |    (2, 64, 127, 0, 2097151),
+        |    (3, 0, 2097151, 8100, 8291),
+        |    (4, 256, 271, 9000, 9063))
+        |  AS t(pred_id, xlo, xhi, ylo, yhi)),
+        |per AS (
+        |  SELECT pred_id, layout,
+        |    CAST(count(*) AS BIGINT) AS buckets_total,
+        |    CAST(sum(CASE WHEN xmin <= xhi AND xmax >= xlo
+        |      AND ymin <= yhi AND ymax >= ylo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS buckets_read,
+        |    CAST(sum(CASE WHEN xmin <= xhi AND xmax >= xlo
+        |      AND ymin <= yhi AND ymax >= ylo THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_read
+        |  FROM stats, preds GROUP BY 1, 2),
+        |m AS (
+        |  SELECT pred_id, CAST(count(*) AS BIGINT) AS rows_matched
+        |  FROM base, preds
+        |  WHERE x BETWEEN xlo AND xhi AND y BETWEEN ylo AND yhi
+        |  GROUP BY 1)
+        |SELECT per.pred_id, layout, buckets_total, buckets_read, rows_read,
+        |  CAST(COALESCE(rows_matched, 0) AS BIGINT) AS rows_matched,
+        |  floor(CAST(buckets_read AS DOUBLE) / CAST(buckets_total AS DOUBLE)
+        |    * 1000000.0) / 1000000.0 AS read_fraction
+        |FROM per LEFT JOIN m USING (pred_id)
+        |ORDER BY pred_id, layout""".stripMargin,
+    // q142: the exact kNN graph replayed — q20's cosine ranking with
+    // queries = the slice itself, then the mutual mark as a self left
+    // join of the edge list on the reversed pair.
+    "q142_knn_graph" ->
+      """WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |sims AS (SELECT a.id AS src, b.id AS dst,
+        |           list_cosine_similarity(a.v, b.v) AS cosine
+        |         FROM s a, s b WHERE a.id <> b.id),
+        |rk AS (SELECT src, dst, cosine, row_number() OVER
+        |         (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+        |       FROM sims),
+        |e AS (SELECT * FROM rk WHERE rank <= 5)
+        |SELECT e.src, e.dst, round(e.cosine, 6) AS cosine, e.rank,
+        |  CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+        |FROM e LEFT JOIN e m ON e.src = m.dst AND e.dst = m.src""".stripMargin,
     // q137: q20's truth ranking + q21's sign-LSH candidate ranking
     // (CTEs inlined with t_/c_ prefixes), then recall/MRR/nDCG with
     // DCG and IDCG as SEQUENTIAL folds over rank-sorted lists — the
@@ -3095,6 +3394,7 @@ object SparkEntry {
         | AND abs(length(d.dirty_name) - length(c.name)) <= 1
         | AND levenshtein(d.dirty_name, c.name) <= 1""".stripMargin,
     "q128_quality_classifier" -> classifierOracleSql(),
+    "q140_classifier_sweep" -> classifierSweepOracleSql(),
     "q129_url_canonical" -> urlCanonicalOracleSql(),
     "q125_lsh_audit" -> lshAuditOracleSql(),
     "q126_lsh_tuning_grid" -> lshAuditGridOracleSql(Seq(8, 16, 32)),

@@ -69,4 +69,93 @@ object Layout {
       .withColumn("zbucket", call_function("shiftright",
         col("zvalue"), lit(bucketShift)))
   }
+
+  /** A 2-D range predicate (inclusive bounds on both dimensions) for
+    * [[pruningAudit]]. */
+  final case class RangePred(id: Int, xLo: Long, xHi: Long,
+                             yLo: Long, yHi: Long)
+
+  /** File-pruning audit: for each workload predicate, how many
+    * files/buckets must be READ (file min/max overlaps the box) under
+    * three layouts of the SAME table — z-order prefix buckets
+    * (`zvalue >> bucketShift`, the q138 keys), linear-by-x
+    * (`x >> xShift`, i.e. the table sorted by x and cut into
+    * fixed-width files), linear-by-y. This is the number that
+    * justifies a layout choice on a 100 TB table: scans are priced in
+    * files whose min/max statistics overlap the predicate, and a
+    * single-column sort gives perfect pruning on that column and NONE
+    * on the other, while z-order bounds both.
+    *
+    * All bucket keys are power-of-two shifts (exact integer ops,
+    * bit-identical in any engine — the [[zValue]] contract extended);
+    * widths are the caller's equal-file-count knob and
+    * `buckets_total` is reported per layout so denominators are
+    * visible. Scale shape: ONE scan — each row explodes to its three
+    * (layout, bucket) keys in the map task and partial aggregation
+    * collapses to bucket-stat rows before the shuffle, so the
+    * exchange carries O(files) rows at any table size; the predicate
+    * list is a broadcast literal; `rows_matched` (the
+    * layout-independent exact answer) is a second partial-agg scan
+    * whose shuffle is |preds| rows per partition.
+    *
+    * Output, one row per (pred, layout): bucket denominators, buckets
+    * and rows read, exact rows matched, and the 6-dp floor-snapped
+    * read fraction — integers except the snapped ratio, so the whole
+    * report replays verbatim in DuckDB.
+    */
+  def pruningAudit(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                   bucketShift: Int, xShift: Int, yShift: Int,
+                   preds: Seq[RangePred]): DataFrame = {
+    require(preds.nonEmpty, "preds must be non-empty")
+    require(preds.map(_.id).distinct.length == preds.length,
+      "pred ids must be distinct")
+    require(xShift >= 0 && xShift < bits && yShift >= 0 && yShift < bits,
+      s"shifts must be in [0, $bits)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val predDf = broadcast(preds.toDF())
+
+    val keyed = zOrderBuckets(df, xCol, yCol, bits, bucketShift)
+      .select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"), col("zbucket"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val exploded = keyed.select(col("x"), col("y"),
+        explode(array(
+          struct(lit("zorder").as("layout"), col("zbucket").as("bucket")),
+          struct(lit("linear_x").as("layout"),
+            call_function("shiftright", col("x"), lit(xShift)).as("bucket")),
+          struct(lit("linear_y").as("layout"),
+            call_function("shiftright", col("y"), lit(yShift)).as("bucket"))
+        )).as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("x"), col("y"))
+    val stats = exploded.groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+
+    val overlap = col("xmin") <= col("xHi") && col("xmax") >= col("xLo") &&
+      col("ymin") <= col("yHi") && col("ymax") >= col("yLo")
+    val perLayout = stats.crossJoin(predDf)
+      .groupBy(col("id").as("pred_id"), col("layout"))
+      .agg(count(lit(1)).cast("long").as("buckets_total"),
+        sum(when(overlap, 1L).otherwise(0L)).cast("long").as("buckets_read"),
+        sum(when(overlap, col("n")).otherwise(0L)).cast("long")
+          .as("rows_read"))
+
+    val matched = keyed.crossJoin(predDf)
+      .filter(col("x") >= col("xLo") && col("x") <= col("xHi") &&
+        col("y") >= col("yLo") && col("y") <= col("yHi"))
+      .groupBy(col("id").as("pred_id"))
+      .agg(count(lit(1)).cast("long").as("rows_matched"))
+
+    perLayout.join(matched, Seq("pred_id"), "left")
+      .na.fill(0L, Seq("rows_matched"))
+      .withColumn("read_fraction",
+        floor(col("buckets_read").cast("double") /
+          col("buckets_total").cast("double") * 1e6) / 1e6)
+      .select(col("pred_id"), col("layout"), col("buckets_total"),
+        col("buckets_read"), col("rows_read"), col("rows_matched"),
+        col("read_fraction"))
+  }
 }

@@ -93,6 +93,92 @@ object Similarity {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Mark each directed edge of a (qid, id, cosine, rank) top-k edge
+    * stream mutual iff the reverse edge is also present. The edge
+    * stream is n·k rows — graph-sized, not corpus-sized — so the
+    * self-join is cheap at any corpus size; (qid, id) pairs are unique
+    * by construction (one rank per neighbor), so the left join cannot
+    * fan out. */
+  private def markMutual(e: DataFrame): DataFrame = {
+    val rev = e.select(col("qid").as("m_dst"), col("id").as("m_src"))
+    e.join(rev, col("qid") === col("m_src") && col("id") === col("m_dst"),
+        "left")
+      .withColumn("mutual", col("m_src").isNotNull.cast("int"))
+      .select(col("qid").as("src"), col("id").as("dst"), col("cosine"),
+        col("rank"), col("mutual"))
+  }
+
+  /** Exact k-nearest-neighbor GRAPH of a vector set: every node's
+    * cosine top-k plus the `mutual` flag (reverse edge also in the
+    * graph) — the primitive under graph-based curation: mutual-kNN
+    * clustering, diversity sampling, and kth-NN density/outlier
+    * scoring all read this edge list.
+    *
+    * Exact all-pairs is inherently n² — this is the audit twin, bound
+    * to broadcast-scale slices (the q77 fixed-slice convention for
+    * exact pairwise ops); the corpus-scale path is [[knnGraphLsh]],
+    * whose recall is measured against THIS on a shared slice
+    * (SimilaritySpec). Shuffle shape: the bounded-heap Aggregator —
+    * ≤ k rows per node per partition move, never the n² candidate
+    * stream. */
+  def knnGraph(df: DataFrame, id: String, vec: String, k: Int): DataFrame =
+    markMutual(topKAggregate(df, df, id, vec, k))
+
+  /** [[knnGraph]] at corpus scale: candidates only within shared
+    * sign-LSH buckets (md5 plane family — engine-replayable), hot
+    * buckets dropped by `maxBucketSize` (the LSH skew cap: a bucket
+    * over the cap contributes pairs quadratically and signal-poorly —
+    * same convention as the blocked cosine pairs), then the
+    * bounded-heap top-k per node and the mutual mark.
+    *
+    * Nothing broadcasts the vector set: candidate generation is an
+    * equi self-join on (table, bucket), vectors attach to the
+    * candidate stream at STORED width by two equi joins and are cast
+    * to double only inside the dot (the narrow-candidate-stream
+    * rule). Nodes whose buckets were all dropped by the cap have no
+    * edges (honest output, like the capped pair ops). The bucket
+    * stream is consumed by the size aggregation and both sides of the
+    * candidate join — one eager checkpoint (multi-consumer rule). */
+  def knnGraphLsh(df: DataFrame, id: String, vec: String, k: Int,
+                  tables: Int = 16, nPlanes: Int = 8, dim: Int = 64,
+                  maxBucketSize: Option[Long] = Some(1000)): DataFrame = {
+    val ps = md5SignPlanes(tables, nPlanes, dim)
+    val b0 = bucketsFromPlanes(df, id, vec, ps).localCheckpoint(true)
+    val b = maxBucketSize match {
+      case Some(cap) =>
+        val keep = b0.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= cap).select("table", "bucket")
+        // the equi-join puts the join keys FIRST (table, bucket, id) —
+        // re-select to the (id, table, bucket) contract before the
+        // positional renames below, or qid/bucket swap roles silently
+        b0.join(keep, Seq("table", "bucket")).select("id", "table", "bucket")
+      case None => b0
+    }
+    val cand = b.toDF("qid", "table", "bucket")
+      .join(b.toDF("id", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "id").distinct()
+    val craw = df.select(col(id).cast("long").as("id"), col(vec).as("_cv"))
+    val qraw = df.select(col(id).cast("long").as("qid"), col(vec).as("_qv"))
+    val cv = col("_cv").cast("array<double>")
+    val qv = col("_qv").cast("array<double>")
+    val sims = cand.join(craw, Seq("id")).join(qraw, Seq("qid"))
+      .select(col("qid"), col("id"),
+        (dot(cv, qv) / (graft.functions.Vectors.norm(cv) *
+          graft.functions.Vectors.norm(qv))).as("cosine"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val topk = sims.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), posexplode(col("topk.items")))
+      .select(col("qid"), col("col._1").as("id"), col("col._2").as("cosine"),
+        (col("pos") + 1).as("rank"))
+    markMutual(topk)
+  }
+
   /** k-NN label prediction: each query's label is the majority label of
     * its k nearest corpus neighbors by cosine; vote ties break to the
     * smaller label, so classification is deterministic.

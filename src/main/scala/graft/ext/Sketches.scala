@@ -124,6 +124,148 @@ object Sketches {
     * threshold, the result is honestly shorter than k rather than
     * silently order-dependent.
     */
+  /** 60-bit content hash of a token — `md5` prefix, the engine-neutral
+    * hash every similarity join here rides (CLAUDE.md): replayable
+    * verbatim in DuckDB, collisions ~1e-8 at 10⁷ distinct values.
+    * The KMV universe is DEFINED as this hash space (exact counts are
+    * over hashes too), so a collision affects both the sketch and its
+    * verification identically — the compare never sees it. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The term-occurrence hash stream of a corpus slice: q58 n-gram
+    * semantics (lowercase, `[ \t\n\f\r]+` split, docs shorter than n
+    * words contribute nothing), one row per OCCURRENCE — deliberately
+    * not distinct'd: the KMV sketch dedups inside its bounded
+    * per-partition structure and the exact pass dedups in its own
+    * aggregation, so this stream stays zero-shuffle map-side work. */
+  def termHashes(df: DataFrame, text: String, ngram: Int = 1): DataFrame =
+    termStream(df, text, ngram).select(hash60(col("term")).as("h"))
+
+  /** Merge two sorted distinct bottom-k arrays into one (ascending,
+    * distinct, ≤ k) — the KMV merge, associative and commutative, so
+    * Spark's nondeterministic partition-merge order cannot change the
+    * result (a set's k smallest elements are order-free). */
+  private[graft] def kmvMerge(a: Array[Long], b: Array[Long],
+                              k: Int): Array[Long] = {
+    val out = new mutable.ArrayBuffer[Long](k)
+    var i = 0; var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (out.isEmpty || out(out.length - 1) != v) out += v
+    }
+    out.toArray
+  }
+
+  /** Bottom-k distinct values of a LONG column (the KMV / theta
+    * sketch): per-partition bounded `TreeSet` inside `mapPartitions`
+    * (the MG pattern — constant k entries per partition regardless of
+    * cardinality; nothing value-keyed shuffles), tree-merged. The
+    * driver sees ≤ k longs per merge leaf — the whole point of a
+    * sketch; the collect is k-bounded by construction. */
+  private[graft] def kmvSketch(df: DataFrame, c: String, k: Int): Array[Long] = {
+    val merge = (x: Array[Long], y: Array[Long]) => kmvMerge(x, y, k)
+    df.select(col(c).cast("long")).na.drop.rdd
+      .mapPartitions { it =>
+        val s = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { r =>
+          val v = r.getLong(0)
+          if (s.size < k) s.add(v)
+          else if (v < s.last()) { s.add(v); if (s.size > k) s.pollLast() }
+        }
+        val arr = new Array[Long](s.size)
+        var i = 0
+        val jt = s.iterator()
+        while (jt.hasNext) { arr(i) = jt.next().longValue; i += 1 }
+        Iterator(arr)
+      }
+      .treeAggregate(Array.empty[Long])(merge, merge, depth = 2)
+  }
+
+  private val TwoPow60: Double = 1152921504606846976.0d // exact in double
+
+  /** KMV estimate from a bottom-k sketch over the 60-bit space: if the
+    * sketch never filled, it IS the support — the count is exact;
+    * otherwise (k-1)·2⁶⁰/h₍ₖ₎ (Bar-Yossef et al. '02 / Beyer et al.
+    * SIGMOD'07 unbiased form). Every op here — long→double cast, one
+    * multiply (exact: 2⁶⁰·(k-1) has a ≤20-bit mantissa), one divide,
+    * floor — is IEEE correctly-rounded, so DuckDB replays it
+    * bit-for-bit (the ln/exp rule does not apply). */
+  private def kmvEstimate(sk: Array[Long], k: Int): Double =
+    if (sk.length < k) sk.length.toDouble
+    else math.floor((k - 1).toDouble * TwoPow60 / sk(k - 1).toDouble * 1e4) / 1e4
+
+  /** Distinct-cardinality + set-operation estimates between two corpus
+    * slices from bottom-k (KMV / theta) sketches, each estimate beside
+    * its exact verification — the mergeable-sketch answer to "how much
+    * vocabulary do these two corpora share?" when the slices live on
+    * different clusters or days and only k longs can travel.
+    *
+    * Estimators (θ-sketch, Dasgupta et al. / DataSketches practice):
+    * with θ = k-th smallest of the UNION sketch, every hash < θ is
+    * guaranteed present in both per-slice sketches (θ ≤ each slice's
+    * own k-th minimum), so the sample {h < θ} is a fair uniform sample
+    * of the union: union ≈ (k-1)·M/θ, jaccard ≈ |both ∧ h<θ|/(k-1),
+    * intersection ≈ |both ∧ h<θ|·M/θ. If the union support never
+    * fills k, the sketches hold EVERYTHING and all answers are exact.
+    *
+    * Scale: the sketch passes move k longs per partition (treeAggregate,
+    * no value-keyed shuffle) — at any corpus size. The exact columns
+    * are the verification twin: one tagged distinct aggregation
+    * (hash-keyed shuffle, the thing the sketch exists to avoid) — the
+    * q125/q131 audit convention. Output is one row, fully
+    * DuckDB-replayable: bottom-k is ORDER BY h LIMIT k, the arithmetic
+    * is the exact-double chain above.
+    */
+  def kmvCompare(a: DataFrame, b: DataFrame, hashCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val ska = kmvSketch(a, hashCol, k)
+    val skb = kmvSketch(b, hashCol, k)
+    val sku = kmvMerge(ska, skb, k)
+    val daEst = kmvEstimate(ska, k)
+    val dbEst = kmvEstimate(skb, k)
+    val unionEst = kmvEstimate(sku, k)
+    // θ-sample intersection: hashes strictly below θ present in BOTH.
+    val (interEst, jaccEst) =
+      if (sku.length < k) { // union support fits: everything is exact
+        val both = ska.toSet.intersect(skb.toSet).size
+        val u = sku.length
+        (both.toDouble,
+          if (u == 0) 0.0 else math.floor(both.toDouble / u * 1e6) / 1e6)
+      } else {
+        val theta = sku(k - 1)
+        val sa = ska.toSet
+        val both = skb.count(v => v < theta && sa.contains(v))
+        (math.floor(both.toDouble * TwoPow60 / theta.toDouble * 1e4) / 1e4,
+          math.floor(both.toDouble / (k - 1).toDouble * 1e6) / 1e6)
+      }
+
+    // exact verification: ONE tagged distinct aggregation for all four
+    // set sizes (the hash-keyed shuffle the sketch avoids).
+    val tagged = a.select(col(hashCol).cast("long").as("h"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+      .unionByName(b.select(col(hashCol).cast("long").as("h"),
+        lit(0L).as("ina"), lit(1L).as("inb")))
+      .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
+    tagged.agg(
+        sum("ina").cast("long").as("da_exact"),
+        sum("inb").cast("long").as("db_exact"),
+        count(lit(1)).cast("long").as("union_exact"),
+        sum(col("ina") * col("inb")).cast("long").as("inter_exact"))
+      .withColumn("jaccard_exact",
+        floor(col("inter_exact").cast("double") /
+          col("union_exact").cast("double") * 1e6) / 1e6)
+      .select(lit(k).as("k"),
+        col("da_exact"), lit(daEst).as("da_est"),
+        col("db_exact"), lit(dbEst).as("db_est"),
+        col("union_exact"), lit(unionEst).as("union_est"),
+        col("inter_exact"), lit(interEst).as("inter_est"),
+        col("jaccard_exact"), lit(jaccEst).as("jaccard_est"))
+  }
+
   def heavyHitters(df: DataFrame, text: String, k: Int = 20,
                    ngram: Int = 1, capacity: Int = 4096): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -468,6 +468,71 @@ object TextAnalysis {
       (score > 0).cast("int").as("keep"))
   }
 
+  /** Threshold sweep of a binary scorer against a truth label — the
+    * operating-point report (precision / recall / F1 per cut) that
+    * turns [[classifierScores]]' raw scores into a DEPLOYABLE filter:
+    * picking the keep-threshold is the real decision a curation stack
+    * makes, and it is made from exactly this table. Pairs with the
+    * audit family (q125 LSH recall, q137 ANN metrics): measure the
+    * cheap gate against a reference signal before trusting it at
+    * corpus scale.
+    *
+    * `df` carries one row per example with a numeric score and a
+    * boolean truth label; rows where either is null are excluded
+    * (they are undefined under both the gate and the truth). Predicted
+    * positive ⇔ score ≥ threshold. Scale shape: ONE scan cross-joined
+    * with the tiny threshold list (a broadcast — |thresholds| rows),
+    * partial-aggregated map-side, so the shuffle carries at most
+    * |thresholds| × partitions count rows at any corpus size.
+    *
+    * Cross-engine contract: pass a score already snapped to a decimal
+    * grid (Rounding.reprRound6) — comparing a RAW ln/exp-derived
+    * double against a cut lets a one-ulp engine disagreement flip a
+    * count (the rounded-ranking-key rule, applied to thresholding).
+    * Ratios are floor-snapped at 6 dp; F1 folds the SNAPPED precision
+    * and recall so the oracle replays the identical double chain.
+    */
+  def thresholdSweep(df: DataFrame, score: String, label: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.distinct.length == thresholds.length,
+      "thresholds must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val th = broadcast(thresholds.toDF("threshold"))
+    val base = df
+      .filter(col(score).isNotNull && col(label).isNotNull)
+      .select(col(score).cast("double").as("s"),
+        col(label).cast("boolean").as("y"))
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val counts = base.crossJoin(th)
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("s") >= col("threshold") && col("y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold") && !col("y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold") && col("y"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("s") < col("threshold") && !col("y"), 1L)
+          .otherwise(0L)).as("tn"))
+    val p = when(col("tp") + col("fp") > 0,
+      snap6(col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double")))
+    val r = when(col("tp") + col("fn") > 0,
+      snap6(col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double")))
+    counts
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0,
+          snap6(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")))))
+  }
+
   // --------------------------------------------------------------------
   // BPE merge training (tokenizer vocabulary construction)
   // --------------------------------------------------------------------

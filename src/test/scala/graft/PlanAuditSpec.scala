@@ -138,7 +138,12 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast query-vector non-equi join; q133: one-row leak-audit
       // totals attach; q137: composes q20's truth retriever directly —
       // all the documented crossJoin(broadcast) shape
-      "q132_rrf_fusion", "q133_leakage_split", "q137_ann_metrics")
+      "q132_rrf_fusion", "q133_leakage_split", "q137_ann_metrics",
+      // q140/q141: tiny broadcast literal lists (thresholds, range
+      // predicates) crossJoined against one scan — the documented
+      // one-row-totals shape; q142: q20's broadcast query-vector
+      // non-equi join with queries = the fixed 500-vector slice
+      "q140_classifier_sweep", "q141_pruning_audit", "q142_knn_graph")
 
   test("q114 (token chunks): pure map-side, zero exchanges") {
     assert(exchanges(plan("q114_token_chunks")) === 0,

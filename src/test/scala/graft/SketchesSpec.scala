@@ -130,4 +130,79 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.heavyHitters(df, "text", k = 10, capacity = 5))
   }
+
+  // ---------------- KMV / theta sketch ----------------
+
+  test("kmvMerge is a set bottom-k: sorted, distinct, bounded, order-free") {
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(40)(rnd.nextLong().abs % 1000).distinct.sorted
+    val b = Array.fill(40)(rnd.nextLong().abs % 1000).distinct.sorted
+    val m = Sketches.kmvMerge(a, b, 16)
+    val want = (a ++ b).distinct.sorted.take(16)
+    assert(m.toSeq === want.toSeq)
+    assert(Sketches.kmvMerge(b, a, 16).toSeq === want.toSeq)
+    assert(Sketches.kmvMerge(a, Array.empty[Long], 16).toSeq ===
+      a.sorted.take(16).toSeq)
+    assert(Sketches.kmvMerge(Array.empty[Long], Array.empty[Long], 16).isEmpty)
+  }
+
+  test("kmvSketch equals brute-force bottom-k distinct across partitions") {
+    val rnd = new scala.util.Random(5)
+    // duplicates on purpose: the sketch must dedup, not just truncate
+    val vals = (0 until 5000).map(_ => (rnd.nextLong().abs % 700))
+    val df = vals.toDF("h").repartition(16)
+    val got = Sketches.kmvSketch(df, "h", 64)
+    val want = vals.distinct.sorted.take(64)
+    assert(got.toSeq === want)
+    // k larger than the support: the sketch IS the support
+    val all = Sketches.kmvSketch(df, "h", 100000)
+    assert(all.toSeq === vals.distinct.sorted)
+    // repeat run: deterministic under Spark's merge order
+    assert(Sketches.kmvSketch(df, "h", 64).toSeq === want)
+  }
+
+  test("kmvCompare: exact branch when the union support fits k") {
+    // two overlapping small universes, well under k=256: every
+    // estimate must EQUAL its exact column (the not-full branch).
+    val a = (0 until 100).map(i => i.toLong).toDF("h")
+    val b = (60 until 180).map(i => i.toLong).toDF("h")
+    val r = Sketches.kmvCompare(a, b, "h", 256).collect().head
+    assert(r.getAs[Long]("da_exact") === 100L)
+    assert(r.getAs[Double]("da_est") === 100.0)
+    assert(r.getAs[Long]("db_exact") === 120L)
+    assert(r.getAs[Double]("db_est") === 120.0)
+    assert(r.getAs[Long]("union_exact") === 180L)
+    assert(r.getAs[Double]("union_est") === 180.0)
+    assert(r.getAs[Long]("inter_exact") === 40L)
+    assert(r.getAs[Double]("inter_est") === 40.0)
+    assert(r.getAs[Double]("jaccard_est") ===
+      math.floor(40.0 / 180.0 * 1e6) / 1e6)
+  }
+
+  test("kmvCompare: estimator branch lands near truth on a big universe") {
+    // md5-derived hashes over a 30k/24k-universe pair with a planted
+    // 12k-element intersection; k=256 → expected rel. error ~1/√k ≈
+    // 6%. Assert a loose 25% band (deterministic data, so this can't
+    // flake) plus the structural invariants.
+    def hashed(tag: String, n: Int, shared: Int) =
+      ((0 until shared).map(i => s"shared:$i") ++
+        (0 until (n - shared)).map(i => s"$tag:$i"))
+        .toDF("t")
+        .select(conv(substring(md5(col("t")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val a = hashed("a", 30000, 12000).repartition(8)
+    val b = hashed("b", 24000, 12000).repartition(8)
+    val r = Sketches.kmvCompare(a, b, "h", 256).collect().head
+    def relErr(est: Double, exact: Long) = math.abs(est - exact) / exact
+    assert(r.getAs[Long]("da_exact") === 30000L)
+    assert(r.getAs[Long]("inter_exact") === 12000L)
+    assert(relErr(r.getAs[Double]("da_est"), 30000L) < 0.25)
+    assert(relErr(r.getAs[Double]("db_est"), 24000L) < 0.25)
+    assert(relErr(r.getAs[Double]("union_est"), 42000L) < 0.25)
+    assert(relErr(r.getAs[Double]("inter_est"), 12000L) < 0.40)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 12000.0 / 42000.0) < 0.1)
+    // determinism: the whole row reproduces bit-for-bit
+    val r2 = Sketches.kmvCompare(a, b, "h", 256).collect().head
+    assert(r.toSeq === r2.toSeq)
+  }
 }

@@ -46,6 +46,58 @@ class LayoutSpec extends SparkSpec {
     assert(linear > 0)
   }
 
+  test("pruningAudit: hand-computed bucket reads on a uniform grid") {
+    // 64x64 grid, bits=6, bucketShift=6: z-buckets are 8x8 rectangles
+    // (64 buckets of 64 rows); xShift=yShift=3: 8 linear files of
+    // width 8 spanning ALL of the other dimension (512 rows each).
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val preds = Seq(
+      Layout.RangePred(1, 0, 7, 0, 7),    // aligned 8x8 box
+      Layout.RangePred(2, 8, 15, 0, 63),  // x-only slab
+      Layout.RangePred(3, 0, 63, 0, 63),  // full scan
+      Layout.RangePred(4, 4, 11, 4, 11),  // straddles 4 z-rects
+      Layout.RangePred(5, 3, 2, 0, 63))   // empty box (xLo > xHi)
+    val out = Layout.pruningAudit(pts, "x", "y", bits = 6, bucketShift = 6,
+        xShift = 3, yShift = 3, preds)
+      .collect()
+      .map(r => (r.getAs[Int]("pred_id"), r.getAs[String]("layout")) ->
+        ((r.getAs[Long]("buckets_total"), r.getAs[Long]("buckets_read"),
+          r.getAs[Long]("rows_read"), r.getAs[Long]("rows_matched"))))
+      .toMap
+    assert(out.size === 15)
+    // box predicate: z-order reads 1/64, either linear layout 1/8
+    assert(out((1, "zorder")) === ((64L, 1L, 64L, 64L)))
+    assert(out((1, "linear_x")) === ((8L, 1L, 512L, 64L)))
+    assert(out((1, "linear_y")) === ((8L, 1L, 512L, 64L)))
+    // x-only slab: linear_x perfect, z-order reads its column of
+    // rects (8 of 64), linear_y reads everything
+    assert(out((2, "linear_x")) === ((8L, 1L, 512L, 512L)))
+    assert(out((2, "zorder")) === ((64L, 8L, 512L, 512L)))
+    assert(out((2, "linear_y")) === ((8L, 8L, 4096L, 512L)))
+    // full range: no layout prunes anything
+    assert(out((3, "zorder")) === ((64L, 64L, 4096L, 4096L)))
+    assert(out((3, "linear_x")) === ((8L, 8L, 4096L, 4096L)))
+    // unaligned 8x8 box straddles 4 z-rects / 2 linear files
+    assert(out((4, "zorder")) === ((64L, 4L, 256L, 64L)))
+    assert(out((4, "linear_x")) === ((8L, 2L, 1024L, 64L)))
+    // empty predicate: min/max stats cannot prove emptiness, so
+    // buckets are still read, but the exact answer is 0 rows
+    assert(out((5, "zorder"))._4 === 0L)
+    assert(out((5, "zorder"))._2 > 0L)
+    // snapped read fraction replays the exact-double chain
+    val frac = Layout.pruningAudit(pts, "x", "y", 6, 6, 3, 3,
+        Seq(Layout.RangePred(1, 0, 7, 0, 7)))
+      .filter($"layout" === "zorder").select("read_fraction")
+      .collect().head.getDouble(0)
+    assert(frac === math.floor(1.0 / 64.0 * 1e6) / 1e6)
+    intercept[IllegalArgumentException](
+      Layout.pruningAudit(pts, "x", "y", 6, 6, 3, 3, Seq.empty))
+    intercept[IllegalArgumentException](
+      Layout.pruningAudit(pts, "x", "y", 6, 6, 3, 3,
+        Seq(Layout.RangePred(1, 0, 1, 0, 1), Layout.RangePred(1, 2, 3, 2, 3))))
+  }
+
   test("zOrderBuckets fails loudly on out-of-range inputs, keeps nulls null") {
     val bad = Seq((Some(70L), Some(1L))).toDF("x", "y")
     val ex = intercept[Exception] {

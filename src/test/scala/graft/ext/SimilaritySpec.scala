@@ -176,6 +176,67 @@ class SimilaritySpec extends SparkSpec {
     assert(signRecall >= 0.4, s"sign-plane recall $signRecall below floor")
   }
 
+  test("knnGraph: hand-checked edges and mutual marks") {
+    // a and b are each other's 1-NN (mutual); c's 1-NN is b (cosine
+    // c·b > c·a = 0) but b's 1-NN is a, so the c→b edge is one-way
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // a
+      (1L, Array(0.9f, 0.1f)),    // b
+      (2L, Array(0.0f, 1.0f))     // c
+    ).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(4)))).toMap
+    assert(g(0L) === ((1L, 1)))  // a→b mutual
+    assert(g(1L) === ((0L, 1)))  // b→a mutual
+    assert(g(2L) === ((1L, 0)))  // c→b one-way
+  }
+
+  test("knnGraph: every node has k ranked edges, ranks are 1..k") {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3).collect()
+    assert(g.length === 6 * 3)
+    val bySrc = g.groupBy(_.getLong(0))
+    bySrc.values.foreach { es =>
+      assert(es.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+      // edges are rank-ordered by cosine descending
+      val sorted = es.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("knnGraphLsh recovers near-dup edges and stays subset-honest") {
+    // 3 tight clusters of 20 vectors each in 8-d: the LSH graph must
+    // recover intra-cluster 1-NN edges (same-direction vectors share
+    // every bucket) and every LSH edge set must be a subset of the
+    // exact graph's candidate universe (same node pairs, same cosine)
+    val rnd = new scala.util.Random(7)
+    val base = Array(
+      Array.fill(8)(rnd.nextGaussian()),
+      Array.fill(8)(rnd.nextGaussian()),
+      Array.fill(8)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val v = base(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    val exact = Similarity.knnGraph(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnGraphLsh(df, "vec_id", "embedding", k = 3,
+        tables = 12, nPlanes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH kNN-graph recall $recall < 0.9")
+    // intra-cluster edges dominate: every recovered edge's endpoints
+    // should mostly share a cluster (clusters are far apart)
+    val intra = lsh.count { case (a, b) => a / 20 == b / 20 }
+    assert(intra.toDouble / lsh.size > 0.9)
+    // cap honesty: cap=1 drops every bucket (20+ same-cluster vectors
+    // share buckets), so the graph is empty, not wrong
+    val capped = Similarity.knnGraphLsh(df, "vec_id", "embedding", k = 3,
+      tables = 4, nPlanes = 2, dim = 8, maxBucketSize = Some(1L))
+    assert(capped.count() === 0L)
+  }
+
   test("labelCentroids: element-wise mean per label, hand-checked") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), 0),

@@ -77,6 +77,58 @@ class ClassifierSpec extends SparkSpec {
     assert(viaPlan === expected, "codegen must equal the interpreted fold")
   }
 
+  test("thresholdSweep counts match a by-hand confusion matrix") {
+    // scores 0.1..0.8 (snapped grid), truth = score >= 0.5 with two
+    // deliberate disagreements (0.3 labeled true, 0.7 labeled false);
+    // a null score and a null label row must be excluded everywhere.
+    val df = Seq(
+      (0.1, Some(false)), (0.2, Some(false)), (0.3, Some(true)),
+      (0.4, Some(false)), (0.5, Some(true)), (0.6, Some(true)),
+      (0.7, Some(false)), (0.8, Some(true)),
+      (Double.NaN, None), (0.9, None)
+    ).map { case (s, y) => (if (s.isNaN) None else Some(s), y) }
+      .toDF("score", "label")
+    val out = graft.ext.TextAnalysis
+      .thresholdSweep(df, "score", "label", Seq(0.45, 0.75))
+      .orderBy("threshold")
+      .collect()
+    assert(out.length === 2)
+    val t045 = out(0)
+    // >= 0.45: {0.5T, 0.6T, 0.7F, 0.8T} → tp=3 fp=1; below: 0.3T → fn=1, tn=3
+    assert(t045.getAs[Long]("n") === 8L)
+    assert((t045.getAs[Long]("tp"), t045.getAs[Long]("fp"),
+      t045.getAs[Long]("fn"), t045.getAs[Long]("tn")) === ((3L, 1L, 1L, 3L)))
+    assert(t045.getAs[Double]("precision") === 0.75)
+    assert(t045.getAs[Double]("recall") === 0.75)
+    assert(t045.getAs[Double]("f1") === 0.75)
+    val t075 = out(1)
+    // >= 0.75: {0.8T} → tp=1 fp=0; fn = {0.3, 0.5, 0.6} = 3
+    assert((t075.getAs[Long]("tp"), t075.getAs[Long]("fp"),
+      t075.getAs[Long]("fn"), t075.getAs[Long]("tn")) === ((1L, 0L, 3L, 4L)))
+    assert(t075.getAs[Double]("precision") === 1.0)
+    assert(t075.getAs[Double]("recall") ===
+      math.floor(1.0 / 4.0 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("thresholdSweep degenerate cuts: all-positive and all-negative") {
+    val df = Seq((0.2, true), (0.4, false)).toDF("score", "label")
+    val out = graft.ext.TextAnalysis
+      .thresholdSweep(df, "score", "label", Seq(0.0, 1.0))
+      .orderBy("threshold").collect()
+    // t=0.0: everything predicted positive → fn=0, recall=1
+    assert(out(0).getAs[Long]("fn") === 0L)
+    assert(out(0).getAs[Double]("recall") === 1.0)
+    // t=1.0: nothing predicted positive → tp+fp=0 → precision null,
+    // recall 0, f1 null (p+r guard)
+    assert(out(1).isNullAt(out(1).fieldIndex("precision")))
+    assert(out(1).getAs[Double]("recall") === 0.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("f1")))
+    intercept[IllegalArgumentException](graft.ext.TextAnalysis
+      .thresholdSweep(df, "score", "label", Seq.empty))
+    intercept[IllegalArgumentException](graft.ext.TextAnalysis
+      .thresholdSweep(df, "score", "label", Seq(0.1, 0.1)))
+  }
+
   test("bucket matches the SQL-portable md5-prefix hash") {
     // conv(substr(md5(x),1,8),16,10) % B replayed in Scala
     val md = java.security.MessageDigest.getInstance("MD5")
