@@ -1794,6 +1794,71 @@ object SparkEntry {
       graft.ext.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
         .select(col("src"), col("dst"),
           round(col("cosine"), 6).as("cosine"), col("rank"), col("mutual"))
+    }),
+
+    // --- Mutual-kNN clustering on the fixed slice (exact twin; the
+    // corpus path is mutualKnnClustersLsh, agreement-audited in
+    // SimilaritySpec): mutual edges demand agreement from BOTH
+    // endpoints, so hub nodes can't glue unrelated regions the way a
+    // plain cosine threshold does. Components via the size-gated
+    // union-find; singletons coalesce to their own id (q80 pattern).
+    "q143_mutual_knn_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val cl = graft.ext.Similarity.mutualKnnClusters(
+        emb, "vec_id", "embedding", k = 4)
+      val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      cl.join(sizes, Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("cluster_size"))
+    }),
+
+    // --- Random-projection (JL) dimensionality reduction, audited
+    // pairwise instead of assumed: 64-d -> 8-d through the
+    // deterministic ±1/√8 md5 sign matrix (map-side codegen, zero
+    // shuffle), then every 29th (id_a, id_b) pair of the fixed slice
+    // reports original vs projected cosine and the squared-distance
+    // ratio — the measured distortion that justifies running a
+    // downstream ANN index at 1/8th the width. Distances fold as
+    // (a·a + b·b) - 2(a·b) so both engines run the identical exact
+    // double chain outside the snap-tolerated dot sums.
+    "q144_random_projection" -> ((s, dir) => {
+      import graft.functions.Vectors.dot
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
+      val proj = graft.ext.Similarity.randomProjection(
+        emb, "vec_id", "embedding", outDim = 8)
+      val v = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(proj, Seq("vec_id"))
+      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("proj").as("pa"))
+      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("proj").as("pb"))
+      val d2o = (dot(col("va"), col("va")) + dot(col("vb"), col("vb"))) -
+        lit(2.0) * dot(col("va"), col("vb"))
+      val d2p = (dot(col("pa"), col("pa")) + dot(col("pb"), col("pb"))) -
+        lit(2.0) * dot(col("pa"), col("pb"))
+      a.join(b, col("id_a") < col("id_b") &&
+          (col("id_a") * 1000003L + col("id_b")) % 29 === 0)
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.Vectors.cosine(col("va"), col("vb")), 6)
+            .as("cos_orig"),
+          round(graft.functions.Vectors.cosine(col("pa"), col("pb")), 6)
+            .as("cos_proj"),
+          when(d2o > 0, floor(d2p / d2o * 1e6 + 0.5) / 1e6).as("dist_ratio"))
+    }),
+
+    // --- kth-NN density scoring on the fixed slice: cosine to the
+    // 10th neighbor, snapped, plus an isolation rank (1 = most
+    // isolated) over the ROUNDED key with an id tiebreak — the signal
+    // under density-based pruning and hardest-example mining. The
+    // kth edge rides the same bounded-heap shuffle as the kNN graph.
+    "q145_knn_density" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val d = graft.ext.Similarity.knnDensity(emb, "vec_id", "embedding",
+          k = 10)
+        .select(col("vec_id"), round(col("kth_cosine"), 6).as("kth_cosine"))
+      d.withColumn("isolation_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("kth_cosine").asc_nulls_last, col("vec_id").asc)))
     })
   )
 
@@ -1989,6 +2054,43 @@ object SparkEntry {
        |    THEN floor(2.0 * "precision" * recall / ("precision" + recall)
        |      * 1e6 + 0.5) / 1e6 END AS f1
        |FROM m ORDER BY threshold""".stripMargin
+  }
+
+  /** q144 replay: the SAME ±1/√8 md5 sign matrix the engine ships as a
+    * codegen reference object, embedded as 8 literal DOUBLE[] rows (the
+    * md5Weights convention — generator and engine read one source of
+    * truth, so they cannot drift); projection via list_inner_product,
+    * the distance chain (a·a + b·b) - 2(a·b) in the identical exact
+    * double order, cosines round(6)-snapped and the ratio floor-snapped
+    * (min sampled pair distance is ~1.07, so the d2o > 0 branch is
+    * never snap-fragile). */
+  private def randomProjectionOracleSql(outDim: Int = 8,
+                                        dim: Int = 64): String = {
+    val rows = graft.ext.Similarity.md5SignMatrix(outDim, dim)
+      .map(r => s"list_inner_product(CAST([${r.mkString(", ")}] " +
+        "AS DOUBLE[]), v)")
+      .mkString(",\n       |    ")
+    s"""WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id < 400),
+       |p AS (SELECT id, v,
+       |    [$rows] AS pv
+       |  FROM s),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb,
+       |         a.pv AS pa, b.pv AS pb
+       |       FROM p a, p b
+       |       WHERE a.id < b.id AND (a.id * 1000003 + b.id) % 29 = 0),
+       |d AS (SELECT id_a, id_b,
+       |    list_cosine_similarity(va, vb) AS co,
+       |    list_cosine_similarity(pa, pb) AS cp,
+       |    (list_inner_product(va, va) + list_inner_product(vb, vb))
+       |      - 2.0 * list_inner_product(va, vb) AS d2o,
+       |    (list_inner_product(pa, pa) + list_inner_product(pb, pb))
+       |      - 2.0 * list_inner_product(pa, pb) AS d2p
+       |  FROM pr)
+       |SELECT id_a, id_b, round(co, 6) AS cos_orig, round(cp, 6) AS cos_proj,
+       |  CASE WHEN d2o > 0 THEN floor(d2p / d2o * 1e6 + 0.5) / 1e6
+       |  END AS dist_ratio
+       |FROM d""".stripMargin
   }
 
   /** q129 replay: rebuild the same messy URLs from (doc_id, source),
@@ -3266,6 +3368,49 @@ object SparkEntry {
         |SELECT e.src, e.dst, round(e.cosine, 6) AS cosine, e.rank,
         |  CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
         |FROM e LEFT JOIN e m ON e.src = m.dst AND e.dst = m.src""".stripMargin,
+    // q143: the q142 edge replay at k=4, mutual pairs only, then the
+    // shared transitive-closure CTEs (min reachable id = component);
+    // singletons coalesce to their own id, size by a window count.
+    "q143_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 500),
+         |sims AS (SELECT a.id AS src, b.id AS dst,
+         |           list_cosine_similarity(a.v, b.v) AS cosine
+         |         FROM s a, s b WHERE a.id <> b.id),
+         |rk AS (SELECT src, dst, row_number() OVER
+         |         (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+         |       FROM sims),
+         |e AS (SELECT src, dst FROM rk WHERE rank <= 4),
+         |p AS (SELECT e.src AS id_a, e.dst AS id_b
+         |      FROM e JOIN e m ON e.src = m.dst AND e.dst = m.src
+         |      WHERE e.src < e.dst),
+         |$ClosureCtes,
+         |cl AS (SELECT s.id, COALESCE(comp.component, s.id) AS cluster
+         |       FROM s LEFT JOIN comp ON s.id = comp.id)
+         |SELECT id AS vec_id, cluster,
+         |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+         |FROM cl""".stripMargin,
+    "q144_random_projection" -> randomProjectionOracleSql(),
+    // q145: the q142 ranking at k=10 keeping only the kth edge; the
+    // isolation rank orders on the ROUNDED kth cosine with the id
+    // tiebreak (rounded-ranking-key rule), nulls last in both engines.
+    "q145_knn_density" ->
+      """WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |sims AS (SELECT a.id AS src, b.id AS dst,
+        |           list_cosine_similarity(a.v, b.v) AS cosine
+        |         FROM s a, s b WHERE a.id <> b.id),
+        |rk AS (SELECT src, cosine, row_number() OVER
+        |         (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+        |       FROM sims),
+        |kth AS (SELECT src AS id, round(cosine, 6) AS kth_cosine
+        |        FROM rk WHERE rank = 10),
+        |d AS (SELECT s.id, kth.kth_cosine
+        |      FROM s LEFT JOIN kth ON s.id = kth.id)
+        |SELECT id AS vec_id, kth_cosine,
+        |  CAST(row_number() OVER (ORDER BY kth_cosine ASC NULLS LAST, id ASC)
+        |    AS INT) AS isolation_rank
+        |FROM d""".stripMargin,
     // q137: q20's truth ranking + q21's sign-LSH candidate ranking
     // (CTEs inlined with t_/c_ prefixes), then recall/MRR/nDCG with
     // DCG and IDCG as SEQUENTIAL folds over rank-sorted lists — the

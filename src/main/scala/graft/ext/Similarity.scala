@@ -179,6 +179,101 @@ object Similarity {
     markMutual(topk)
   }
 
+  /** Mutual-kNN clustering: connected components of the UNDIRECTED
+    * graph whose edges are the kNN graph's mutual pairs (a in b's
+    * top-k AND b in a's top-k) — the structure under diversity-aware
+    * curation and prototype selection: mutual edges require agreement
+    * from both endpoints, so a hub that happens to be many nodes'
+    * neighbor does not glue unrelated regions together the way raw
+    * kNN edges (or a plain cosine threshold) do.
+    *
+    * Every input node gets a row; nodes with no mutual edge are
+    * singleton clusters under their own id (the q80 coalesce pattern).
+    * Exact all-pairs is inherently n² — this form is the audit twin on
+    * fixed broadcast-scale slices; [[mutualKnnClustersLsh]] is the
+    * corpus path. Component labeling is [[Dedup.connectedComponents]]:
+    * size-gated driver union-find below 2M edges, pinned flat rounds
+    * above, fail-loud on non-convergence. The mutual edge list is at
+    * most n·k/2 rows — graph-sized, never corpus-quadratic. */
+  def mutualKnnClusters(df: DataFrame, id: String, vec: String,
+                        k: Int): DataFrame =
+    clustersFromEdges(df, id, knnGraph(df, id, vec, k))
+
+  /** [[mutualKnnClusters]] at corpus scale: edges from [[knnGraphLsh]]
+    * (capped sign-LSH buckets, nothing broadcasts). LSH may miss true
+    * neighbors, so mutual edges — and therefore clusters — are a
+    * recall-bounded subset; SimilaritySpec measures cluster agreement
+    * against the exact twin on planted clusters. */
+  def mutualKnnClustersLsh(df: DataFrame, id: String, vec: String, k: Int,
+                           tables: Int = 16, nPlanes: Int = 8, dim: Int = 64,
+                           maxBucketSize: Option[Long] = Some(1000)): DataFrame =
+    clustersFromEdges(df, id,
+      knnGraphLsh(df, id, vec, k, tables, nPlanes, dim, maxBucketSize))
+
+  private def clustersFromEdges(df: DataFrame, id: String,
+                                graph: DataFrame): DataFrame = {
+    val pairs = graph.filter(col("mutual") === 1 && col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+    df.select(col(id).cast("long").as("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id").as(id),
+        coalesce(col("component"), col("id")).as("cluster"))
+  }
+
+  /** kth-NN density score: each node's cosine to its kth nearest
+    * neighbor — high means the node sits in a dense region (near-dup
+    * mass, boilerplate clusters), low means isolated (outliers,
+    * frontier examples). The signal under density-based pruning
+    * (SemDeDup-style keep-one-per-dense-region) and
+    * hardest-example mining.
+    *
+    * Nodes with fewer than k neighbors report null (honest, not a
+    * silently-smaller k). Shuffle shape: the bounded-heap Aggregator —
+    * ≤ k rows per node per partition, never the n² candidate stream;
+    * exact form for broadcast-scale slices (the corpus path blocks
+    * candidates with LSH exactly like [[knnGraphLsh]] — density only
+    * needs the kth edge, so any top-k path feeds it). */
+  def knnDensity(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val kth = topKAggregate(df, df, id, vec, k)
+      .filter(col("rank") === k)
+      .select(col("qid").as("id"), col("cosine").as("kth_cosine"))
+    df.select(col(id).cast("long").as("id"))
+      .join(kth, Seq("id"), "left_outer")
+      .select(col("id").as(id), col("kth_cosine"))
+  }
+
+  /** Deterministic ±1/√outDim sign matrix from the md5 family — the
+    * sparse Johnson–Lindenstrauss projection (Achlioptas '03: ±1
+    * entries satisfy the JL guarantee with the same constants as
+    * Gaussian). Same derivation convention as [[md5SignPlanes]], so
+    * the oracle generator embeds the identical literals. */
+  def md5SignMatrix(outDim: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val d = md.digest(s"proj:$j:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) scale else -scale
+    }
+  }
+
+  /** Random-projection dimensionality reduction: map each embedding to
+    * `outDim` dims through the deterministic ±1/√outDim JL matrix —
+    * the cheap way to make every downstream ANN/pairwise stage pay
+    * outDim/dim of its dot-product and shuffle cost while keeping
+    * pairwise distances within JL distortion (audited pairwise by the
+    * board query and SimilaritySpec, not assumed).
+    *
+    * Scale shape: pure map-side codegen ([[graft.functions.Vectors.matVec]],
+    * matrix as a reference object) over the stored float32 column —
+    * zero shuffle, zero pre-cast, composes with any downstream index
+    * build. */
+  def randomProjection(df: DataFrame, id: String, vec: String,
+                       outDim: Int, dim: Int = 64): DataFrame =
+    df.select(col(id).cast("long").as(id),
+      graft.functions.Vectors.matVec(col(vec),
+        md5SignMatrix(outDim, dim)).as("proj"))
+
   /** k-NN label prediction: each query's label is the majority label of
     * its k nearest corpus neighbors by cosine; vote ties break to the
     * smaller label, so classification is deterministic.

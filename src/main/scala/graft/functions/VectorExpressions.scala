@@ -229,6 +229,93 @@ final case class SignLshBucketsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Dense matrix-vector product: out[j] = Σ_i matrix(j)(i) · v[i], each
+  * output dim folded in ascending index order — the random-projection
+  * (Johnson–Lindenstrauss) primitive that maps a stored embedding to a
+  * low-dim sketch map-side, zero shuffle.
+  *
+  * The matrix rides as a codegen REFERENCE OBJECT (the
+  * [[SignLshBucketsExpr]] lesson: inlining outDim×dim literal doubles
+  * into the generated Java costs seconds of one-time JIT per plan and
+  * is re-paid inside iterative loops); one compiled double loop
+  * produces every output dim. Input may be array<float> (parquet
+  * embeddings, widened exactly per element like [[DotProduct]]) or
+  * array<double>.
+  */
+final case class MatVecExpr(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(matrix.nonEmpty && matrix(0).nonEmpty,
+    "mat_vec: matrix must be non-empty (outDim x dim)")
+  require(matrix.forall(_.length == matrix(0).length),
+    "mat_vec: matrix must be rectangular")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.requireFloatOrDoubleArrays(prettyName, child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  private def dim: Int = matrix(0).length
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) {
+      // a silently-truncated projection is a plausible-but-wrong sketch
+      throw new IllegalArgumentException(
+        s"mat_vec: vector length ${x.numElements()} != matrix dim $dim")
+    }
+    val out = new Array[Double](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * row(i)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
+      val get = if (isFloat) s"(double) $c.getFloat" else s"$c.getDouble"
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($c.numElements() != ${dim}) {
+         |  throw new IllegalArgumentException(
+         |    "mat_vec: vector length " + $c.numElements() +
+         |    " != matrix dim ${dim}");
+         |}
+         |double[] $out = new double[${matrix.length}];
+         |for (int $j = 0; $j < ${matrix.length}; $j++) {
+         |  double[] $row = $m[$j];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < ${dim}; $i++) {
+         |    $s += $get($i) * $row[$i];
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
+}
+
 private[functions] object VectorExpressions {
   def requireDoubleArrays(fn: String, exprs: Expression*): TypeCheckResult = {
     val bad = exprs.filterNot(_.dataType match {
@@ -271,4 +358,10 @@ object Vectors {
     * `array<double>` vector column (codegen'd single pass). */
   def signLshBuckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
     Bridge.column(SignLshBucketsExpr(Bridge.expression(v), planes))
+
+  /** Matrix-vector product of an `array<float>`/`array<double>` column
+    * against a plan-time constant matrix (codegen'd single pass) —
+    * `array<double>` of length matrix.length. */
+  def matVec(v: Column, matrix: Array[Array[Double]]): Column =
+    Bridge.column(MatVecExpr(Bridge.expression(v), matrix))
 }

@@ -143,7 +143,22 @@ class PlanAuditSpec extends SparkSpec {
       // predicates) crossJoined against one scan — the documented
       // one-row-totals shape; q142: q20's broadcast query-vector
       // non-equi join with queries = the fixed 500-vector slice
-      "q140_classifier_sweep", "q141_pruning_audit", "q142_knn_graph")
+      "q140_classifier_sweep", "q141_pruning_audit", "q142_knn_graph",
+      // q143/q145: compose q142's broadcast-slice top-k; q144: the JL
+      // audit's sampled-pair non-equi self-join on the fixed 400-slice
+      // (the corpus-scale projection itself is map-side, pinned below)
+      "q143_mutual_knn_clusters", "q144_random_projection",
+      "q145_knn_density")
+
+  test("q144 (random projection): the projection itself is map-side, " +
+      "zero exchanges") {
+    val p = graft.ext.Similarity.randomProjection(
+        io.Tables.embeddings(spark, dir), "vec_id", "embedding", 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(exchanges(p) === 0,
+      s"mat_vec must ride the scan, never shuffle:\n$p")
+    assert(p.contains("mat_vec"), "expected the codegen projection expr")
+  }
 
   test("q114 (token chunks): pure map-side, zero exchanges") {
     assert(exchanges(plan("q114_token_chunks")) === 0,

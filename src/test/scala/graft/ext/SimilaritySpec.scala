@@ -237,6 +237,116 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.count() === 0L)
   }
 
+  test("mutualKnnClusters: mutual cliques merge, hubs don't glue, singletons") {
+    // two tight 2-clusters + one isolated point: at k=1 the pairs
+    // (0,1) and (2,3) are mutual; 4 points away from everything — its
+    // 1-NN is not reciprocated, so it must stay a singleton under its
+    // own id, not get glued to the cluster its one-way edge touches
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.05f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.99f, 0.05f)),
+      (4L, Array(0.5f, 0.5f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val cl = Similarity.mutualKnnClusters(vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(0L) === cl(1L))
+    assert(cl(2L) === cl(3L))
+    assert(cl(0L) !== cl(2L))
+    assert(cl(4L) === 4L) // one-way edge: singleton under its own id
+    assert(cl.size === 5) // every input node labeled
+  }
+
+  test("mutualKnnClustersLsh agrees with exact clusters on planted clusters") {
+    val rnd = new scala.util.Random(11)
+    val base = Array(
+      Array.fill(8)(rnd.nextGaussian()),
+      Array.fill(8)(rnd.nextGaussian()),
+      Array.fill(8)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val v = base(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    def canon(m: Map[Long, Long]): Map[Long, Set[Long]] =
+      m.groupBy(_._2).map { case (_, g) => g.keys.min -> g.keys.toSet }
+    val exact = canon(Similarity.mutualKnnClusters(df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val lsh = canon(Similarity.mutualKnnClustersLsh(df, "vec_id", "embedding", 3,
+        tables = 12, nPlanes = 4, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // same-direction clusters share every bucket, so the LSH graph sees
+    // the same intra-cluster candidates: cluster agreement, not just recall
+    val agree = exact.count { case (k, members) => lsh.get(k).contains(members) }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"LSH cluster agreement $agree/${exact.size}")
+  }
+
+  test("knnDensity: kth cosine hand-checked; fewer than k neighbors = null") {
+    val d3 = Similarity.knnDensity(emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(d3.size === 6)
+    assert(d3.values.forall(_.isDefined)) // 6 nodes, 5 neighbors each
+    // k exceeding the neighbor count reports null, not a quietly
+    // smaller k (plausible-but-wrong density)
+    val d9 = Similarity.knnDensity(emb, "vec_id", "embedding", k = 9)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(d9.values.forall(identity))
+    // vec 5 (antipode of 0) is the most isolated: smallest kth cosine
+    val kth = d3.map { case (k, v) => k -> v.get }
+    assert(kth(5L) === kth.values.min)
+  }
+
+  test("matVec / randomProjection: hand-checked, loud on bad dim, null-safe") {
+    import org.apache.spark.sql.functions.col
+    val m = Array(Array(1.0, 0.0, 0.0), Array(0.5, 0.5, 0.0))
+    val df = Seq((0L, Array(2.0f, 4.0f, 6.0f)), (1L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+        graft.functions.Vectors.matVec(col("v"), m).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(out(0L) === Seq(2.0, 3.0))
+    assert(out(1L) === null) // null vector propagates, never throws
+    // wrong length fails loudly (a truncated projection is a
+    // plausible-but-wrong sketch)
+    val bad = Seq((0L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.Vectors.matVec(col("v"), m)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("randomProjection: deterministic, JL distortion bounded on clusters") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val p1 = Similarity.randomProjection(df, "vec_id", "embedding", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.randomProjection(df, "vec_id", "embedding", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 === p2) // md5 matrix: bit-for-bit rerun determinism
+    assert(p1.values.forall(_.length === 16))
+    // JL on iid gaussians at 64->16: squared-distance ratios concentrate
+    // around 1; the MEDIAN over pairs is a stable statistic (individual
+    // pairs can stray — that's the audit's point, not a failure)
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = rows.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    val ratios = for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+    } yield d2(p1(i), p1(j)) / d2(orig(i), orig(j))
+    val sorted = ratios.sorted
+    val med = sorted(sorted.length / 2)
+    assert(med > 0.75 && med < 1.25, s"JL median ratio $med off")
+    assert(sorted.head > 0.2 && sorted.last < 3.0,
+      s"JL tail ratios ${sorted.head}/${sorted.last} pathological")
+  }
+
   test("labelCentroids: element-wise mean per label, hand-checked") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), 0),
