@@ -1859,7 +1859,18 @@ object SparkEntry {
       d.withColumn("isolation_rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("kth_cosine").asc_nulls_last, col("vec_id").asc)))
-    })
+    }),
+
+    // --- "What is distinctive about source X": per-source top terms by
+    // Dirichlet-prior log-odds z-score (Monroe '08) against the rest of
+    // the corpus — the corpus-comparison report where TF-IDF surfaces
+    // typos and raw frequency surfaces stopwords. One vocabulary-sized
+    // (source, term) stream, checkpointed once; z snapped and ranked
+    // with a term tiebreak (the ln rule).
+    "q146_distinctive_terms" -> ((s, dir) =>
+      graft.ext.TextAnalysis.distinctiveTerms(
+          Tables.documents(s, dir), "text", "source", topK = 5)
+        .orderBy("source", "rank"))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -3391,6 +3402,44 @@ object SparkEntry {
          |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
          |FROM cl""".stripMargin,
     "q144_random_projection" -> randomProjectionOracleSql(),
+    // q146: the Monroe log-odds replayed — exact integer counts, the
+    // identical left-assoc double chain for the prior/denominators,
+    // degenerate denominators guarded to NULL BEFORE the snap (nulls
+    // last under DESC in both engines), ranking on the snapped z.
+    "q146_distinctive_terms" ->
+      """WITH t AS (
+        |  SELECT source AS grp,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[ \t\n\f\r]+'), x -> x <> '')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |cgw AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c_gw
+        |        FROM t GROUP BY 1, 2),
+        |cw AS (SELECT term, CAST(sum(c_gw) AS BIGINT) AS c_w
+        |       FROM cgw GROUP BY 1),
+        |ng AS (SELECT grp, CAST(sum(c_gw) AS BIGINT) AS n_g
+        |       FROM cgw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_gw) AS BIGINT) AS n FROM cgw),
+        |sc AS (
+        |  SELECT grp, term, c_gw,
+        |    500.0 * c_w / n AS aw,
+        |    c_w - c_gw AS c_r,
+        |    n_g + 500.0 - c_gw - (500.0 * c_w / n) AS d1,
+        |    (n - n_g) + 500.0 - (c_w - c_gw) - (500.0 * c_w / n) AS d2
+        |  FROM cgw JOIN cw USING (term) JOIN ng USING (grp), tot),
+        |z AS (
+        |  SELECT grp, term, c_gw,
+        |    CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |      floor((ln((c_gw + aw) / d1) - ln((c_r + aw) / d2))
+        |        / sqrt(1.0 / (c_gw + aw) + 1.0 / (c_r + aw))
+        |        * 1e6 + 0.5) / 1e6
+        |    END AS z
+        |  FROM sc),
+        |rk AS (SELECT grp, term, c_gw, z, row_number() OVER
+        |         (PARTITION BY grp ORDER BY z DESC, term ASC) AS rank
+        |       FROM z)
+        |SELECT grp AS source, term, c_gw, z, rank
+        |FROM rk WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     // q145: the q142 ranking at k=10 keeping only the kth edge; the
     // isolation rank orders on the ROUNDED kth cosine with the id
     // tiebreak (rounded-ranking-key rule), nulls last in both engines.

@@ -1051,6 +1051,70 @@ object TextAnalysis {
       .select(col("id").as(id), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Per-group distinctive terms: the log-odds ratio with an
+    * informative Dirichlet prior (Monroe/Colaresi/Quinn 2008,
+    * "Fightin' Words") of each term in each group (source, language,
+    * snapshot…) against the REST of the corpus, z-scored — the
+    * corpus-comparison report a curation stack reads to see what a
+    * source actually contributes ("what is distinctive about domain
+    * X"), where raw TF-IDF surfaces rare typos and plain frequency
+    * surfaces stopwords. The prior α_w = α0·c_w/n shrinks rare-term
+    * odds toward the corpus rate, so a term must be both frequent
+    * and skewed to rank.
+    *
+    * δ_gw = ln((c_gw + α_w)/(n_g + α0 − c_gw − α_w))
+    *      − ln((c_rw + α_w)/(n_r + α0 − c_rw − α_w)),   r = rest
+    * z = δ / √(1/(c_gw + α_w) + 1/(c_rw + α_w)); top-k per group by z.
+    *
+    * Scale shape: ONE vocabulary-sized stream — the (group, term)
+    * counts, partial-aggregated map-side, eager-checkpointed once
+    * (three consumers: term totals, group totals, the scored join —
+    * the multi-consumer rule); group totals and the grand total are
+    * group-cardinality-sized broadcasts; the rank window partitions
+    * by group over rows already collapsed to (group, term).
+    *
+    * Cross-engine: counts are exact integers; the z chain passes
+    * through ln, so ranking and output use the 6 dp floor-snap with a
+    * term tiebreak, and degenerate odds (a group or rest consisting
+    * ENTIRELY of one term makes a denominator 0) are guarded to null
+    * BEFORE the snap (the NaN/floor rule) — null sorts last under
+    * desc in both engines.
+    */
+  def distinctiveTerms(df: DataFrame, text: String, group: String,
+                       topK: Int = 5, alpha0: Double = 500.0): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    require(alpha0 > 0, "alpha0 must be > 0")
+    val terms = df
+      .select(col(group).as("grp"),
+        explode(split(lower(col(text)), "[ \\t\\n\\f\\r]+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val cgw = terms.groupBy("grp", "term").agg(count(lit(1)).as("c_gw"))
+      .localCheckpoint(eager = true)
+    val cw = cgw.groupBy("term").agg(sum("c_gw").as("c_w"))
+    val ng = cgw.groupBy("grp").agg(sum("c_gw").as("n_g"))
+    val n = cgw.agg(sum("c_gw").as("n"))
+    val aw = lit(alpha0) * col("c_w") / col("n")
+    val cr = col("c_w") - col("c_gw")
+    val nr = col("n") - col("n_g")
+    val d1 = col("n_g") + lit(alpha0) - col("c_gw") - aw
+    val d2 = nr + lit(alpha0) - cr - aw
+    val delta = log((col("c_gw") + aw) / d1) - log((cr + aw) / d2)
+    val z = delta / sqrt(lit(1.0) / (col("c_gw") + aw) +
+      lit(1.0) / (cr + aw))
+    val scored = cgw.join(cw, Seq("term"))
+      .join(broadcast(ng), Seq("grp"))
+      .crossJoin(broadcast(n))
+      .select(col("grp"), col("term"), col("c_gw"),
+        graft.functions.Rounding.reprRound6(
+          when(d1 > 0 && d2 > 0, z)).as("z"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("z").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(group), col("term"), col("c_gw"), col("z"),
+        col("rank"))
+  }
+
   /** BM25 relevance of every document against a bag of `queryTerms`
     * (Robertson/Spärck Jones; the Lucene idf variant, which is always
     * positive): score = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·

@@ -5,6 +5,39 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("distinctiveTerms: planted skew ranks first, shared terms don't") {
+    // two groups share a uniform background vocabulary; group A is
+    // salted with "alpha", group B with "beta". The log-odds z must
+    // put the salt term at rank 1 of its own group and nowhere in the
+    // other's top-k; the shared background terms score near zero.
+    val bg = "the quick brown fox jumps over lazy dog"
+    val rows =
+      (0 until 30).map(i => (s"A", s"$bg alpha alpha")) ++
+      (0 until 30).map(i => (s"B", s"$bg beta beta"))
+    val df = rows.toDF("source", "text")
+    val top = TextAnalysis.distinctiveTerms(df, "text", "source", topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(4)))
+    val a1 = top.find { case (g, _, rk) => g == "A" && rk == 1 }.get
+    val b1 = top.find { case (g, _, rk) => g == "B" && rk == 1 }.get
+    assert(a1._2 === "alpha")
+    assert(b1._2 === "beta")
+    assert(!top.exists { case (g, t, _) => g == "A" && t == "beta" })
+    assert(!top.exists { case (g, t, _) => g == "B" && t == "alpha" })
+  }
+
+  test("distinctiveTerms: every group gets <= topK rows, counts exact") {
+    val df = Seq(
+      ("A", "x x y"), ("A", "x z"), ("B", "y y z"), ("B", null)
+    ).toDF("source", "text")
+    val out = TextAnalysis.distinctiveTerms(df, "text", "source", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byG = out.groupBy(_._1)
+    assert(byG.forall(_._2.length <= 2))
+    // exact per-group term counts survive the scoring chain
+    assert(out.find(t => t._1 == "A" && t._2 == "x").forall(_._3 === 3L))
+  }
+
   test("token counts: whitespace vs bpe-ish vs chars") {
     val df = Seq((1L, "Hello world, it's 42 degrees!")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(df, "doc_id", "text").collect().head
