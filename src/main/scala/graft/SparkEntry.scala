@@ -1870,7 +1870,19 @@ object SparkEntry {
     "q146_distinctive_terms" -> ((s, dir) =>
       graft.ext.TextAnalysis.distinctiveTerms(
           Tables.documents(s, dir), "text", "source", topK = 5)
-        .orderBy("source", "rank"))
+        .orderBy("source", "rank")),
+
+    // --- Lakehouse OPTIMIZE planner over (lang, source) pseudo-files:
+    // sub-target files pack into ~2500-byte merge bins per partition
+    // (deterministic name-order cumsum walk, rowsBetween-pinned);
+    // at-target files are left alone — rewriting them is churn.
+    "q147_compaction_plan" -> ((s, dir) => {
+      val files = Tables.documents(s, dir)
+        .groupBy(col("lang").as("part"), col("source").as("file"))
+        .agg(sum(col("n_chars")).as("size_bytes"))
+      graft.ext.Layout.compactionPlan(files, "part", "file",
+        "size_bytes", targetBytes = 2500L)
+    })
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -3402,6 +3414,25 @@ object SparkEntry {
          |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
          |FROM cl""".stripMargin,
     "q144_random_projection" -> randomProjectionOracleSql(),
+    // q147: the compaction plan replayed — integer sizes, the same
+    // name-ordered ROWS-frame cumsum, bin = floor(presum / target).
+    "q147_compaction_plan" ->
+      """WITH f AS (SELECT lang AS part, source AS file,
+        |             CAST(sum(n_chars) AS BIGINT) AS size_bytes
+        |           FROM documents GROUP BY 1, 2),
+        |s AS (SELECT part, file, size_bytes,
+        |        sum(size_bytes) OVER (PARTITION BY part ORDER BY file ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - size_bytes AS presum
+        |      FROM f WHERE size_bytes < 2500)
+        |SELECT part, file, size_bytes,
+        |  CAST(floor(presum / 2500.0) AS BIGINT) AS bin,
+        |  true AS needs_compaction
+        |FROM s
+        |UNION ALL
+        |SELECT part, file, size_bytes, CAST(NULL AS BIGINT) AS bin,
+        |  false AS needs_compaction
+        |FROM f WHERE size_bytes >= 2500""".stripMargin,
     // q146: the Monroe log-odds replayed — exact integer counts, the
     // identical left-assoc double chain for the prior/denominators,
     // degenerate denominators guarded to NULL BEFORE the snap (nulls

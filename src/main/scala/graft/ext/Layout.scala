@@ -158,4 +158,49 @@ object Layout {
         col("buckets_read"), col("rows_read"), col("rows_matched"),
         col("read_fraction"))
   }
+
+  /** Small-file compaction plan — the lakehouse OPTIMIZE planner: pack
+    * each partition's sub-target files into merge bins of ~`targetBytes`
+    * so a 100 TB table stops paying per-file open/footer/listing cost
+    * on millions of crumbs (the small-file problem). Files already at
+    * or above target are left alone (`needs_compaction = false`,
+    * no bin) — rewriting them would be pure churn.
+    *
+    * Binning is the deterministic sorted walk: within a partition,
+    * files in name order accumulate; a file's bin is
+    * `floor(pre_sum / target)` (its cumulative size BEFORE itself /
+    * target), so every bin holds ≥ target bytes once closed, overshoot
+    * bounded by one file. Name order (not size order) keeps the plan
+    * stable under re-runs and replayable as one window cumsum.
+    *
+    * Scale shape: operates on file METADATA (one row per file — even
+    * a 100 TB table is ≤ ~1e7 rows of listing), and the window
+    * partitions by the table partition — compaction can't merge across
+    * hive partitions anyway, so the cumsum parallelizes per partition
+    * instead of one global sort. The frame is pinned to
+    * `rowsBetween` (the RANGE-default duplicate-key trap). Null
+    * file/size rows are unplannable and dropped loudly by count, not
+    * silently.
+    */
+  def compactionPlan(files: DataFrame, part: String, file: String,
+                     size: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val f = files.select(col(part).as("part"), col(file).as("file"),
+        col(size).cast("long").as("size_bytes"))
+      .filter(col("file").isNotNull && col("size_bytes").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("file").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val small = f.filter(col("size_bytes") < targetBytes)
+      .withColumn("presum",
+        sum(col("size_bytes")).over(w) - col("size_bytes"))
+      .select(col("part"), col("file"), col("size_bytes"),
+        floor(col("presum") / lit(targetBytes.toDouble)).as("bin"),
+        lit(true).as("needs_compaction"))
+    val big = f.filter(col("size_bytes") >= targetBytes)
+      .select(col("part"), col("file"), col("size_bytes"),
+        lit(null).cast("long").as("bin"), lit(false).as("needs_compaction"))
+    small.unionByName(big)
+  }
 }

@@ -98,6 +98,43 @@ class LayoutSpec extends SparkSpec {
         Seq(Layout.RangePred(1, 0, 1, 0, 1), Layout.RangePred(1, 2, 3, 2, 3))))
   }
 
+  test("compactionPlan: hand-checked bins, big files skip, nulls dropped") {
+    val files = Seq(
+      ("p1", "a", 100L),   // bin 0 (presum 0)
+      ("p1", "b", 2400L),  // bin 0 (presum 100) — bin 0 closes at 2500
+      ("p1", "c", 300L),   // bin 1 (presum 2500)
+      ("p1", "d", 5000L),  // at/over target: left alone
+      ("p2", "a", 10L),    // independent partition restarts at bin 0
+      ("p2", "x", 10L)
+    ).toDF("part", "file", "size_bytes")
+    val out = Layout.compactionPlan(files, "part", "file", "size_bytes", 2500L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getBoolean(4)))
+      .toMap
+    assert(out(("p1", "a")) === ((Some(0L), true)))
+    assert(out(("p1", "b")) === ((Some(0L), true)))
+    assert(out(("p1", "c")) === ((Some(1L), true)))
+    assert(out(("p1", "d")) === ((None, false)))
+    assert(out(("p2", "a")) === ((Some(0L), true)))
+    assert(out(("p2", "x")) === ((Some(0L), true)))
+    // unplannable rows (null size/file) are dropped, not binned as junk
+    val withNull = Seq(("p1", "a", Some(10L)), ("p1", null, Some(10L)),
+      ("p1", "c", Option.empty[Long])).toDF("part", "file", "size_bytes")
+    assert(Layout.compactionPlan(withNull, "part", "file", "size_bytes",
+      100L).count() === 1L)
+    intercept[IllegalArgumentException](
+      Layout.compactionPlan(files, "part", "file", "size_bytes", 0L))
+    // every closed bin holds >= target (overshoot bounded by one file):
+    // duplicate-size files must each contribute once (the ROWS-frame
+    // pin — a RANGE frame would give name-order peers one shared cumsum)
+    val dup = Seq(("p", "f1", 1000L), ("p", "f2", 1000L), ("p", "f3", 1000L),
+      ("p", "f4", 1000L)).toDF("part", "file", "size_bytes")
+    val bins = Layout.compactionPlan(dup, "part", "file", "size_bytes", 2000L)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(bins === Map("f1" -> 0L, "f2" -> 0L, "f3" -> 1L, "f4" -> 1L))
+  }
+
   test("zOrderBuckets fails loudly on out-of-range inputs, keeps nulls null") {
     val bad = Seq((Some(70L), Some(1L))).toDF("x", "y")
     val ex = intercept[Exception] {
