@@ -335,9 +335,16 @@ object SparkEntry {
     // token per run and word-shingled signatures carry no signal
     // (DedupSpec: planted CJK near-dups are MISSED by word shingles,
     // CAUGHT by char shingles). Fully DuckDB-oracled via substr-grams.
+    // bands=8 (width 8, S-curve midpoint (1/8)^(1/8) ≈ 0.77) and
+    // tau=0.8 — the operating point char shingles need: character
+    // 5-gram Jaccard between UNRELATED docs runs far higher than word
+    // trigrams (shared substrings dominate), so the word-mode 16×4
+    // banding (midpoint 0.5) floods candidates — measured 13.6M capped
+    // candidate pairs at sf1 vs 13k at 8×8, and a 74 GB spill death at
+    // sf10 (ProbeCharMinhashFlood; SCALE.md round 10).
     "q127_char_minhash" -> ((s, dir) =>
       graft.ext.Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          tau = 0.5, numHashes = 64, bands = 16, maxBucketSize = Some(1000),
+          tau = 0.8, numHashes = 64, bands = 8, maxBucketSize = Some(1000),
           mode = graft.ext.Dedup.ShingleMode.Char, charK = 5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
@@ -2197,8 +2204,10 @@ object SparkEntry {
     * leakage-safe split, which needs the pairs as a CTE under a
     * RECURSIVE WITH). */
   private def minhashPairsCtes(extraWhere: String = "",
-                               shCtes: String = WordShingleShCtes)
+                               shCtes: String = WordShingleShCtes,
+                               bands: Int = 16, tau: Double = 0.5)
       : String = {
+    val w = 64 / bands
     // the engine's exact hash family, regenerated from the same code
     val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
       .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
@@ -2212,8 +2221,8 @@ object SparkEntry {
        |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
        |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
        |banded AS (
-       |  SELECT id, b, array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
-       |  FROM sig, range(0, 16) AS t(b)),
+       |  SELECT id, b, array_to_string(list_slice(sig, b*$w + 1, b*$w + $w), ',') AS bucket
+       |  FROM sig, range(0, $bands) AS t(b)),
        |ok AS (SELECT b, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
        |cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
@@ -2228,13 +2237,14 @@ object SparkEntry {
        |  JOIN sig sa ON c.id_a = sa.id
        |  JOIN sig sb ON c.id_b = sb.id
        |  WHERE len(list_filter(generate_series(1, 64),
-       |        j -> sa.sig[j] = sb.sig[j])) / 64.0 >= 0.5$extraWhere)""".stripMargin
+       |        j -> sa.sig[j] = sb.sig[j])) / 64.0 >= $tau$extraWhere)""".stripMargin
   }
 
   private def minhashPairsOracleSql(extraWhere: String = "",
-                                    shCtes: String = WordShingleShCtes)
+                                    shCtes: String = WordShingleShCtes,
+                                    bands: Int = 16, tau: Double = 0.5)
       : String =
-    s"""WITH ${minhashPairsCtes(extraWhere, shCtes)}
+    s"""WITH ${minhashPairsCtes(extraWhere, shCtes, bands, tau)}
        |SELECT id_a, id_b, est_jaccard FROM p""".stripMargin
 
   /** q125's oracle: full replay of [[graft.ext.Dedup.lshRecallAudit]]
@@ -3142,7 +3152,8 @@ object SparkEntry {
          |FROM u""".stripMargin
     },
     "q17_minhash_pairs" -> minhashPairsOracleSql(),
-    "q127_char_minhash" -> minhashPairsOracleSql(shCtes = CharShingleShCtes),
+    "q127_char_minhash" -> minhashPairsOracleSql(shCtes = CharShingleShCtes,
+      bands = 8, tau = 0.8),
     // q132: the q124 BM25 replay and the q20 cosine replay, each
     // row_number-ranked on (rounded score DESC, doc_id ASC), top-50
     // both, full-outer joined, rrf = 1/(60+r_bm25) + 1/(60+r_cos) in
