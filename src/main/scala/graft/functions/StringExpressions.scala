@@ -61,9 +61,186 @@ final case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The shared tight-loop n-gram builders behind [[WordNgrams]] /
+  * [[CharNgrams]]. Byte-exact to the Catalyst chains they replace:
+  * word tokens are maximal runs between the EXPLICIT whitespace bytes
+  * {0x20,\t,\n,\f,\r} (== `split(text, "[ \t\n\f\r]+")` + empty
+  * filter — those bytes never occur inside a UTF-8 multibyte
+  * sequence), grams join with a single 0x20 (== `concat_ws(" ", …)`),
+  * and char windows count UTF-8 CHARACTERS (sequence starts), the
+  * unit Spark's `substr` counts.
+  */
+private[functions] object NgramLoops {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d
+
+  def wordNgrams(s: UTF8String, n: Int, wholeTextFallback: Boolean): GenericArrayData = {
+    val bytes = s.getBytes
+    // token spans [start, end)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i < bytes.length) {
+        starts.add(i)
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val t = starts.size()
+    def joined(from: Int, until: Int): UTF8String = {
+      // bytes of tokens [from, until) joined by single spaces
+      var len = 0
+      var j = from
+      while (j < until) { len += ends.get(j) - starts.get(j); j += 1 }
+      if (until > from) len += (until - from) - 1
+      val out = new Array[Byte](math.max(len, 0))
+      var p = 0
+      j = from
+      while (j < until) {
+        if (j > from) { out(p) = 0x20; p += 1 }
+        val l = ends.get(j) - starts.get(j)
+        System.arraycopy(bytes, starts.get(j), out, p, l)
+        p += l
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+    if (t >= n) {
+      val grams = new Array[AnyRef](t - n + 1)
+      var g = 0
+      while (g <= t - n) { grams(g) = joined(g, g + n); g += 1 }
+      new GenericArrayData(grams)
+    } else if (wholeTextFallback) {
+      new GenericArrayData(Array[AnyRef](joined(0, t)))
+    } else {
+      new GenericArrayData(Array.empty[AnyRef])
+    }
+  }
+
+  def charNgrams(s: UTF8String, k: Int, wholeTextFallback: Boolean): GenericArrayData = {
+    val bytes = s.getBytes
+    // character starts: bytes that are not UTF-8 continuations
+    val cs = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) cs.add(i)
+      i += 1
+    }
+    cs.add(bytes.length)
+    val nChars = cs.size() - 1
+    if (nChars >= k) {
+      val grams = new Array[AnyRef](nChars - k + 1)
+      var g = 0
+      while (g <= nChars - k) {
+        grams(g) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, cs.get(g), cs.get(g + k)))
+        g += 1
+      }
+      new GenericArrayData(grams)
+    } else if (wholeTextFallback) {
+      new GenericArrayData(Array[AnyRef](s.clone()))
+    } else {
+      new GenericArrayData(Array.empty[AnyRef])
+    }
+  }
+}
+
+/** Word n-gram array of an ALREADY-LOWERCASED string: the drop-in for
+  * `transform(sequence(…), i -> concat_ws(" ", slice(split(text), i, n)))`
+  * — which evaluates INTERPRETED (a lambda frame per gram) and, worse,
+  * re-evaluates the `split` subtree for every gram because HOF lambdas
+  * see the unevaluated child expression, not a bound value: the
+  * shingle pass was the top stack in every sf10 profile of the
+  * dedup/sketch family. This expression splits once and emits every
+  * gram from one tight byte loop (measured at sf10: q127 170→20 s,
+  * q139 48→7 s, q131 49→8 s).
+  *
+  * `wholeTextFallback` selects the two semantics the engine uses:
+  * true = documents shorter than n words contribute their whitespace-
+  * joined text as ONE shingle (the near-dup convention, Dedup family);
+  * false = they contribute nothing (the n-gram-statistics convention).
+  * Caller applies `lower()` (and any normalization) upstream — this
+  * expression only splits and joins, so the bytes match the SQL
+  * oracles' `string_split_regex(lower(text), '[ \t\n\f\r]+')` chains
+  * verbatim. */
+final case class WordNgrams(child: Expression, n: Int,
+                            wholeTextFallback: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramLoops.wordNgrams(input.asInstanceOf[UTF8String], n, wholeTextFallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("self", this,
+        classOf[WordNgrams].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Character k-gram array of an already-normalized string — the char
+  * twin of [[WordNgrams]] (windows count UTF-8 characters, the unit
+  * `substr` counts, so CJK text shingles correctly and surrogates
+  * never split). Same fallback contract. */
+final case class CharNgrams(child: Expression, k: Int,
+                            wholeTextFallback: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramLoops.charNgrams(input.asInstanceOf[UTF8String], k, wholeTextFallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("self", this,
+        classOf[CharNgrams].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the string expressions. */
 object Strings {
   /** Unicode NFC canonicalization of a string column (codegen'd). */
   def nfc(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
+
+  /** Word n-grams of an already-lowercased string column (codegen'd
+    * single pass; see [[WordNgrams]] for the fallback contract). */
+  def wordNgrams(c: Column, n: Int, wholeTextFallback: Boolean): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n, wholeTextFallback))
+
+  /** Character k-grams of an already-normalized string column. */
+  def charNgrams(c: Column, k: Int, wholeTextFallback: Boolean): Column =
+    Bridge.column(CharNgrams(Bridge.expression(c), k, wholeTextFallback))
 }

@@ -29,16 +29,24 @@ object ProbeCharMinhashFlood {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val bandsList =
+      if (args.length > 1) args(1).split(",").map(_.toInt).toSeq else Seq(16, 8)
     val docs = io.Tables.documents(spark, sfDir)
     val n = docs.count()
+    var t0 = System.nanoTime()
     val sigs = ext.Dedup.minhashSignatures(docs, "doc_id", "text",
         numHashes = 64, mode = ext.Dedup.ShingleMode.Char, charK = 5)
       .localCheckpoint(true)
-    for (bands <- Seq(16, 8); cap <- Seq(Some(1000), None)) {
-      val t0 = System.nanoTime()
+    println(f"docs=$n%d signatures in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    for (bands <- bandsList; cap <- Seq(Some(1000), None)) {
+      t0 = System.nanoTime()
       val c = ext.Dedup.lshCandidates(sigs, bands, cap).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"docs=$n%d bands=$bands%d cap=$cap%s candidates=$c%d (${dt}%.1f s)")
+      // where do the pairs come from? the bucket-size histogram says
+      // whether a few mega-buckets or a sea of cap-sized ones
+      val hist = ext.Dedup.lshBucketHistogram(sigs, bands)
+      hist.show(20, false)
     }
     spark.stop()
   }

@@ -69,4 +69,68 @@ class StringsSpec extends SparkSpec {
     assert(e.getMessage.contains("nfc_normalize") ||
       String.valueOf(e.getCause).contains("nfc_normalize"))
   }
+
+  // --- WordNgrams / CharNgrams: byte-exact equivalence to the HOF
+  // chains they replaced (the oracle-replayed semantics), pinned as a
+  // property over messy inputs so a refactor can't drift the bytes.
+
+  private def hofWordNgrams(text: org.apache.spark.sql.Column, n: Int,
+                            fallback: Boolean): org.apache.spark.sql.Column = {
+    val toks = filter(split(text, "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    if (fallback) grams.otherwise(array(concat_ws(" ", toks)))
+    else grams.otherwise(array().cast("array<string>"))
+  }
+
+  private val messy = Seq(
+    "the quick brown fox", "  leading  and   trailing  ", "one",
+    "two words", "", " \t\n ", "tabs\there\tand\nnewlines",
+    "机器学习模型 需要 大量数据", "mixed 中文 and english",
+    "a b c d e f g h", "ünïcödé tökens  nbsp-is-not-space")
+
+  test("WordNgrams equals the HOF chain on messy inputs, both fallbacks") {
+    for (n <- Seq(1, 2, 3, 5); fb <- Seq(true, false)) {
+      val df = messy.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val got = df.select($"id", Strings.wordNgrams($"t", n, fb).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select($"id", hofWordNgrams($"t", n, fb).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === want, s"n=$n fallback=$fb")
+    }
+    // null text propagates null (callers explode-drop or coalesce)
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(Strings.wordNgrams($"t", 2, wholeTextFallback = false))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("CharNgrams equals the substr HOF chain, counts characters not bytes") {
+    def hofChar(text: org.apache.spark.sql.Column, k: Int,
+                fallback: Boolean): org.apache.spark.sql.Column = {
+      val grams = when(length(text) >= k,
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => text.substr(i, lit(k))))
+      if (fallback) grams.otherwise(array(text))
+      else grams.otherwise(array().cast("array<string>"))
+    }
+    for (k <- Seq(1, 3, 5); fb <- Seq(true, false)) {
+      val df = messy.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+      val got = df.select($"id", Strings.charNgrams($"t", k, fb).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select($"id", hofChar($"t", k, fb).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === want, s"k=$k fallback=$fb")
+    }
+    // multibyte sanity: 5-char windows over pure CJK never split a
+    // character (every gram is exactly 5 codepoints)
+    val zh = Seq((1L, "机器学习模型需要大量数据")).toDF("id", "t")
+      .select(explode(Strings.charNgrams($"t", 5, wholeTextFallback = false)))
+      .collect().map(_.getString(0))
+    assert(zh.nonEmpty && zh.forall(_.codePointCount(0, 5) == 5))
+    assert(zh.forall(_.length == 5))
+  }
 }
