@@ -148,7 +148,8 @@ class PlanAuditSpec extends SparkSpec {
       // audit's sampled-pair non-equi self-join on the fixed 400-slice
       // (the corpus-scale projection itself is map-side, pinned below)
       "q143_mutual_knn_clusters", "q144_random_projection",
-      "q145_knn_density")
+      // q146: the grand-total one-row crossJoin(broadcast) attach
+      "q145_knn_density", "q146_distinctive_terms")
 
   test("q144 (random projection): the projection itself is map-side, " +
       "zero exchanges") {
