@@ -50,15 +50,17 @@ object TextAnalysis {
     * score = 0.4·length + 0.3·(1−min(punct·5,1)) + 0.3·min(stop·4,1)
     */
   def qualityScore(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val nToks = size(toks).cast(DoubleType)
+    // one native pass (TokenStats) instead of three interpreted HOF
+    // passes that each re-split the text; byte-identical counts, so
+    // every oracle replay is unchanged. Repeated getFields CSE into
+    // one evaluation inside the projection's codegen.
+    val st = graft.functions.Strings.tokenStats(lower(col(text)), Stopwords)
+    val nToks = st.getField("n_tokens").cast(DoubleType)
     val nChars = length(col(text)).cast(DoubleType)
     val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
       .cast(DoubleType)
-    val stopArr = array(Stopwords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
-    val tokChars = aggregate(transform(toks, t => length(t)), lit(0),
-      (acc, x) => acc + x).cast(DoubleType)
+    val nStop = st.getField("n_stop").cast(DoubleType)
+    val tokChars = st.getField("tok_chars").cast(DoubleType)
     df.select(
         col(id),
         nToks.as("n_tokens"),
@@ -418,13 +420,12 @@ object TextAnalysis {
                    minTokens: Long = 5L, maxTokens: Long = 100000L,
                    minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
                    maxPunctRatio: Double = 0.3): DataFrame = {
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
-    val nToks = size(toks).cast(DoubleType)
+    val st = graft.functions.Strings.tokenStats(lower(col(text)), Stopwords)
+    val nToks = st.getField("n_tokens").cast(DoubleType)
     val nChars = length(col(text)).cast(DoubleType)
     val punct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
       .cast(DoubleType)
-    val tokChars = aggregate(transform(toks, t => length(t)), lit(0),
-      (acc, x) => acc + x).cast(DoubleType)
+    val tokChars = st.getField("tok_chars").cast(DoubleType)
     val avgLen = when(nToks > 0, tokChars / nToks).otherwise(0.0)
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(0.0)
     df.select(

@@ -229,6 +229,81 @@ final case class CharNgrams(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** One-pass token statistics of an ALREADY-LOWERCASED string:
+  * struct(n_tokens, tok_chars, n_stop) — token count, summed token
+  * CHARACTER lengths (the unit `length()` counts), and stopword hits.
+  * Replaces three separate Catalyst passes per row (a `size(filter(
+  * split(…)))`, an interpreted `filter` + `array_contains` lambda per
+  * token over the stopword array, and an interpreted `aggregate`
+  * fold), each of which re-split the text — the quality-gate family's
+  * whole per-row cost in one tight byte loop. Token boundaries are
+  * the [[NgramLoops]] whitespace-byte contract, so counts are
+  * byte-exact to the chains replaced (equivalence pinned in
+  * StringsSpec).
+  */
+final case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_stats requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("tok_chars",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_stop",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stopwords.length * 2)
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var nTokens = 0L
+    var tokChars = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d) {
+        i += 1
+      } else {
+        val start = i
+        var chars = 0L
+        while (i < bytes.length && {
+          val c = bytes(i)
+          !(c == 0x20 || c == 0x09 || c == 0x0a || c == 0x0c || c == 0x0d)
+        }) {
+          if ((bytes(i) & 0xc0) != 0x80) chars += 1
+          i += 1
+        }
+        nTokens += 1
+        tokChars += chars
+        if (stopSet.contains(UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, start, i)))) nStop += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nTokens, tokChars, nStop)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("self", this, classOf[TokenStats].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$self.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the string expressions. */
 object Strings {
   /** Unicode NFC canonicalization of a string column (codegen'd). */
@@ -243,4 +318,9 @@ object Strings {
   /** Character k-grams of an already-normalized string column. */
   def charNgrams(c: Column, k: Int, wholeTextFallback: Boolean): Column =
     Bridge.column(CharNgrams(Bridge.expression(c), k, wholeTextFallback))
+
+  /** One-pass struct(n_tokens, tok_chars, n_stop) of an
+    * already-lowercased string column (codegen'd; see [[TokenStats]]). */
+  def tokenStats(c: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TokenStats(Bridge.expression(c), stopwords))
 }

@@ -107,6 +107,31 @@ class StringsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("TokenStats equals the three HOF passes it replaces") {
+    val stop = graft.ext.TextAnalysis.Stopwords
+    val df = (messy :+ "the of and xx the").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val st = Strings.tokenStats(lower($"t"), stop)
+    val got = df.select($"id", st.getField("n_tokens"),
+        st.getField("tok_chars"), st.getField("n_stop"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val toks = filter(split(lower($"t"), "[ \\t\\n\\f\\r]+"),
+      t => length(t) > 0)
+    val stopArr = array(stop.map(lit): _*)
+    val want = df.select($"id", size(toks).cast("long"),
+        aggregate(transform(toks, t => length(t)), lit(0),
+          (a, x) => a + x).cast("long"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // null text propagates a null struct (quality gates drop it)
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(Strings.tokenStats(lower($"t"), stop)).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("CharNgrams equals the substr HOF chain, counts characters not bytes") {
     def hofChar(text: org.apache.spark.sql.Column, k: Int,
                 fallback: Boolean): org.apache.spark.sql.Column = {
