@@ -123,11 +123,27 @@ object Bench {
       s"\"" + k + "\":" + s }.mkString("{", ",", "}")
     val shuffleTotal = p2.map(_._4._2).sum
     val spillTotal = p2.map(_._4._3).sum
-    // Field ORDER matters downstream: the driver artifact keeps only the
-    // last ~2000 chars of stdout, so the bulky per-query dicts go FIRST
-    // and every scalar total goes LAST — round 8's artifact lost
-    // value/failed/pass_ratio because the spill dict trailed them.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged}""")
+    // Output ORDER matters downstream: the driver artifact keeps only
+    // the last ~2000 chars of stdout, and the full per-query line is
+    // now >4000 chars (147 queries × 3 dicts) — a tail capture of it
+    // alone truncates MID-JSON and the driver's parse comes back null
+    // (round 10's artifact). So: (1) the bulky detail line goes first,
+    // (2) the same detail is written to a side file for post-hoc
+    // analysis, (3) a COMPACT scalars-only line goes LAST so whatever
+    // tail window the driver keeps always ends in one complete,
+    // parseable JSON line (the per-query map can never fit in 2000
+    // chars, so the compact line carries only board-level scalars).
+    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged}"""
+    println(detail)
+    val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_detail.json")
+    try {
+      val p = java.nio.file.Paths.get(sideFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // the side file is best-effort
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"detail_file":"$sideFile"}""")
     spark.stop()
   }
 }

@@ -952,13 +952,19 @@ object SparkEntry {
     }),
 
     // --- Quantile bucketing via the threshold path: exact interpolated
-    // quantiles (one partial-agg pass, = DuckDB quantile_cont) broadcast
-    // back as a map-side comparison chain — no global one-task sort.
-    // ntileBuckets stays available for bounded inputs; quantileBuckets
-    // (approx sketch) is the unbounded-domain variant, spec-tracked.
+    // quantiles (= DuckDB quantile_cont) over a FIXED 50k-orderkey
+    // slice (the q16 twin convention — exact percentile's final merge
+    // buffers every distinct value, the board's worst superlinear line
+    // at sf10 when fed the full table), broadcast back as a map-side
+    // comparison chain over the FULL corpus — no global one-task sort,
+    // no corpus-sized aggregation buffer. quantileBuckets (approx
+    // sketch, constant buffer) is the unbounded-corpus variant,
+    // spec-tracked; exactQuantileThresholds itself now THROWS above
+    // its row gate rather than silently absorbing a corpus.
     "q61_quantile_buckets" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
-      val ts = graft.ext.Sampling.exactQuantileThresholds(o, "o_totalprice", 4)
+      val ts = graft.ext.Sampling.exactQuantileThresholds(
+        o.filter(col("o_orderkey") < 50000), "o_totalprice", 4)
       graft.ext.Sampling.bucketByThresholds(o, "o_totalprice", ts)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
@@ -3328,8 +3334,9 @@ object SparkEntry {
         |  CASE WHEN nu < 256 THEN CAST(both_all AS DOUBLE)
         |    ELSE floor(CAST(both_below AS DOUBLE) * 1152921504606846976.0
         |      / CAST(theta AS DOUBLE) * 10000.0) / 10000.0 END AS inter_est,
-        |  floor(CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE)
-        |    * 1000000.0) / 1000000.0 AS jaccard_exact,
+        |  CASE WHEN union_exact > 0
+        |    THEN floor(CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE)
+        |      * 1000000.0) / 1000000.0 ELSE 0.0 END AS jaccard_exact,
         |  CASE WHEN nu < 256 THEN (CASE WHEN nu = 0 THEN 0.0
         |      ELSE floor(CAST(both_all AS DOUBLE) / CAST(nu AS DOUBLE)
         |        * 1000000.0) / 1000000.0 END)
@@ -3348,7 +3355,8 @@ object SparkEntry {
         |      (((o_custkey >> i) & 1) << (2 * i)) +
         |      ((((CAST(o_orderdate AS DATE) - DATE '1970-01-01') >> i) & 1)
         |        << (2 * i + 1)))) AS BIGINT) AS zvalue
-        |  FROM orders),
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
         |lb AS (
         |  SELECT 'zorder' AS layout, zvalue >> 20 AS bucket, x, y FROM base
         |  UNION ALL
@@ -3978,7 +3986,7 @@ object SparkEntry {
         |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS t1,
         |         round(quantile_cont(o_totalprice, 0.50), 4) AS t2,
         |         round(quantile_cont(o_totalprice, 0.75), 4) AS t3
-        |  FROM orders)
+        |  FROM orders WHERE o_orderkey < 50000)
         |SELECT bucket, count(*) AS n,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price

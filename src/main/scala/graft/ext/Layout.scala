@@ -178,16 +178,24 @@ object Layout {
     * partitions by the table partition — compaction can't merge across
     * hive partitions anyway, so the cumsum parallelizes per partition
     * instead of one global sort. The frame is pinned to
-    * `rowsBetween` (the RANGE-default duplicate-key trap). Null
-    * file/size rows are unplannable and dropped loudly by count, not
-    * silently.
+    * `rowsBetween` (the RANGE-default duplicate-key trap). A null
+    * file/size row is an unplannable listing entry — a corrupt
+    * catalog, not data — so it FAILS the plan at runtime (the
+    * caps-THROW rule: silently dropping it would return a plausible
+    * partial plan that quietly skips real files). The check rides the
+    * kept `size_bytes` column, not a dropped scratch column, so
+    * column pruning cannot elide it.
     */
   def compactionPlan(files: DataFrame, part: String, file: String,
                      size: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val plannable = col(file).isNotNull && col(size).isNotNull
     val f = files.select(col(part).as("part"), col(file).as("file"),
-        col(size).cast("long").as("size_bytes"))
-      .filter(col("file").isNotNull && col("size_bytes").isNotNull)
+        when(plannable, col(size).cast("long")).otherwise(raise_error(concat(
+          lit("compactionPlan: unplannable listing row (null file or size)" +
+            " in partition "),
+          coalesce(col(part).cast("string"), lit("NULL")))).cast("long"))
+          .as("size_bytes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("part").orderBy(col("file").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

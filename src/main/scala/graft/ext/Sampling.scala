@@ -244,10 +244,26 @@ object Sampling {
     * when it is not. Thresholds are rounded to `roundTo` decimals so
     * last-ulp interpolation differences between engines cannot flip a
     * boundary comparison.
+    *
+    * Scale gate: the final merge of exact `percentile` holds EVERY
+    * distinct value in one aggregation buffer — at sf10 a full-orders
+    * feed was the board's worst superlinear line (56 s, 9.4× for 10×
+    * data). Inputs above `maxRows` THROW (the caps-THROW rule, not a
+    * silent fallback): bound the input to a fixed slice (the q16 twin
+    * convention) or use [[quantileBuckets]] (approx_percentile sketch,
+    * constant-size buffer) for the corpus path. The gate's count is an
+    * early-exit `limit(maxRows+1)` scan, not a full pass.
     */
   def exactQuantileThresholds(df: DataFrame, valueCol: String, k: Int,
-                              roundTo: Int = 4): Seq[Double] = {
+                              roundTo: Int = 4,
+                              maxRows: Int = 10000000): Seq[Double] = {
     require(k > 1, "k must be > 1")
+    require(maxRows > 0, "maxRows must be > 0")
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"exactQuantileThresholds: input exceeds $maxRows rows — exact " +
+        "percentile accumulates every distinct value into one buffer; " +
+        "feed a fixed slice or use quantileBuckets (approx) at corpus scale")
     val probs = (1 until k).map(_.toDouble / k)
     val row = df.select(
       percentile(col(valueCol), array(probs.map(lit): _*)).as("t")).first()

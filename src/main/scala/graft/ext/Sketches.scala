@@ -264,9 +264,15 @@ object Sketches {
         sum("inb").cast("long").as("db_exact"),
         count(lit(1)).cast("long").as("union_exact"),
         sum(col("ina") * col("inb")).cast("long").as("inter_exact"))
+      // Guard the degenerate both-empty case BEFORE the floor snap:
+      // 0/0 is NaN, and Spark floor(NaN) yields 0 while DuckDB's stays
+      // NaN — the NaN-before-snap rule. Mirrors the estimate branch's
+      // `if (u == 0) 0.0` guard so the two columns agree on empties.
       .withColumn("jaccard_exact",
-        floor(col("inter_exact").cast("double") /
-          col("union_exact").cast("double") * 1e6) / 1e6)
+        when(col("union_exact") > 0,
+          floor(col("inter_exact").cast("double") /
+            col("union_exact").cast("double") * 1e6) / 1e6)
+          .otherwise(lit(0.0)))
       .select(lit(k).as("k"),
         col("da_exact"), lit(daEst).as("da_est"),
         col("db_exact"), lit(dbEst).as("db_est"),

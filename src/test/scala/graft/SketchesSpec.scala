@@ -205,4 +205,16 @@ class SketchesSpec extends SparkSpec {
     val r2 = Sketches.kmvCompare(a, b, "h", 256).collect().head
     assert(r.toSeq === r2.toSeq)
   }
+
+  test("kmvCompare: both slices empty — 0/0 guarded, never NaN") {
+    // The degenerate case: union_exact = 0 would make jaccard_exact
+    // 0.0/0.0 = NaN, and Spark's floor(NaN) = 0 while DuckDB's stays
+    // NaN — the guard must snap BOTH jaccard columns to 0.0 instead.
+    val empty = Seq.empty[Long].toDF("h")
+    val r = Sketches.kmvCompare(empty, empty, "h", 256).collect().head
+    assert(r.getAs[Long]("union_exact") === 0L)
+    assert(r.getAs[Double]("jaccard_exact") === 0.0)
+    assert(r.getAs[Double]("jaccard_est") === 0.0)
+    assert(!r.getAs[Double]("jaccard_exact").isNaN)
+  }
 }

@@ -98,7 +98,7 @@ class LayoutSpec extends SparkSpec {
         Seq(Layout.RangePred(1, 0, 1, 0, 1), Layout.RangePred(1, 2, 3, 2, 3))))
   }
 
-  test("compactionPlan: hand-checked bins, big files skip, nulls dropped") {
+  test("compactionPlan: hand-checked bins, big files skip, null rows throw") {
     val files = Seq(
       ("p1", "a", 100L),   // bin 0 (presum 0)
       ("p1", "b", 2400L),  // bin 0 (presum 100) — bin 0 closes at 2500
@@ -118,11 +118,15 @@ class LayoutSpec extends SparkSpec {
     assert(out(("p1", "d")) === ((None, false)))
     assert(out(("p2", "a")) === ((Some(0L), true)))
     assert(out(("p2", "x")) === ((Some(0L), true)))
-    // unplannable rows (null size/file) are dropped, not binned as junk
+    // unplannable rows (null size/file) FAIL the plan loudly — a
+    // silent drop would return a plausible plan that skips real files
     val withNull = Seq(("p1", "a", Some(10L)), ("p1", null, Some(10L)),
       ("p1", "c", Option.empty[Long])).toDF("part", "file", "size_bytes")
-    assert(Layout.compactionPlan(withNull, "part", "file", "size_bytes",
-      100L).count() === 1L)
+    val ex = intercept[Exception](
+      Layout.compactionPlan(withNull, "part", "file", "size_bytes",
+        100L).count())
+    assert(ex.getMessage.contains("unplannable") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("unplannable")))
     intercept[IllegalArgumentException](
       Layout.compactionPlan(files, "part", "file", "size_bytes", 0L))
     // every closed bin holds >= target (overshoot bounded by one file):

@@ -134,6 +134,14 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.values.sum === vals.length.toLong)
     sizes.values.foreach(s =>
       assert(math.abs(s - vals.length / 4.0) <= vals.length * 0.05))
+    // the scale gate THROWS above maxRows (never a silent fallback):
+    // exact percentile buffers every distinct value, so a corpus-sized
+    // feed must be rejected loudly — the caller picks a fixed slice or
+    // the approx quantileBuckets path instead
+    val ex = intercept[IllegalArgumentException](
+      Sampling.exactQuantileThresholds(df, "o_totalprice", 4,
+        maxRows = (vals.length - 1).max(1)))
+    assert(ex.getMessage.contains("exceeds"))
   }
 
   test("sampleByTokenBudget: budget honored per group, deterministic, salt redraws") {
