@@ -49,6 +49,10 @@ object SparkEntry {
     * pairing and the keep policy from the captured centroids. */
   @volatile private var semCtrs121
       : Option[(Array[Array[Double]], Double)] = None
+  /** (weights, bias) — q148 trains the logistic regression in-engine
+    * and the oracle replays SCORING with the captured snapped weights
+    * (retraining in SQL is neither possible nor the contract). */
+  @volatile private var trainedLr148: Option[(Array[Double], Double)] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -1895,6 +1899,46 @@ object SparkEntry {
         .agg(sum(col("n_chars")).as("size_bytes"))
       graft.ext.Layout.compactionPlan(files, "part", "file",
         "size_bytes", targetBytes = 2500L)
+    }),
+
+    // --- In-engine classifier TRAINING (closes the q128 loop: the
+    // pipeline now PRODUCES its quality filter, not just applies one):
+    // logistic regression over the scorer's exact hashed unigram+bigram
+    // features, trained on a FIXED 20k-doc slice (each epoch is a full
+    // pass over the training set — sample-sized by the trainLogReg row
+    // gate, never corpus-sized), then deployed over the FULL corpus as
+    // the same zero-shuffle codegen expression q128 uses. Truth = a
+    // PLANTED 8-bigram disjunction (~36% positive at every SF) — a
+    // signal the feature space genuinely carries, so the trainer must
+    // isolate those bigram buckets against hash-collision noise.
+    // (Neither of the corpus's metadata labels is learnable from BoW:
+    // the q140 rule gate is length-shaped and the mean normalization
+    // removes length; `lang` is uncorrelated with the shared synthetic
+    // vocabulary — both measured at the all-one-class prior.) Oracle
+    // replays SCORING with the captured snapped weights (the q40/q110
+    // captured-params pattern); the label is a trivial replay.
+    "q148_trained_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val planted = Seq("spark join", "data table", "big data",
+        "fast scan", "hash join", "stream batch", "key value",
+        "slow query")
+      val truth = docs.select(col("doc_id"),
+        arrays_overlap(
+          graft.functions.Strings.wordNgrams(lower(col("text")), 2,
+            wholeTextFallback = false),
+          array(planted.map(lit): _*)).cast("int").as("label"))
+      val model = memoTrain(s"lr148:$dir") {
+        graft.ext.Training.trainLogReg(
+          docs.join(truth, Seq("doc_id")).filter(col("doc_id") < 20000),
+          "text", "label", buckets = 4096, maxIter = 100)
+      }
+      trainedLr148 = Some((model.weights, model.bias))
+      graft.ext.TextAnalysis.classifierScores(docs, "doc_id", "text",
+          model.weights, model.bias)
+        .join(truth, Seq("doc_id"))
+        .select(col("doc_id"), col("label"),
+          graft.functions.Rounding.reprRound6(col("score")).as("score"),
+          col("keep").as("pred"))
     })
   )
 
@@ -2008,6 +2052,49 @@ object SparkEntry {
        |  floor(raw * 1e6 + 0.5) / 1e6 AS score,
        |  CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM s""".stripMargin
+  }
+
+  /** q148 replay: scoring ONLY — the oracle cannot retrain, so it
+    * replays the q128 score CTE chain with the CAPTURED snapped
+    * weights/bias as literals (the q40/q110 captured-params pattern)
+    * plus the q140 rule-gate truth as an INT label; pred on the RAW
+    * score, score floor-snapped, exactly the engine's output columns.
+    */
+  private def trainedClassifierOracleSql(weights: Array[Double],
+                                         bias: Double): String = {
+    val w = weights.mkString(", ")
+    val buckets = weights.length
+    s"""WITH wl AS (SELECT CAST([$w] AS DOUBLE[]) AS w),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, ts,
+       |    list_concat(ts,
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS fs
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) = 0 THEN $bias
+       |         ELSE $bias + list_aggregate(
+       |             [wl.w[('0x' || substr(md5(x), 1, 8))::BIGINT % $buckets + 1]
+       |              FOR x IN fs], 'sum') / (2*len(ts) - 1)
+       |    END AS raw
+       |  FROM f, wl),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN list_has_any(
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+       |      ['spark join', 'data table', 'big data', 'fast scan',
+       |       'hash join', 'stream batch', 'key value', 'slow query'])
+       |      THEN 1 ELSE 0 END AS INT) AS label
+       |  FROM t)
+       |SELECT doc_id, label,
+       |  floor(raw * 1e6 + 0.5) / 1e6 AS score,
+       |  CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS pred
+       |FROM sc JOIN lab USING (doc_id)""".stripMargin
   }
 
   /** q140 replay: q128's snapped score CTEs + q70's rule-gate truth,
@@ -2456,7 +2543,9 @@ object SparkEntry {
     audioFp130.map { case (fp, maxH) =>
       "q130_audio_phash_dedup" -> fingerprintHammingOracleSql(fp, maxH) } ++
     semCtrs121.map { case (c, tau) =>
-      "q121_semdedup" -> semDedupOracleSql(c, tau) }
+      "q121_semdedup" -> semDedupOracleSql(c, tau) } ++
+    trainedLr148.map { case (w, b) =>
+      "q148_trained_classifier" -> trainedClassifierOracleSql(w, b) }
 
   /** q121 replay: captured centroids → argmin-euclid cell assignment
     * (the q40 CTE), per-member centroid cosine (the engine's exact

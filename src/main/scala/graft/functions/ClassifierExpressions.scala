@@ -101,6 +101,28 @@ object HashedNgramScorer {
     bias + sum / (2 * n - 1)
   }
 
+  /** The scorer's feature stream as bucket ids — unigrams in token
+    * order then adjacent bigrams in token order, duplicates kept (a
+    * repeated token contributes once per occurrence, exactly as
+    * [[score]] accumulates it). The trainer consumes THIS so training
+    * and inference can never disagree on featurization; the spec pins
+    * `score == bias + mean(w(featureBuckets))`. Empty/whitespace text
+    * → empty array. */
+  def featureBuckets(text: String, buckets: Int): Array[Int] = {
+    val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return Array.emptyIntArray
+    val out = new Array[Int](2 * n - 1)
+    var i = 0
+    while (i < n) { out(i) = bucket(toks(i), buckets); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = bucket(toks(i) + " " + toks(i + 1), buckets)
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic demo weight table for oracle-checked runs: bucket b
     * gets (md5-uniform in [-1000, 1000]) / 1000 — regenerable by any
     * engine, 3-decimal values whose Double.toString re-parses exactly.

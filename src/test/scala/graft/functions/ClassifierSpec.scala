@@ -129,6 +129,80 @@ class ClassifierSpec extends SparkSpec {
       .thresholdSweep(df, "score", "label", Seq(0.1, 0.1)))
   }
 
+  /** Deterministic planted two-class corpus: disjoint token pools,
+    * index-arithmetic word choice (no RNG — the repo's determinism
+    * rule), so every run trains on byte-identical data. */
+  private def plantedDocs(nPerClass: Int) = {
+    val good = Array("informative", "detailed", "accurate", "thorough",
+      "measured", "careful")
+    val bad = Array("click", "spam", "free", "winner", "buy", "now")
+    (0 until nPerClass).flatMap { i =>
+      val g = (0 until 8).map(j => good((i * 7 + j * 3) % good.length))
+        .mkString(" ")
+      val b = (0 until 8).map(j => bad((i * 5 + j * 11) % bad.length))
+        .mkString(" ")
+      Seq((2L * i, g, 1), (2L * i + 1, b, 0))
+    }.toDF("doc_id", "text", "label")
+  }
+
+  test("trainLogReg separates planted classes and composes with the sweep") {
+    val docs = plantedDocs(100)
+    val m = graft.ext.Training.trainLogReg(docs, "text", "label",
+      buckets = 512, maxIter = 60)
+    assert(m.nExamples === 200L)
+    assert(m.finalLoss < 0.1, s"loss should collapse, got ${m.finalLoss}")
+    // trained weights plug straight into the inference expression
+    val scored = graft.ext.TextAnalysis
+      .classifierScores(docs, "doc_id", "text", m.weights, m.bias)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Double]("score")))
+    val goodScores = scored.filter(_._1 == 1).map(_._2)
+    val badScores = scored.filter(_._1 == 0).map(_._2)
+    // perfect separation (AUC = 1): every good above every bad, and
+    // the sign itself classifies (keep = margin > 0)
+    assert(goodScores.min > badScores.max)
+    assert(goodScores.forall(_ > 0) && badScores.forall(_ < 0))
+    // the q140 operating-point report over the trained scorer
+    val sweep = graft.ext.TextAnalysis.thresholdSweep(
+        graft.ext.TextAnalysis
+          .classifierScores(docs, "doc_id", "text", m.weights, m.bias)
+          .select(col("doc_id"),
+            Rounding.reprRound6(col("score")).as("score"))
+          .join(docs.select(col("doc_id"),
+            (col("label") === 1).as("truth")), Seq("doc_id")),
+        "score", "truth", Seq(0.0))
+      .collect().head
+    assert(sweep.getAs[Double]("precision") === 1.0)
+    assert(sweep.getAs[Double]("recall") === 1.0)
+    assert(sweep.getAs[Double]("f1") === 1.0)
+  }
+
+  test("featureBuckets is exactly the scorer's feature stream") {
+    val w = HashedNgramScorer.md5Weights(256)
+    for (text <- Seq("the quick brown fox", "one", "", "a a a b",
+        "informative detailed accurate")) {
+      val fs = HashedNgramScorer.featureBuckets(text, 256)
+      val expect =
+        if (fs.isEmpty) 0.125
+        else 0.125 + fs.map(w).sum / fs.length
+      assert(HashedNgramScorer.score(
+        UTF8String.fromString(text), w, 0.125) === expect,
+        s"text '$text'")
+    }
+  }
+
+  test("trainLogReg gates: empty input and oversized input throw") {
+    val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label")
+    val ex1 = intercept[IllegalArgumentException](
+      graft.ext.Training.trainLogReg(empty, "text", "label", maxIter = 1))
+    assert(ex1.getMessage.contains("empty"))
+    val two = Seq((1L, "a b", 1), (2L, "c d", 0)).toDF("doc_id", "text", "label")
+    val ex2 = intercept[IllegalArgumentException](
+      graft.ext.Training.trainLogReg(two, "text", "label", maxIter = 1,
+        maxRows = 1))
+    assert(ex2.getMessage.contains("gate"))
+  }
+
   test("bucket matches the SQL-portable md5-prefix hash") {
     // conv(substr(md5(x),1,8),16,10) % B replayed in Scala
     val md = java.security.MessageDigest.getInstance("MD5")
