@@ -66,6 +66,21 @@ object SparkEntry {
   private def memoTrain[T <: AnyRef](key: String)(f: => T): T =
     trainerMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
 
+  /** The deterministic messy-HTML page built from a documents row
+    * (comments, hostile script/style, entities) — ONE definition
+    * shared by q134 (extraction) and q149 (WARC framing) so the two
+    * fixtures and their oracles can never drift apart. */
+  private def messyHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><!-- job "), col("doc_id").cast("string"),
+    lit(" --><script type=\"text/javascript\">if (1 < 2) " +
+      "{ var s = \"</p>\"; }</script><style media=\"all\">" +
+      "p { color: #333; }</style></head><body><h1>"),
+    upper(col("source")),
+    lit("</h1>\n<p>"),
+    replace(col("text"), lit(" value "), lit(" &quot;value&quot; ")),
+    lit("</p>\n<div class=\"footer\">&copy; 2026 &amp; beyond&nbsp;" +
+      "&lt;end&gt;</div></body></html>"))
+
   /** Hive-partitioned copy of `customer` (by c_nationkey) under /tmp —
     * the q117 dynamic-partition-pruning fixture. Written once per sf
     * dir via [[graft.io.Sinks.writePartitioned]] and reused across
@@ -1638,17 +1653,40 @@ object SparkEntry {
     // content, entities — the q129 rebuild-the-mess pattern), then the
     // regex-layer extractor recovers prose. Zero-shuffle map plan.
     "q134_html_extract" -> ((s, dir) => {
-      val messy = Tables.documents(s, dir).withColumn("html", concat(
-        lit("<html><head><!-- job "), col("doc_id").cast("string"),
-        lit(" --><script type=\"text/javascript\">if (1 < 2) " +
-          "{ var s = \"</p>\"; }</script><style media=\"all\">" +
-          "p { color: #333; }</style></head><body><h1>"),
-        upper(col("source")),
-        lit("</h1>\n<p>"),
-        replace(col("text"), lit(" value "), lit(" &quot;value&quot; ")),
-        lit("</p>\n<div class=\"footer\">&copy; 2026 &amp; beyond&nbsp;" +
-          "&lt;end&gt;</div></body></html>")))
+      val messy = Tables.documents(s, dir).withColumn("html", messyHtml)
       graft.ext.TextAnalysis.htmlToText(messy, "doc_id", "html")
+    }),
+
+    // --- WARC crawl-container ingest: the q134 messy-HTML pages
+    // framed as REAL ISO 28500 archives (2 records each: warcinfo +
+    // response; every 13th archive gzip-member-compressed, the
+    // Common-Crawl wire shape), record-walked back map-side, and the
+    // response payload fed to the SAME htmlToText extractor — the
+    // crawl pipeline's actual first mile, binaryFile → records →
+    // text, with zero shuffle until the join on doc_id. Oracle
+    // rebuilds the page and replays the extractor chain; the WARC
+    // framing cancels out BY CONSTRUCTION (builder→parser identity),
+    // which is exactly what the oracle proves.
+    "q149_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), messyHtml.as("html"))
+      val archives = pages.as[(Long, String)].map { case (id, html) =>
+        (id, graft.ext.Warc.build(Seq(
+          ("warcinfo", null, "application/warc-fields",
+            "software: graft-warc/1.0\r\n".getBytes("UTF-8")),
+          ("response", s"http://example.com/doc/$id", "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+          gzipMembers = id % 13 == 5))
+      }.toDF("doc_id", "content")
+      val resp = graft.ext.Warc.records(archives, "doc_id", "content")
+        .filter(col("warc_type") === "response")
+        .withColumn("html", col("payload_text"))
+        .withColumn("well_formed", col("well_formed").cast("int"))
+      graft.ext.TextAnalysis.htmlToText(resp, "doc_id", "html",
+          "target_uri", "content_length", "n_records", "well_formed")
+        .select(col("doc_id"), col("target_uri"), col("content_length"),
+          col("n_records"), col("well_formed"), col("n_chars_clean"))
     }),
 
     // --- Blocked fuzzy join (entity resolution): dirty part names
@@ -1974,6 +2012,46 @@ object SparkEntry {
       |    THEN [substr(norm, i, 5) FOR i IN range(1, length(norm) - 3)]
       |    ELSE [norm] END)) AS s
       |  FROM nt)""".stripMargin
+
+  /** The [[messyHtml]] page as a DuckDB `h(doc_id, html)` CTE (||
+    * propagates NULL like Spark's concat); `extraWhere` appends to the
+    * documents scan (q149 drops null-text rows because a WARC payload
+    * cannot be built from NULL). */
+  private def messyHtmlHCte(extraWhere: String = ""): String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    '<html><head><!-- job ' || CAST(doc_id AS VARCHAR)
+       |    || ' --><script type="text/javascript">if (1 < 2) '
+       |    || '{ var s = "</p>"; }</script><style media="all">'
+       |    || 'p { color: #333; }</style></head><body><h1>'
+       |    || upper(source)
+       |    || '</h1>' || chr(10) || '<p>'
+       |    || replace(text, ' value ', ' &quot;value&quot; ')
+       |    || '</p>' || chr(10) || '<div class="footer">&copy; 2026 '
+       |    || '&amp; beyond&nbsp;&lt;end&gt;</div></body></html>' AS html
+       |  FROM documents$extraWhere)""".stripMargin
+
+  /** The htmlToText extraction chain replayed on `h(doc_id, html)`,
+    * ending in `e6(doc_id, clean_text)` — shared by q134 and q149. */
+  private val HtmlExtractCtes: String =
+    """e1 AS (SELECT doc_id,
+      |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+      |e2 AS (SELECT doc_id,
+      |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+      |  FROM e1),
+      |e3 AS (SELECT doc_id,
+      |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+      |  FROM e2),
+      |e4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+      |  FROM e3),
+      |e5 AS (SELECT doc_id,
+      |  replace(replace(replace(replace(replace(replace(replace(t,
+      |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+      |  FROM e4),
+      |e6 AS (SELECT doc_id,
+      |  trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS clean_text
+      |  FROM e5)""".stripMargin
 
   /** The q124 BM25 replay as a CTE chain ending in
     * `bm(doc_id, n_tokens, n_matched, bm25)` — shared by q124 (plain
@@ -3315,39 +3393,27 @@ object SparkEntry {
     // (?is) RE2 flags, same non-greedy spans, same entity decode ORDER
     // (&amp; strictly last), same whitespace collapse.
     "q134_html_extract" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><!-- job ' || CAST(doc_id AS VARCHAR)
-        |    || ' --><script type="text/javascript">if (1 < 2) '
-        |    || '{ var s = "</p>"; }</script><style media="all">'
-        |    || 'p { color: #333; }</style></head><body><h1>'
-        |    || upper(source)
-        |    || '</h1>' || chr(10) || '<p>'
-        |    || replace(text, ' value ', ' &quot;value&quot; ')
-        |    || '</p>' || chr(10) || '<div class="footer">&copy; 2026 '
-        |    || '&amp; beyond&nbsp;&lt;end&gt;</div></body></html>' AS html
-        |  FROM documents),
-        |e1 AS (SELECT doc_id,
-        |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
-        |e2 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
-        |  FROM e1),
-        |e3 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
-        |  FROM e2),
-        |e4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
-        |  FROM e3),
-        |e5 AS (SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(replace(t,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
-        |  FROM e4),
-        |e6 AS (SELECT doc_id,
-        |  trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS clean_text
-        |  FROM e5)
-        |SELECT doc_id, clean_text,
-        |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
-        |FROM e6""".stripMargin,
+      (s"WITH ${messyHtmlHCte()},\n" + HtmlExtractCtes + "\n" +
+        """SELECT doc_id, clean_text,
+          |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+          |FROM e6""".stripMargin),
+    // q149: the WARC framing cancels by construction (builder→parser
+    // identity on payload octets), so the oracle rebuilds the page,
+    // takes octet_length as the response record's Content-Length, and
+    // replays the q134 extraction chain on it — plus the framing
+    // constants (uri shape, 2 records, well-formed) the record walk
+    // must recover.
+    "q149_warc_extract" ->
+      (s"WITH ${messyHtmlHCte(" WHERE text IS NOT NULL")},\n" +
+        HtmlExtractCtes + "\n" +
+        """SELECT h.doc_id,
+          |  'http://example.com/doc/' || CAST(h.doc_id AS VARCHAR)
+          |    AS target_uri,
+          |  CAST(octet_length(encode(h.html)) AS BIGINT) AS content_length,
+          |  CAST(2 AS INT) AS n_records,
+          |  CAST(1 AS INT) AS well_formed,
+          |  CAST(length(e6.clean_text) AS BIGINT) AS n_chars_clean
+          |FROM h JOIN e6 ON h.doc_id = e6.doc_id""".stripMargin),
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -1530,7 +1530,8 @@ object TextAnalysis {
     * constructs only (inline `(?is)` flags, non-greedy spans, no
     * backrefs), so a SQL oracle replays the extraction verbatim.
     */
-  def htmlToText(df: DataFrame, id: String, html: String): DataFrame = {
+  def htmlToText(df: DataFrame, id: String, html: String,
+                 keepCols: String*): DataFrame = {
     val noComments =
       regexp_replace(col(html), "(?s)<!--.*?-->", " ")
     val noScript =
@@ -1543,7 +1544,12 @@ object TextAnalysis {
     }
     val collapsed =
       trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
-    df.select(col(id), collapsed.as("clean_text"),
-      length(collapsed).cast("long").as("n_chars_clean"))
+    // keepCols pass through the SAME projection — a caller wanting
+    // metadata next to the clean text must not have to self-join the
+    // extraction output back to its input (a corpus-sized shuffle for
+    // what is one map-side select; q149's shape).
+    df.select((col(id) +: keepCols.map(col)) ++ Seq(
+      collapsed.as("clean_text"),
+      length(collapsed).cast("long").as("n_chars_clean")): _*)
   }
 }

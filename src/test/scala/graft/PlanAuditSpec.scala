@@ -341,6 +341,13 @@ class PlanAuditSpec extends SparkSpec {
       "the extraction chain must stay inside the scan")
   }
 
+  test("q149 (warc extract): record walk + extraction is one map-side " +
+      "pass, zero exchanges") {
+    assert(exchanges(plan("q149_warc_extract")) === 0,
+      "build → record walk → extract must never shuffle (the keepCols " +
+        "passthrough exists so no self-join re-attaches metadata)")
+  }
+
   test("q135 (fuzzy join): blocking plans as an equi hash join, " +
       "never a cartesian distance sweep") {
     val p = plan("q135_fuzzy_join")
