@@ -1977,6 +1977,29 @@ object SparkEntry {
         .select(col("doc_id"), col("label"),
           graft.functions.Rounding.reprRound6(col("score")).as("score"),
           col("keep").as("pred"))
+    }),
+
+    // --- MP4/ISO-BMFF box walk: documents become spec-correct MP4s
+    // (every 11th-mod-3 in the 64-bit/version-1 layout real muxers
+    // emit past 32-bit times, every 11th-mod-7 truncated mid-moov),
+    // the parser walks ftyp/moov/mvhd/trak/stsd/stts back out, and
+    // frameSample runs on the PARSED frame counts — the video
+    // metadata path made honest the way q88/q101 did image/WAV
+    // (headers inspected, never a frame decode; no codec libs here).
+    // Truncated files surface as null-field rows, not dropped rows.
+    "q150_mp4_meta" -> ((s, dir) => {
+      val vids = graft.ext.Multimodal.mp4VideoTable(Tables.documents(s, dir))
+      val meta = graft.ext.Multimodal.mp4Meta(vids).toDF()
+      val sampled = graft.ext.Multimodal.frameSample(
+          meta.filter(col("n_frames").isNotNull)
+            .select(col("media_id"), lit("video").as("kind"),
+              struct(col("n_frames").cast("int").as("n_frames")).as("meta")),
+          nth = 24)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+      meta.join(sampled, Seq("media_id"), "left")
+        .select(col("media_id"), col("major_brand"), col("timescale"),
+          col("duration_ms"), col("n_frames"), col("codec"),
+          col("width"), col("height"), col("n_sampled"))
     })
   )
 
@@ -3414,6 +3437,36 @@ object SparkEntry {
           |  CAST(1 AS INT) AS well_formed,
           |  CAST(length(e6.clean_text) AS BIGINT) AS n_chars_clean
           |FROM h JOIN e6 ON h.doc_id = e6.doc_id""".stripMargin),
+    // q150: the MP4 build parameters are formulas over (doc_id,
+    // n_chars), so the oracle recomputes what the box walk must
+    // recover — builder→parser identity on the container, like q149's
+    // on WARC framing. Truncated ids (≡7 mod 11) go all-null;
+    // duration_ms = floor(n_frames·1000/24) (integer division in both
+    // engines); n_sampled = every-24th-frame count from the PARSED
+    // frame total.
+    "q150_mp4_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, (n_chars % 240) + 1 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+        |m AS (
+        |  SELECT media_id, media_id % 11 = 7 AS trunc, nf FROM d)
+        |SELECT media_id,
+        |  CASE WHEN trunc THEN NULL ELSE 'isom' END AS major_brand,
+        |  CAST(CASE WHEN trunc THEN NULL
+        |    WHEN media_id % 11 = 3 THEN 90000 ELSE 600 END AS BIGINT)
+        |    AS timescale,
+        |  CAST(CASE WHEN trunc THEN NULL
+        |    ELSE (nf * 1000) // 24 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN trunc THEN NULL ELSE nf END AS BIGINT) AS n_frames,
+        |  CASE WHEN trunc THEN NULL
+        |    WHEN media_id % 5 = 2 THEN 'hev1' ELSE 'avc1' END AS codec,
+        |  CAST(CASE WHEN trunc THEN NULL
+        |    ELSE ((media_id % 64) + 1) * 16 END AS INT) AS width,
+        |  CAST(CASE WHEN trunc THEN NULL
+        |    ELSE ((media_id % 48) + 1) * 16 END AS INT) AS height,
+        |  CAST(CASE WHEN trunc THEN NULL
+        |    ELSE (nf - 1) // 24 + 1 END AS BIGINT) AS n_sampled
+        |FROM m""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -654,4 +654,263 @@ object Multimodal {
       .select(col("media_id"), col("meta.n_frames").as("n_frames"),
         explode(filter(sequence(lit(0), col("meta.n_frames") - 1),
           f => pmod(f, lit(nth)) === 0)).as("frame_idx"))
+
+  // --------------------------------------------------------------------
+  // MP4 / ISO-BMFF (ISO 14496-12) — the video container box walk
+  // --------------------------------------------------------------------
+
+  /** Parsed container metadata: movie-level timescale/duration from
+    * mvhd, frame count from the video trak's stts (sum of
+    * sample_counts), codec fourcc + pixel dims from its stsd visual
+    * sample entry. `duration_ms` = duration·1000/timescale, floored —
+    * integer arithmetic, identical in any engine. */
+  final case class Mp4Meta(major_brand: String, timescale: Long,
+                           duration_ms: Long, n_frames: Long,
+                           codec: String, width: Int, height: Int)
+
+  private def be16At(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32At(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64At(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (b(i + j) & 0xffL); j += 1 }
+    v
+  }
+  private def tagAt(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Child boxes of [from, to): (tag, payloadStart, payloadEnd).
+    * Handles the 64-bit `size == 1` largesize escape; a box running
+    * past `to` or an undersized header ends the walk (truncation). */
+  private def childBoxes(b: Array[Byte], from: Int,
+                         to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var p = from
+    var ok = true
+    while (ok && p + 8 <= to) {
+      val size32 = be32At(b, p)
+      val tag = tagAt(b, p + 4)
+      val (size, hdr) =
+        if (size32 == 1L && p + 16 <= to) (be64At(b, p + 8), 16)
+        else (size32, 8)
+      if (size < hdr || p + size > to) ok = false
+      else {
+        out += ((tag, p + hdr, p + size.toInt))
+        p += size.toInt
+      }
+    }
+    if (ok && p == to) out.result() else Seq.empty // truncated ⇒ nothing
+  }
+
+  private def findBox(boxes: Seq[(String, Int, Int)],
+                      tag: String): Option[(Int, Int)] =
+    boxes.collectFirst { case (t, s, e) if t == tag => (s, e) }
+
+  /** REAL MP4/ISO-BMFF metadata — a proper box walk (ftyp brand, moov/
+    * mvhd movie header with version 0 AND 1 layouts, trak selection by
+    * the `vide` hdlr, stsd visual sample entry, stts frame-count sum),
+    * not a fixed-offset read. None for non-MP4, truncated, or
+    * video-trak-less payloads — the q88/q101 null-path convention.
+    * This is the honest 100 TB shape for video: a few header boxes
+    * inspected per blob, never a frame decode (no codec libs here).
+    */
+  def parseMp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b == null || b.length < 16) return None
+    val top = childBoxes(b, 0, b.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val (fs, fe) = (top.head._2, top.head._3)
+    if (fe - fs < 4) return None
+    val brand = tagAt(b, fs)
+    val (ms, me) = findBox(top, "moov").getOrElse(return None)
+    val moov = childBoxes(b, ms, me)
+    val (hs, he) = findBox(moov, "mvhd").getOrElse(return None)
+    if (he - hs < 20) return None
+    val mvhdVersion = b(hs) & 0xff
+    val (timescale, duration) = mvhdVersion match {
+      case 0 if he - hs >= 20 => (be32At(b, hs + 12), be32At(b, hs + 16))
+      case 1 if he - hs >= 32 => (be32At(b, hs + 20), be64At(b, hs + 24))
+      case _ => return None
+    }
+    if (timescale <= 0) return None
+    // the video trak: hdlr handler_type == 'vide'
+    val videoStbl = moov.collectFirst(Function.unlift {
+      case ("trak", ts, te) =>
+        val trak = childBoxes(b, ts, te)
+        findBox(trak, "mdia").flatMap { case (ds, de) =>
+          val mdia = childBoxes(b, ds, de)
+          val isVideo = findBox(mdia, "hdlr").exists { case (hls, hle) =>
+            hle - hls >= 12 && tagAt(b, hls + 8) == "vide"
+          }
+          if (!isVideo) None
+          else findBox(mdia, "minf").flatMap { case (ns, ne) =>
+            findBox(childBoxes(b, ns, ne), "stbl")
+          }
+        }
+      case _ => None
+    }).getOrElse(return None)
+    val stbl = childBoxes(b, videoStbl._1, videoStbl._2)
+    val (sds, sde) = findBox(stbl, "stsd").getOrElse(return None)
+    if (sde - sds < 16 || be32At(b, sds + 4) < 1) return None
+    val entryStart = sds + 8
+    if (entryStart + 8 > sde) return None
+    val codec = tagAt(b, entryStart + 4)
+    // VisualSampleEntry: 8B box header, then 6 reserved + 2 dataref +
+    // 16 predefined/reserved, then width/height as be16
+    if (entryStart + 8 + 24 + 4 > sde) return None
+    val width = be16At(b, entryStart + 8 + 24)
+    val height = be16At(b, entryStart + 8 + 26)
+    val (ss, se) = findBox(stbl, "stts").getOrElse(return None)
+    if (se - ss < 8) return None
+    val nEntries = be32At(b, ss + 4)
+    if (se - ss < 8 + nEntries * 8) return None
+    var frames = 0L
+    var i = 0
+    while (i < nEntries) {
+      frames += be32At(b, ss + 8 + i * 8)
+      i += 1
+    }
+    Some(Mp4Meta(brand, timescale, duration * 1000L / timescale, frames,
+      codec, width, height))
+  }
+
+  private def beBytes16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def beBytes32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def beBytes64(v: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    var j = 0
+    while (j < 8) { out(j) = ((v >> (8 * (7 - j))) & 0xff).toByte; j += 1 }
+    out
+  }
+  private def boxBytes(tag: String, payload: Array[Byte],
+                       largesize: Boolean = false): Array[Byte] = {
+    val t = tag.getBytes("US-ASCII")
+    if (largesize)
+      beBytes32(1L) ++ t ++ beBytes64(16L + payload.length) ++ payload
+    else beBytes32(8L + payload.length) ++ t ++ payload
+  }
+
+  /** Deterministic MP4 builder (the [[buildWav]] role for video): a
+    * spec-correct ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+    * minf(vmhd, dinf, stbl(stsd avc1/hev1 visual entry, stts split
+    * into two runs so the parser must SUM, empty stsc/stsz/stco))))) +
+    * a token mdat. `v1` writes the moov with a 64-bit largesize header
+    * and version-1 mvhd/mdhd (the layouts real muxers emit past 32-bit
+    * times), so the parser's both paths stay exercised by fixtures. */
+  private[ext] def buildMp4(nFrames: Int, timescale: Long, fps: Int,
+                            codec: String, w: Int, h: Int,
+                            v1: Boolean = false): Array[Byte] = {
+    require(nFrames >= 1 && fps >= 1 && timescale % fps == 0)
+    val delta = timescale / fps
+    val duration = nFrames * delta
+    val zeros = (n: Int) => new Array[Byte](n)
+    val matrix = beBytes32(0x00010000L) ++ zeros(4 * 2) ++
+      beBytes32(0L) ++ beBytes32(0x00010000L) ++ zeros(4 * 1) ++
+      zeros(4 * 2) ++ beBytes32(0x40000000L)
+    val ftyp = boxBytes("ftyp",
+      "isom".getBytes("US-ASCII") ++ beBytes32(0L) ++
+        "isommp41".getBytes("US-ASCII"))
+    val mvhd =
+      if (v1) boxBytes("mvhd", Array[Byte](1, 0, 0, 0) ++ beBytes64(0L) ++
+        beBytes64(0L) ++ beBytes32(timescale) ++ beBytes64(duration) ++
+        beBytes32(0x00010000L) ++ beBytes16(0x0100) ++ zeros(2 + 8) ++
+        matrix ++ zeros(24) ++ beBytes32(2L))
+      else boxBytes("mvhd", zeros(4) ++ beBytes32(0L) ++ beBytes32(0L) ++
+        beBytes32(timescale) ++ beBytes32(duration) ++
+        beBytes32(0x00010000L) ++ beBytes16(0x0100) ++ zeros(2 + 8) ++
+        matrix ++ zeros(24) ++ beBytes32(2L))
+    val tkhd = boxBytes("tkhd", Array[Byte](0, 0, 0, 7) ++ beBytes32(0L) ++
+      beBytes32(0L) ++ beBytes32(1L) ++ zeros(4) ++ beBytes32(duration) ++
+      zeros(8) ++ beBytes16(0) ++ beBytes16(0) ++ beBytes16(0) ++ zeros(2) ++
+      matrix ++ beBytes32(w.toLong << 16) ++ beBytes32(h.toLong << 16))
+    val mdhd =
+      if (v1) boxBytes("mdhd", Array[Byte](1, 0, 0, 0) ++ beBytes64(0L) ++
+        beBytes64(0L) ++ beBytes32(timescale) ++ beBytes64(duration) ++
+        beBytes16(0x55c4) ++ zeros(2))
+      else boxBytes("mdhd", zeros(4) ++ beBytes32(0L) ++ beBytes32(0L) ++
+        beBytes32(timescale) ++ beBytes32(duration) ++
+        beBytes16(0x55c4) ++ zeros(2))
+    val hdlr = boxBytes("hdlr", zeros(4) ++ zeros(4) ++
+      "vide".getBytes("US-ASCII") ++ zeros(12) ++
+      "VideoHandler ".getBytes("US-ASCII"))
+    val sampleEntry = boxBytes(codec, zeros(6) ++ beBytes16(1) ++
+      zeros(16) ++ beBytes16(w) ++ beBytes16(h) ++
+      beBytes32(0x00480000L) ++ beBytes32(0x00480000L) ++ zeros(4) ++
+      beBytes16(1) ++ zeros(32) ++ beBytes16(0x0018) ++ beBytes16(0xffff))
+    val stsd = boxBytes("stsd", zeros(4) ++ beBytes32(1L) ++ sampleEntry)
+    // two stts runs when possible: (1, delta) + (n−1, delta)
+    val stts =
+      if (nFrames > 1) boxBytes("stts", zeros(4) ++ beBytes32(2L) ++
+        beBytes32(1L) ++ beBytes32(delta) ++
+        beBytes32(nFrames - 1L) ++ beBytes32(delta))
+      else boxBytes("stts", zeros(4) ++ beBytes32(1L) ++
+        beBytes32(1L) ++ beBytes32(delta))
+    val stbl = boxBytes("stbl", stsd ++ stts ++
+      boxBytes("stsc", zeros(4) ++ beBytes32(0L)) ++
+      boxBytes("stsz", zeros(4) ++ beBytes32(0L) ++ beBytes32(0L)) ++
+      boxBytes("stco", zeros(4) ++ beBytes32(0L)))
+    val vmhd = boxBytes("vmhd", Array[Byte](0, 0, 0, 1) ++ zeros(8))
+    val dref = boxBytes("dref", zeros(4) ++ beBytes32(1L) ++
+      boxBytes("url ", Array[Byte](0, 0, 0, 1)))
+    val minf = boxBytes("minf", vmhd ++ boxBytes("dinf", dref) ++ stbl)
+    val mdia = boxBytes("mdia", mdhd ++ hdlr ++ minf)
+    val trak = boxBytes("trak", tkhd ++ mdia)
+    val moov = boxBytes("moov", mvhd ++ trak, largesize = v1)
+    val mdat = boxBytes("mdat", zeros(16))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic REAL-video table derived from `documents`: each doc
+    * becomes a spec-correct MP4 whose frame count / dims / codec are
+    * formulas over stable columns ([[mediaTable]]'s conventions), with
+    * every id ≡ 3 (mod 11) written in the 64-bit/version-1 layout and
+    * every id ≡ 7 (mod 11) TRUNCATED mid-moov (the in-board null
+    * path). The video twin of [[bmpImageTable]]/[[wavAudioTable]]. */
+  def mp4VideoTable(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(id).isNotNull && col("n_chars").isNotNull)
+      .select(col(id).cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (mid, nChars) =>
+        val v1 = mid % 11 == 3
+        val bytes = buildMp4(
+          nFrames = (nChars % 240).toInt + 1,
+          timescale = if (v1) 90000L else 600L,
+          fps = 24,
+          codec = if (mid % 5 == 2) "hev1" else "avc1",
+          w = ((mid % 64).toInt + 1) * 16,
+          h = ((mid % 48).toInt + 1) * 16,
+          v1 = v1)
+        (mid, if (mid % 11 == 7) bytes.take(40) else bytes)
+      }.toDF("media_id", "content")
+  }
+
+  final case class Mp4Row(media_id: Option[Long], major_brand: Option[String],
+                          timescale: Option[Long], duration_ms: Option[Long],
+                          n_frames: Option[Long], codec: Option[String],
+                          width: Option[Int], height: Option[Int])
+
+  /** Box-walk an MP4 binary column into metadata rows; unparseable
+    * payloads keep their id with null fields (the q88/q101 shape). */
+  def mp4Meta(media: DataFrame, id: String = "media_id",
+              content: String = "content"): Dataset[Mp4Row] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Option[Long], Array[Byte])]
+      .map { case (mid, bytes) =>
+        parseMp4Meta(bytes) match {
+          case Some(m) => Mp4Row(mid, Some(m.major_brand), Some(m.timescale),
+            Some(m.duration_ms), Some(m.n_frames), Some(m.codec),
+            Some(m.width), Some(m.height))
+          case None => Mp4Row(mid, None, None, None, None, None, None, None)
+        }
+      }
+  }
 }

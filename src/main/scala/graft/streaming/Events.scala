@@ -325,6 +325,122 @@ object Events {
       ()
     }
 
+  /** Ingest-time NEAR-dup dedup, packaged: every arriving micro-batch
+    * is probed against the accumulated MinHash signature catalog (and
+    * against itself), near-dups are DROPPED at the landing zone, and
+    * only the survivors' signatures join the catalog — the streaming
+    * half of the q89 batch operator, the way [[streamingDecontaminate]]
+    * is the streaming half of q86. Byte-dup ingest
+    * (incrementalSurvivors) catches re-uploads; THIS catches
+    * re-encodes, near-copies and boilerplate variants that exact
+    * digests sail past.
+    *
+    * Drop policy: a batch doc pairing (est Jaccard ≥ tau) with any
+    * catalog doc is dropped (the catalog doc already landed); within a
+    * batch the SMALLER id survives (the canonical-survivor
+    * convention). Per-batch cost is the batch's own signatures plus a
+    * bucket-members × batch-members probe — never a catalog
+    * re-pairing ([[graft.ext.Dedup.incrementalMinhashPairs]]).
+    *
+    * State: the signature catalog (k longs per doc, append-only)
+    * rides a [[graft.ext.PinnedLoop]] — a micro-batch loop is exactly
+    * the shape where a naive per-batch localCheckpoint/cache chain
+    * dies multiplicatively (SCALE.md round 8c), so the catalog is
+    * pinned the same way the BPE/connected-components loops pin their
+    * state. The pin is released when the query terminates. The catalog
+    * lives with the QUERY: a production restart bootstraps it from the
+    * landed corpus via `bootstrapCatalog` (minhashSignatures of what
+    * is already on disk) — without it a restarted query would re-admit
+    * near-dups of pre-restart documents.
+    *
+    * Restart contract: same idempotent replay as
+    * [[streamingDecontaminate]] — the writer overwrites its
+    * `batch_id=<id>` partition, and the catalog append anti-joins on
+    * id, so a replayed batch neither double-lands nor double-registers.
+    */
+  def streamingNearDupDedup(stream: DataFrame, id: String, text: String,
+                            outDir: String, checkpointDir: String,
+                            ngram: Int = 3, numHashes: Int = 64,
+                            tau: Double = 0.5, bands: Int = 16,
+                            maxBucketSize: Option[Int] = Some(1000),
+                            bootstrapCatalog: Option[DataFrame] = None,
+                            config: StreamConfig = StreamConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new NearDupState(bootstrapCatalog)
+    val writer = nearDupBatchWriter(state, id, text, outDir,
+      ngram, numHashes, tau, bands, maxBucketSize)
+    val query = config(stream.writeStream)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writer)
+      .start()
+    val mgr = stream.sparkSession.streams
+    mgr.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      private val self = this
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          state.release()
+          mgr.removeListener(self)
+        }
+    })
+    query
+  }
+
+  /** The signature-catalog state of one [[streamingNearDupDedup]]
+    * query: a PinnedLoop started lazily from the first batch's
+    * signature schema (or the bootstrap catalog). */
+  final class NearDupState(bootstrap: Option[DataFrame]) {
+    private[streaming] var loop: graft.ext.PinnedLoop = null
+    private[streaming] def currentOr(init: => DataFrame): DataFrame = {
+      if (loop == null)
+        loop = graft.ext.PinnedLoop.start(bootstrap.getOrElse(init))
+      loop.current
+    }
+    def release(): Unit = if (loop != null) { loop.release(); loop = null }
+  }
+
+  /** The idempotent per-batch body of [[streamingNearDupDedup]],
+    * exposed so the replay and batch-equivalence contracts are
+    * directly testable: same batchId twice → each survivor lands once
+    * and the catalog does not double-grow. */
+  def nearDupBatchWriter(state: NearDupState, id: String, text: String,
+                         outDir: String, ngram: Int, numHashes: Int,
+                         tau: Double, bands: Int,
+                         maxBucketSize: Option[Int])
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val sigs = graft.ext.Dedup
+        .minhashSignatures(batch, id, text, ngram, numHashes)
+        .localCheckpoint(true) // consumed by probe, drop-set and append
+      val catalog = state.currentOr(sigs.filter(lit(false)))
+      val pairs = graft.ext.Dedup.incrementalMinhashPairs(
+        sigs, catalog, tau, bands, maxBucketSize)
+      val batchIds = sigs.select(col("id"))
+      // exactly-one-side-in-batch → that side drops (the other already
+      // landed); both-in-batch → the larger id drops (min-id survivor)
+      val dupIds = pairs
+        .join(batchIds.select(col("id").as("id_a"), lit(1).as("ba")),
+          Seq("id_a"), "left")
+        .join(batchIds.select(col("id").as("id_b"), lit(1).as("bb")),
+          Seq("id_b"), "left")
+        .select(when(col("ba").isNotNull && col("bb").isNull, col("id_a"))
+          .otherwise(col("id_b")).as("id"))
+        .distinct()
+      val survivors = batch
+        .join(dupIds.withColumnRenamed("id", id), Seq(id), "left_anti")
+      survivors.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      val survSigs = sigs
+        .join(dupIds, Seq("id"), "left_anti")
+        // replay guard: a re-delivered batch's survivors are already
+        // registered — never give one id two catalog signatures
+        .join(catalog.select(col("id")), Seq("id"), "left_anti")
+      state.loop.advance(catalog.unionByName(survSigs))
+      ()
+    }
+
   def streamToParquet(df: DataFrame, outDir: String,
                       checkpointDir: String,
                       config: StreamConfig = StreamConfig())

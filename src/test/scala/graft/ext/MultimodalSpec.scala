@@ -335,4 +335,64 @@ class MultimodalSpec extends SparkSpec {
       assert(hm === 0, "re-encoding must not move the energy envelope")
     }
   }
+
+  test("parseMp4Meta: v0 and v1/largesize layouts round-trip the build") {
+    for (v1 <- Seq(false, true)) {
+      val ts = if (v1) 90000L else 600L
+      val b = Multimodal.buildMp4(nFrames = 49, timescale = ts, fps = 24,
+        codec = "avc1", w = 320, h = 240, v1 = v1)
+      val m = Multimodal.parseMp4Meta(b)
+        .getOrElse(fail(s"v1=$v1 must parse"))
+      assert(m.major_brand === "isom")
+      assert(m.timescale === ts)
+      // two stts runs (1 + 48) must SUM, not first-entry-read
+      assert(m.n_frames === 49L)
+      assert(m.duration_ms === 49L * 1000 / 24) // floor(2041.66) = 2041
+      assert(m.codec === "avc1")
+      assert((m.width, m.height) === ((320, 240)))
+    }
+    // single-run stts (nFrames = 1)
+    val one = Multimodal.parseMp4Meta(Multimodal.buildMp4(1, 600L, 24,
+      "hev1", 16, 16)).get
+    assert(one.n_frames === 1L && one.codec === "hev1")
+  }
+
+  test("parseMp4Meta: truncation and non-video payloads → None") {
+    val full = Multimodal.buildMp4(10, 600L, 24, "avc1", 64, 64)
+    // cut anywhere: mid-ftyp, mid-moov, one byte short — never throws
+    for (cut <- Seq(0, 3, 11, 40, full.length / 2, full.length - 1))
+      assert(Multimodal.parseMp4Meta(full.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.parseMp4Meta(null).isEmpty)
+    // a real WAV is a valid RIFF but not BMFF
+    val wav = Multimodal.buildWav(8000, Array.fill[Short](800)(100))
+    assert(Multimodal.parseMp4Meta(wav).isEmpty)
+    // an audio-only BMFF (hdlr != vide) has no video trak
+    val audioOnly = {
+      val b = Multimodal.buildMp4(10, 600L, 24, "avc1", 64, 64)
+      // corrupt the hdlr handler tag in place: find 'vide' and flip it
+      val i = b.indexOfSlice("vide".getBytes("US-ASCII"))
+      val c = b.clone(); c(i) = 's'.toByte; c
+    }
+    assert(Multimodal.parseMp4Meta(audioOnly).isEmpty)
+  }
+
+  test("mp4VideoTable → mp4Meta: formulas recovered, truncated ids null") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.mp4Meta(Multimodal.mp4VideoTable(docs))
+      .collect().map(r => r.media_id.get -> r).toMap
+    val src = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === src.size)
+    src.foreach { case (id, nChars) =>
+      val r = out(id)
+      if (id % 11 == 7) assert(r.n_frames.isEmpty && r.codec.isEmpty,
+        s"truncated id $id must be all-null")
+      else {
+        assert(r.n_frames.contains(nChars % 240 + 1), s"id $id")
+        assert(r.timescale.contains(if (id % 11 == 3) 90000L else 600L))
+        assert(r.codec.contains(if (id % 5 == 2) "hev1" else "avc1"))
+        assert(r.width.contains(((id % 64) + 1).toInt * 16))
+      }
+    }
+  }
 }

@@ -431,6 +431,59 @@ class EventsSpec extends SparkSpec {
     assert(after === Seq(2L, 4L), s"replay must not double-land: $after")
   }
 
+  test("streamingNearDupDedup: packaged landing-zone near-dup drop, " +
+      "replay idempotent, batch-equivalent to the q89 operator") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("neardup_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val q = Events.streamingNearDupDedup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", out, ckpt,
+      ngram = 2, numHashes = 32, tau = 0.7, bands = 8)
+    val b1 = Seq((1L, a), (2L, "totally different words here entirely now"))
+    val b2 = Seq(
+      (3L, a),            // near-dup of batch-1's doc 1 → dropped
+      (4L, b), (5L, b),   // within-batch pair → smaller id survives
+      (6L, "yet another unique document body"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 4L, 6L),
+      "cross-batch and in-batch near-dups must never land")
+    // batch-equivalence vs the q89 operator, staged identically: the
+    // packaging must add NOTHING beyond incrementalMinhashPairs
+    def sigsOf(rows: Seq[(Long, String)]) =
+      graft.ext.Dedup.minhashSignatures(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 2, 32)
+    val pairs2 = graft.ext.Dedup.incrementalMinhashPairs(
+        sigsOf(b2), sigsOf(b1), tau = 0.7, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs2.toSet === Set((1L, 3L), (4L, 5L)),
+      s"q89-operator pairs drive exactly the streamed drops: $pairs2")
+    // replay contract, exercised directly: same batchId twice → each
+    // survivor lands ONCE and the catalog does not double-register
+    val state = new Events.NearDupState(Some(
+      sigsOf(b1 ++ Seq((4L, b), (6L, "yet another unique document body")))))
+    val writer = Events.nearDupBatchWriter(state, "doc_id", "text", out,
+      ngram = 2, numHashes = 32, tau = 0.7, bands = 8,
+      maxBucketSize = Some(1000))
+    writer(b2.toDF("doc_id", "text"), 1L)
+    val catSize = state.loop.current.count()
+    writer(b2.toDF("doc_id", "text"), 1L)
+    assert(state.loop.current.count() === catSize,
+      "replaying a batch must not double-register catalog signatures")
+    state.release()
+    val after = spark.read.parquet(s"$out/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after === Seq(4L, 6L), s"replay must not double-land: $after")
+  }
+
   test("streamingDecontaminateBloom: bloom-gated scrub lands exactly the exact path's docs") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
