@@ -772,6 +772,10 @@ object Multimodal {
       frames += be32At(b, ss + 8 + i * 8)
       i += 1
     }
+    // A hostile version-1 mvhd can carry a 64-bit duration whose ×1000
+    // overflows Long into garbage/negative ms — implausible values get
+    // the same None malformed inputs do.
+    if (duration < 0L || duration > Long.MaxValue / 1000L) return None
     Some(Mp4Meta(brand, timescale, duration * 1000L / timescale, frames,
       codec, width, height))
   }

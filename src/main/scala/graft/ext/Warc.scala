@@ -54,16 +54,24 @@ object Warc {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](64 << 10)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size > MaxDecompressedBytes) return None
-        n = in.read(buf)
-      }
-      Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
+      try {
+        // bytes.length * 4 overflows Int past 512 MiB (real WARC.gz runs
+        // ~1 GB) and a negative capacity THROWS — clamp via Long math so
+        // one oversized archive can't kill the task.
+        val cap = math.min(math.max(bytes.length.toLong * 4, 64L << 10),
+          MaxDecompressedBytes.toLong).toInt
+        val out = new java.io.ByteArrayOutputStream(cap)
+        val buf = new Array[Byte](64 << 10)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          if (out.size > MaxDecompressedBytes) return None
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally in.close() // reclaim the Inflater's native zlib buffers now,
+                           // not at GC finalization (hot per-archive loop)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Walk the records of one (possibly gzipped) archive. Never

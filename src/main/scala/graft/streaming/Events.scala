@@ -369,23 +369,45 @@ object Events {
     val state = new NearDupState(bootstrapCatalog)
     val writer = nearDupBatchWriter(state, id, text, outDir,
       ngram, numHashes, tau, bands, maxBucketSize)
-    val query = config(stream.writeStream)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .foreachBatch(writer)
-      .start()
     val mgr = stream.sparkSession.streams
-    mgr.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    // The cleanup listener attaches BEFORE start(): a query that dies
+    // immediately (bad source/checkpoint) would otherwise terminate
+    // before any post-start registration and leak the pinned catalog
+    // blocks for the session. The id the listener matches on is only
+    // known after start() returns, so termination events (async bus)
+    // wait on a latch until it is published.
+    @volatile var queryId: java.util.UUID = null
+    val idKnown = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       private val self = this
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        idKnown.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (queryId != null && e.id == queryId) {
           state.release()
           mgr.removeListener(self)
         }
-    })
+      }
+    }
+    mgr.addListener(listener)
+    val query =
+      try config(stream.writeStream)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .foreachBatch(writer)
+        .start()
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          // start() itself failed: no query exists, no terminated event
+          // will ever fire — release here instead of leaking.
+          mgr.removeListener(listener)
+          state.release()
+          throw t
+      }
+    queryId = query.id
+    idKnown.countDown()
     query
   }
 
