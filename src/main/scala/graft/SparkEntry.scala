@@ -2000,6 +2000,57 @@ object SparkEntry {
         .select(col("media_id"), col("major_brand"), col("timescale"),
           col("duration_ms"), col("n_frames"), col("codec"),
           col("width"), col("height"), col("n_sampled"))
+    }),
+
+    // --- WARC → curation capstone: the crawl workload END-TO-END as
+    // ONE composed plan — container (q149's archives) → record walk →
+    // HTML extraction → quality gates → exact dedup → shuffle shards →
+    // per-shard summary. Every stage is the library op its standalone
+    // query pins (records / htmlToText / qualityRules / shuffleShards,
+    // i.e. q149+q134+q103 starting from the container). The lineage
+    // from archive bytes to the dedup digest is a SINGLE map chain:
+    // the gates ride the extraction projection via keepCols (no
+    // self-join of flags back onto the expensive WARC lineage), the
+    // dedup carries its survivor's stats THROUGH the digest agg as a
+    // min-struct (one shuffle of (digest, id, n_chars) — the exactDedup
+    // semi-join shape would make the WARC walk a two-consumer lineage
+    // and force a mid-plan checkpoint), and the final per-shard agg
+    // reuses the shard hash partitioning the shard window created.
+    "q151_warc_curation" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), messyHtml.as("html"))
+      val archives = pages.as[(Long, String)].map { case (id, html) =>
+        (id, graft.ext.Warc.build(Seq(
+          ("warcinfo", null, "application/warc-fields",
+            "software: graft-warc/1.0\r\n".getBytes("UTF-8")),
+          ("response", s"http://example.com/doc/$id", "text/html",
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+          gzipMembers = id % 13 == 5))
+      }.toDF("doc_id", "content")
+      val text = graft.ext.TextAnalysis.htmlToText(
+        graft.ext.Warc.records(archives, "doc_id", "content")
+          .filter(col("warc_type") === "response" && col("well_formed"))
+          .withColumn("html", col("payload_text")),
+        "doc_id", "html")
+      val gated = graft.ext.TextAnalysis.qualityRules(text, "doc_id",
+          "clean_text", minTokens = 10L, maxTokens = 500L,
+          minAvgTokenLen = 2.0, maxAvgTokenLen = 10.0,
+          maxPunctRatio = 0.05,
+          keepCols = Seq("clean_text", "n_chars_clean"))
+        .filter(col("keep"))
+      // n_chars_clean = length(clean_text) is digest-DETERMINED (every
+      // row in a group shares the text), so two plain mins carry the
+      // survivor and its stat — a HashAggregate, where a min-of-struct
+      // would force a SortAggregate
+      val surv = gated
+        .groupBy(md5(col("clean_text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_chars_clean")).as("n_chars_clean"))
+      graft.ext.Sampling.shuffleShards(surv, "doc_id", nShards = 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars_clean")).as("shard_chars"))
     })
   )
 
@@ -3467,6 +3518,43 @@ object SparkEntry {
         |  CAST(CASE WHEN trunc THEN NULL
         |    ELSE (nf - 1) // 24 + 1 END AS BIGINT) AS n_sampled
         |FROM m""".stripMargin,
+    // q151: the capstone replay — the WARC framing cancels (q149's
+    // builder→parser identity), so the oracle rebuilds the page,
+    // replays the q134 extraction chain, then the q103 gate / exact
+    // dedup / md5-shard pipeline over CLEAN text instead of raw text.
+    "q151_warc_curation" ->
+      (s"WITH ${messyHtmlHCte(" WHERE text IS NOT NULL")},\n" +
+        HtmlExtractCtes + ",\n" +
+        """g AS (
+          |  SELECT doc_id, clean_text,
+          |    CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+          |    CAST(len(list_filter(string_split_regex(lower(clean_text),
+          |         '\s+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
+          |    CAST(list_sum(list_transform(list_filter(
+          |         string_split_regex(lower(clean_text), '\s+'),
+          |         x -> x <> ''), x -> length(x))) AS DOUBLE) AS tok_chars,
+          |    length(clean_text) * 1.0 AS nc,
+          |    len(regexp_extract_all(clean_text, '[^a-zA-Z0-9\s]')) * 1.0
+          |      AS punct
+          |  FROM e6),
+          |k AS (
+          |  SELECT doc_id, clean_text, n_chars_clean FROM g
+          |  WHERE n_tokens >= 10 AND n_tokens <= 500
+          |    AND (CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+          |         ELSE 0.0 END) BETWEEN 2.0 AND 10.0
+          |    AND (CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END) <= 0.05),
+          |surv AS (SELECT min(doc_id) AS doc_id FROM k
+          |         GROUP BY md5(clean_text)),
+          |km AS (SELECT k.doc_id, k.n_chars_clean
+          |       FROM k JOIN surv USING (doc_id)),
+          |sh AS (
+          |  SELECT doc_id, n_chars_clean,
+          |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+          |       1, 15))::BIGINT % 4 AS shard
+          |  FROM km)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars_clean) AS BIGINT) AS shard_chars
+          |FROM sh GROUP BY 1""".stripMargin),
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

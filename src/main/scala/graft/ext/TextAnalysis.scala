@@ -419,7 +419,8 @@ object TextAnalysis {
   def qualityRules(df: DataFrame, id: String, text: String,
                    minTokens: Long = 5L, maxTokens: Long = 100000L,
                    minAvgTokenLen: Double = 2.0, maxAvgTokenLen: Double = 12.0,
-                   maxPunctRatio: Double = 0.3): DataFrame = {
+                   maxPunctRatio: Double = 0.3,
+                   keepCols: Seq[String] = Nil): DataFrame = {
     val st = graft.functions.Strings.tokenStats(lower(col(text)), Stopwords)
     val nToks = st.getField("n_tokens").cast(DoubleType)
     val nChars = length(col(text)).cast(DoubleType)
@@ -428,11 +429,13 @@ object TextAnalysis {
     val tokChars = st.getField("tok_chars").cast(DoubleType)
     val avgLen = when(nToks > 0, tokChars / nToks).otherwise(0.0)
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(0.0)
-    df.select(
-        col(id),
+    // keepCols ride the SAME projection (the htmlToText convention):
+    // a caller gating a computed frame must not have to self-join the
+    // flags back onto an expensive lineage — one map-side select.
+    df.select((col(id) +: keepCols.map(col)) ++ Seq(
         (nToks >= minTokens && nToks <= maxTokens).as("ok_length"),
         (avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen).as("ok_token_len"),
-        (punctRatio <= maxPunctRatio).as("ok_punct"))
+        (punctRatio <= maxPunctRatio).as("ok_punct")): _*)
       .withColumn("keep",
         col("ok_length") && col("ok_token_len") && col("ok_punct"))
   }

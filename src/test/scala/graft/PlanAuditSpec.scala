@@ -348,6 +348,27 @@ class PlanAuditSpec extends SparkSpec {
         "passthrough exists so no self-join re-attaches metadata)")
   }
 
+  test("q151 (warc curation capstone): container → extract → gates → " +
+      "dedup → shards composes as ONE plan — a single archive scan, " +
+      "no join re-attaching flags or texts") {
+    val p = plan("q151_warc_curation")
+    // one documents scan: the gates ride the extraction projection
+    // (keepCols) and the dedup survivor carries its stats through the
+    // digest agg as plain mins, so nothing re-executes the WARC
+    // lineage. q86 counting convention: formatted explain prints each
+    // node twice (tree + detail).
+    assert(p.split("Scan parquet").length - 1 === 2,
+      s"the archive lineage must be scanned exactly once:\n$p")
+    assert(!p.contains("Join"),
+      s"no stage may self-join back onto the WARC lineage:\n$p")
+    // exactly two shuffles: digest agg + final shard agg (the unused
+    // shard-window row_number prunes away entirely)
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 4,
+      s"expected digest-agg and shard-agg shuffles only:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the digest agg must stay hash-based (no struct-min sort):\n$p")
+  }
+
   test("q135 (fuzzy join): blocking plans as an equi hash join, " +
       "never a cartesian distance sweep") {
     val p = plan("q135_fuzzy_join")
