@@ -2051,6 +2051,35 @@ object SparkEntry {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars_clean")).as("shard_chars"))
+    }),
+
+    // --- Video STREAM dedup via sample-table fingerprints: the video
+    // rung of the q120/q130 family without a codec — remuxing (new
+    // container, timescale, brand, 64-bit offsets) rewrites every
+    // container byte but not the stsz sample-size sequence, so an
+    // FNV-64 fingerprint over that sequence pairs remuxed-identical
+    // streams that byte digests (q15) miss, still header-only. The
+    // fingerprint frame feeds both sides of the pairing equi-join →
+    // eager checkpoint (the SCALE.md multi-consumer rule); the join
+    // keys are 8 B and groups are duplicate-cluster-sized, so the
+    // pairing is a plain hash join at any corpus size. Fingerprint
+    // equality stands in for sequence equality at 64-bit-collision
+    // odds — the hashed-shingle convention (CLAUDE.md); the oracle
+    // recomputes stream identity from the fixture's doc_id arithmetic
+    // and must produce the identical pair set.
+    "q152_mp4_stream_dedup" -> ((s, dir) => {
+      val vids = graft.ext.Multimodal.mp4RemuxTable(Tables.documents(s, dir))
+      val st = graft.ext.Multimodal.mp4SampleStats(vids).toDF()
+        .filter(col("fingerprint").isNotNull)
+        .select(col("media_id"), col("n_samples"), col("total_bytes"),
+          col("fingerprint"))
+        .localCheckpoint(eager = true)
+      st.as("a").join(st.as("b"),
+          col("a.fingerprint") === col("b.fingerprint") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.n_samples").as("n_samples"),
+          col("a.total_bytes").as("total_bytes"))
     })
   )
 
@@ -3555,6 +3584,28 @@ object SparkEntry {
           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(n_chars_clean) AS BIGINT) AS shard_chars
           |FROM sh GROUP BY 1""".stripMargin),
+    // q152: stream identity recomputed from the fixture's doc_id
+    // arithmetic — remuxed ids (≡9 mod 17) share stream key id−1, a
+    // stream is key%240+1 samples of size 800+(key·(i+7) mod 4093) —
+    // and paired on KEY equality; the engine pairs on fingerprint
+    // equality over the PARSED tables, so agreement proves the
+    // builder→parser identity and the pairing in one check.
+    "q152_mp4_stream_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 17 = 9 THEN doc_id - 1 ELSE doc_id END
+        |      AS skey
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (
+        |  SELECT media_id, skey,
+        |    CAST((skey % 240) + 1 AS BIGINT) AS n_samples,
+        |    CAST(list_sum([800 + ((skey * (i + 7)) % 4093)
+        |      FOR i IN range(0, (skey % 240) + 1)]) AS BIGINT)
+        |      AS total_bytes
+        |  FROM d)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  a.n_samples, a.total_bytes
+        |FROM s a JOIN s b ON a.skey = b.skey AND a.media_id < b.media_id""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

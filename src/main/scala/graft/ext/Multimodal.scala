@@ -709,6 +709,28 @@ object Multimodal {
                       tag: String): Option[(Int, Int)] =
     boxes.collectFirst { case (t, s, e) if t == tag => (s, e) }
 
+  /** The video trak's stbl payload range: trak selected by the `vide`
+    * hdlr, then mdia/minf/stbl — shared by the metadata walk
+    * ([[parseMp4Meta]]) and the sample-table walk
+    * ([[parseMp4SampleStats]]). */
+  private def findVideoStbl(b: Array[Byte],
+                            moov: Seq[(String, Int, Int)]): Option[(Int, Int)] =
+    moov.collectFirst(Function.unlift {
+      case ("trak", ts, te) =>
+        val trak = childBoxes(b, ts, te)
+        findBox(trak, "mdia").flatMap { case (ds, de) =>
+          val mdia = childBoxes(b, ds, de)
+          val isVideo = findBox(mdia, "hdlr").exists { case (hls, hle) =>
+            hle - hls >= 12 && tagAt(b, hls + 8) == "vide"
+          }
+          if (!isVideo) None
+          else findBox(mdia, "minf").flatMap { case (ns, ne) =>
+            findBox(childBoxes(b, ns, ne), "stbl")
+          }
+        }
+      case _ => None
+    })
+
   /** REAL MP4/ISO-BMFF metadata — a proper box walk (ftyp brand, moov/
     * mvhd movie header with version 0 AND 1 layouts, trak selection by
     * the `vide` hdlr, stsd visual sample entry, stts frame-count sum),
@@ -735,22 +757,7 @@ object Multimodal {
       case _ => return None
     }
     if (timescale <= 0) return None
-    // the video trak: hdlr handler_type == 'vide'
-    val videoStbl = moov.collectFirst(Function.unlift {
-      case ("trak", ts, te) =>
-        val trak = childBoxes(b, ts, te)
-        findBox(trak, "mdia").flatMap { case (ds, de) =>
-          val mdia = childBoxes(b, ds, de)
-          val isVideo = findBox(mdia, "hdlr").exists { case (hls, hle) =>
-            hle - hls >= 12 && tagAt(b, hls + 8) == "vide"
-          }
-          if (!isVideo) None
-          else findBox(mdia, "minf").flatMap { case (ns, ne) =>
-            findBox(childBoxes(b, ns, ne), "stbl")
-          }
-        }
-      case _ => None
-    }).getOrElse(return None)
+    val videoStbl = findVideoStbl(b, moov).getOrElse(return None)
     val stbl = childBoxes(b, videoStbl._1, videoStbl._2)
     val (sds, sde) = findBox(stbl, "stsd").getOrElse(return None)
     if (sde - sds < 16 || be32At(b, sds + 4) < 1) return None
@@ -778,6 +785,74 @@ object Multimodal {
     if (duration < 0L || duration > Long.MaxValue / 1000L) return None
     Some(Mp4Meta(brand, timescale, duration * 1000L / timescale, frames,
       codec, width, height))
+  }
+
+  /** Sample-table stream identity: counts/bytes from the video trak's
+    * stsz plus an FNV-1a 64 fingerprint over the sample-SIZE sequence
+    * (each size as 4 big-endian bytes). The size sequence lives in the
+    * moov INDEX, not in mdat, and it is invariant under re-muxing —
+    * timescale, brand, box layout, 32- vs 64-bit chunk offsets all
+    * change on a re-container while the per-sample byte sizes do not —
+    * so equal fingerprints catch remuxed-identical-stream duplicate
+    * video the way q120/q130 catch re-encoded images/audio, still with
+    * zero frame decode. (A RE-ENCODE changes the sizes; catching that
+    * needs a codec, which this container-level rung does not claim.) */
+  final case class Mp4Stream(n_samples: Long, total_bytes: Long,
+                             max_sample: Long, n_chunks: Long,
+                             fingerprint: Long)
+
+  /** Walk ftyp/moov/trak(vide)/stbl and read stsz (both the fixed
+    * `sample_size` form and the per-sample entry table) and stco/co64
+    * (chunk count). None for non-MP4, truncated, video-trak-less, or
+    * EMPTY sample tables (an index with no samples carries no stream
+    * identity — pairing empties would declare all metadata-only files
+    * duplicates of each other). Never throws on dirty input. */
+  def parseMp4SampleStats(b: Array[Byte]): Option[Mp4Stream] = {
+    if (b == null || b.length < 16) return None
+    val top = childBoxes(b, 0, b.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val (ms, me) = findBox(top, "moov").getOrElse(return None)
+    val stblRange = findVideoStbl(b, childBoxes(b, ms, me))
+      .getOrElse(return None)
+    val stbl = childBoxes(b, stblRange._1, stblRange._2)
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [+ entries]
+    val (zs, ze) = findBox(stbl, "stsz").getOrElse(return None)
+    if (ze - zs < 12) return None
+    val fixed = be32At(b, zs + 4)
+    val n = be32At(b, zs + 8)
+    if (n <= 0 || n > (1 << 26)) return None // empty or implausible
+    val nI = n.toInt
+    var total = 0L
+    var maxS = 0L
+    var fp = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+    def mix(size: Long): Unit = {
+      var k = 24
+      while (k >= 0) {
+        fp ^= (size >> k) & 0xffL
+        fp *= 0x100000001b3L
+        k -= 8
+      }
+    }
+    if (fixed > 0L) {
+      var i = 0
+      while (i < nI) { mix(fixed); i += 1 }
+      total = fixed * n
+      maxS = fixed
+    } else {
+      if (ze.toLong - zs < 12L + nI.toLong * 4L) return None
+      var i = 0
+      while (i < nI) {
+        val s = be32At(b, zs + 12 + i * 4)
+        total += s
+        if (s > maxS) maxS = s
+        mix(s)
+        i += 1
+      }
+    }
+    val nChunks = findBox(stbl, "stco").orElse(findBox(stbl, "co64"))
+      .collect { case (cs, ce) if ce - cs >= 8 => be32At(b, cs + 4) }
+      .getOrElse(return None)
+    Some(Mp4Stream(n, total, maxS, nChunks, fp))
   }
 
   private def beBytes16(v: Int): Array[Byte] =
@@ -808,8 +883,12 @@ object Multimodal {
     * times), so the parser's both paths stay exercised by fixtures. */
   private[ext] def buildMp4(nFrames: Int, timescale: Long, fps: Int,
                             codec: String, w: Int, h: Int,
-                            v1: Boolean = false): Array[Byte] = {
+                            v1: Boolean = false,
+                            sampleSizes: Array[Int] = null,
+                            co64: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && fps >= 1 && timescale % fps == 0)
+    require(sampleSizes == null || sampleSizes.length == nFrames,
+      "sampleSizes must carry one entry per frame")
     val delta = timescale / fps
     val duration = nFrames * delta
     val zeros = (n: Int) => new Array[Byte](n)
@@ -854,17 +933,52 @@ object Multimodal {
         beBytes32(nFrames - 1L) ++ beBytes32(delta))
       else boxBytes("stts", zeros(4) ++ beBytes32(1L) ++
         beBytes32(1L) ++ beBytes32(delta))
-    val stbl = boxBytes("stbl", stsd ++ stts ++
-      boxBytes("stsc", zeros(4) ++ beBytes32(0L)) ++
-      boxBytes("stsz", zeros(4) ++ beBytes32(0L) ++ beBytes32(0L)) ++
-      boxBytes("stco", zeros(4) ++ beBytes32(0L)))
-    val vmhd = boxBytes("vmhd", Array[Byte](0, 0, 0, 1) ++ zeros(8))
-    val dref = boxBytes("dref", zeros(4) ++ beBytes32(1L) ++
-      boxBytes("url ", Array[Byte](0, 0, 0, 1)))
-    val minf = boxBytes("minf", vmhd ++ boxBytes("dinf", dref) ++ stbl)
-    val mdia = boxBytes("mdia", mdhd ++ hdlr ++ minf)
-    val trak = boxBytes("trak", tkhd ++ mdia)
-    val moov = boxBytes("moov", mvhd ++ trak, largesize = v1)
+    // real sample tables when sizes are given: stsz in the fixed
+    // sample_size form when every size agrees (the CBR shape real
+    // muxers emit) else the per-sample entry table; one chunk, whose
+    // stco/co64 offset points at the mdat payload — resolved by
+    // assembling the moov twice (the offset's ENCODED width is fixed,
+    // so pass 1 with offset 0 measures, pass 2 writes the real one,
+    // the standard mux two-pass). Legacy callers (sampleSizes null)
+    // keep the empty tables.
+    val stsc =
+      if (sampleSizes == null) boxBytes("stsc", zeros(4) ++ beBytes32(0L))
+      else boxBytes("stsc", zeros(4) ++ beBytes32(1L) ++
+        beBytes32(1L) ++ beBytes32(nFrames.toLong) ++ beBytes32(1L))
+    val stsz =
+      if (sampleSizes == null)
+        boxBytes("stsz", zeros(4) ++ beBytes32(0L) ++ beBytes32(0L))
+      else if (sampleSizes.forall(_ == sampleSizes(0)))
+        boxBytes("stsz", zeros(4) ++ beBytes32(sampleSizes(0).toLong) ++
+          beBytes32(nFrames.toLong))
+      else
+        boxBytes("stsz", zeros(4) ++ beBytes32(0L) ++
+          beBytes32(nFrames.toLong) ++
+          sampleSizes.flatMap(s => beBytes32(s.toLong)))
+    def chunkBox(offset: Long): Array[Byte] =
+      if (sampleSizes == null)
+        boxBytes("stco", zeros(4) ++ beBytes32(0L))
+      else if (co64)
+        boxBytes("co64", zeros(4) ++ beBytes32(1L) ++ beBytes64(offset))
+      else boxBytes("stco", zeros(4) ++ beBytes32(1L) ++ beBytes32(offset))
+    def moovFor(chunkOffset: Long): Array[Byte] = {
+      val stbl = boxBytes("stbl", stsd ++ stts ++ stsc ++ stsz ++
+        chunkBox(chunkOffset))
+      val vmhd = boxBytes("vmhd", Array[Byte](0, 0, 0, 1) ++ zeros(8))
+      val dref = boxBytes("dref", zeros(4) ++ beBytes32(1L) ++
+        boxBytes("url ", Array[Byte](0, 0, 0, 1)))
+      val minf = boxBytes("minf", vmhd ++ boxBytes("dinf", dref) ++ stbl)
+      val mdia = boxBytes("mdia", mdhd ++ hdlr ++ minf)
+      val trak = boxBytes("trak", tkhd ++ mdia)
+      boxBytes("moov", mvhd ++ trak, largesize = v1)
+    }
+    val m0 = moovFor(0L)
+    val moov =
+      if (sampleSizes == null) m0
+      else moovFor(ftyp.length.toLong + m0.length + 8L)
+    // token mdat: the sample-table walk is header-only by design — the
+    // index IS the fixture; carrying real per-sample payload bytes
+    // would bloat every test corpus for data no parse ever reads
     val mdat = boxBytes("mdat", zeros(16))
     ftyp ++ moov ++ mdat
   }
@@ -914,6 +1028,71 @@ object Multimodal {
             Some(m.duration_ms), Some(m.n_frames), Some(m.codec),
             Some(m.width), Some(m.height))
           case None => Mp4Row(mid, None, None, None, None, None, None, None)
+        }
+      }
+  }
+
+  /** Remuxed-duplicate fixture table: every id ≡ 9 (mod 17) carries
+    * the SAME video stream as stream-key id−1 — identical sample-size
+    * tables — re-containered in the v1/largesize layout at a different
+    * timescale with 64-bit chunk offsets (what a remux actually
+    * changes), so its container BYTES differ while the stream identity
+    * does not: the duplicate shape byte-digest dedup (q15) cannot see.
+    * Stream parameters derive from the stream KEY alone, so a twin
+    * needs no cross-row join to build and an oracle can recompute
+    * every stat from doc_id arithmetic: n = key%240+1 samples of
+    * size 800 + (key·(i+7) mod 4093). The size formula mixes key and i
+    * MULTIPLICATIVELY: with f(key)+g(i) shapes, two keys congruent
+    * mod the size modulus share entire sequences, and 4093 is prime
+    * with i+7 < 4093, so distinct streams collide only at key
+    * distances ≥ lcm(4093, 240) ≈ 1M docs — and such a collision IS a
+    * genuinely identical index, which the fingerprint truthfully
+    * reports. */
+  def mp4RemuxTable(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(id).isNotNull)
+      .select(col(id).cast("long")).as[Long]
+      .map { mid =>
+        val remux = mid % 17 == 9
+        val skey = if (remux) mid - 1 else mid
+        val n = (skey % 240).toInt + 1
+        val sizes = Array.tabulate(n)(i => 800 + ((skey * (i + 7)) % 4093).toInt)
+        (mid, buildMp4(
+          nFrames = n,
+          timescale = if (remux) 90000L else 600L,
+          fps = 24,
+          codec = if (skey % 5 == 2) "hev1" else "avc1",
+          w = ((skey % 64).toInt + 1) * 16,
+          h = ((skey % 48).toInt + 1) * 16,
+          v1 = remux,
+          sampleSizes = sizes,
+          co64 = remux))
+      }.toDF("media_id", "content")
+  }
+
+  final case class Mp4StreamRow(media_id: Option[Long],
+                                n_samples: Option[Long],
+                                total_bytes: Option[Long],
+                                max_sample: Option[Long],
+                                n_chunks: Option[Long],
+                                fingerprint: Option[Long])
+
+  /** Walk an MP4 binary column's sample tables into stream-identity
+    * rows; unparseable payloads keep their id with null fields (the
+    * q88/q101 shape). */
+  def mp4SampleStats(media: DataFrame, id: String = "media_id",
+                     content: String = "content"): Dataset[Mp4StreamRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Option[Long], Array[Byte])]
+      .map { case (mid, bytes) =>
+        parseMp4SampleStats(bytes) match {
+          case Some(s) => Mp4StreamRow(mid, Some(s.n_samples),
+            Some(s.total_bytes), Some(s.max_sample), Some(s.n_chunks),
+            Some(s.fingerprint))
+          case None => Mp4StreamRow(mid, None, None, None, None, None)
         }
       }
   }

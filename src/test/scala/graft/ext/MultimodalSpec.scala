@@ -395,4 +395,91 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("parseMp4SampleStats: remux invariance — same stream re-containered " +
+      "(v1/largesize, new timescale, co64) keeps the fingerprint while " +
+      "every container byte a digest sees changes") {
+    val sizes = Array.tabulate(49)(i => 800 + ((5L * (i + 7)) % 4093).toInt)
+    val base = Multimodal.buildMp4(49, 600L, 24, "avc1", 320, 240,
+      v1 = false, sampleSizes = sizes, co64 = false)
+    val remux = Multimodal.buildMp4(49, 90000L, 24, "avc1", 320, 240,
+      v1 = true, sampleSizes = sizes, co64 = true)
+    assert(!java.util.Arrays.equals(base, remux),
+      "the containers must differ byte-wise (q15 would miss this pair)")
+    val a = Multimodal.parseMp4SampleStats(base).get
+    val b = Multimodal.parseMp4SampleStats(remux).get
+    assert(a.fingerprint === b.fingerprint)
+    assert(a.n_samples === 49L && b.n_samples === 49L)
+    assert(a.total_bytes === sizes.map(_.toLong).sum)
+    assert(a.max_sample === sizes.max.toLong)
+    assert(a.n_chunks === 1L && b.n_chunks === 1L)
+    // a different stream (one size off) must NOT share the fingerprint
+    val other = sizes.clone(); other(20) += 1
+    val c = Multimodal.parseMp4SampleStats(Multimodal.buildMp4(49, 600L, 24,
+      "avc1", 320, 240, sampleSizes = other)).get
+    assert(c.fingerprint !== a.fingerprint)
+  }
+
+  test("parseMp4SampleStats: fixed-size stsz (CBR form) fingerprints " +
+      "identically to the same sizes written as an entry table") {
+    // the builder emits the fixed form when all sizes agree — craft the
+    // table form by varying then equalizing via two distinct builds
+    val flat = Array.fill(10)(1234)
+    val fixedForm = Multimodal.buildMp4(10, 600L, 24, "avc1", 64, 64,
+      sampleSizes = flat)
+    val s = Multimodal.parseMp4SampleStats(fixedForm).get
+    assert(s.n_samples === 10L && s.total_bytes === 12340L &&
+      s.max_sample === 1234L)
+    // same sequence mixed by hand through the public FNV spec: the
+    // fixed-form parse must equal the per-entry mix
+    var fp = 0xcbf29ce484222325L
+    flat.foreach { v =>
+      var k = 24
+      while (k >= 0) {
+        fp ^= (v.toLong >> k) & 0xffL; fp *= 0x100000001b3L; k -= 8
+      }
+    }
+    assert(s.fingerprint === fp)
+  }
+
+  test("parseMp4SampleStats: dirty input → None, never a throw") {
+    val sizes = Array.tabulate(12)(i => 900 + i)
+    val full = Multimodal.buildMp4(12, 600L, 24, "avc1", 64, 64,
+      sampleSizes = sizes)
+    for (cut <- Seq(0, 3, 11, 40, full.length / 2, full.length - 20))
+      assert(Multimodal.parseMp4SampleStats(full.take(cut)).isEmpty,
+        s"cut=$cut")
+    assert(Multimodal.parseMp4SampleStats(null).isEmpty)
+    // legacy empty sample tables carry no stream identity
+    assert(Multimodal.parseMp4SampleStats(
+      Multimodal.buildMp4(10, 600L, 24, "avc1", 64, 64)).isEmpty)
+    // a WAV is not BMFF
+    assert(Multimodal.parseMp4SampleStats(
+      Multimodal.buildWav(8000, Array.fill[Short](80)(1))).isEmpty)
+  }
+
+  test("mp4RemuxTable → mp4SampleStats: planted remux twins pair by " +
+      "fingerprint and by nothing a byte digest sees") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tbl = Multimodal.mp4RemuxTable(docs)
+    val out = Multimodal.mp4SampleStats(tbl).collect()
+      .map(r => r.media_id.get -> r).toMap
+    val ids = out.keySet
+    ids.foreach { id =>
+      val r = out(id)
+      val skey = if (id % 17 == 9) id - 1 else id
+      assert(r.n_samples.contains(skey % 240 + 1), s"id $id")
+      assert(r.n_chunks.contains(1L), s"id $id")
+      if (id % 17 == 9 && ids(id - 1))
+        assert(r.fingerprint === out(id - 1).fingerprint,
+          s"remux twin $id must share ${id - 1}'s stream fingerprint")
+    }
+    // the twins' container bytes must differ (remux ≠ copy)
+    import org.apache.spark.sql.functions.{col, md5}
+    val dig = tbl.select(col("media_id"), md5(col("content")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.filter(id => id % 17 == 9 && ids(id - 1)).take(5).foreach { id =>
+      assert(dig(id) !== dig(id - 1), s"containers of $id/${id - 1}")
+    }
+  }
 }
