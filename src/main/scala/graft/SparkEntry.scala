@@ -53,6 +53,11 @@ object SparkEntry {
     * and the oracle replays SCORING with the captured snapped weights
     * (retraining in SQL is neither possible nor the contract). */
   @volatile private var trainedLr148: Option[(Array[Double], Double)] = None
+  /** Per-fold (fold, weights, bias) — q153 cross-validates the trainer
+    * and the oracle replays each fold's SCORING with its captured
+    * snapped weights, then the integer-exact rank-AUC fold. */
+  @volatile private var trainedCv153
+      : Option[Seq[(Int, Array[Double], Double)]] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -2080,6 +2085,51 @@ object SparkEntry {
         .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
           col("a.n_samples").as("n_samples"),
           col("a.total_bytes").as("total_bytes"))
+    }),
+
+    // --- Seeded k-fold cross-validation of the in-engine trainer: the
+    // eval loop that picks a quality filter WITHOUT measuring it on
+    // its own training data (q148 trains once; this answers "do the
+    // learned weights generalize or memorize"). Folds are a salted
+    // doc-id hash — honest here because the metric slice carries the
+    // q148 planted labels; on an undeduplicated corpus pass q133's
+    // component labels as the fold source instead (kFoldLogReg's
+    // foldCol), or a held-out twin inflates every metric. Each fold
+    // trains on the complement under trainLogReg's sample-size gate;
+    // scoring is ONE scan whose projection switches weight vectors by
+    // fold (weights ride codegen as reference objects), and AUC /
+    // accuracy stay integer arithmetic until a single division
+    // (Training.binaryMetrics) — engine-exact, no float snap at all.
+    "q153_kfold_cv" -> ((s, dir) => {
+      val planted = Seq("spark join", "data table", "big data",
+        "fast scan", "hash join", "stream batch", "key value",
+        "slow query")
+      val labeled = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 20000)
+        .withColumn("label",
+          arrays_overlap(
+            graft.functions.Strings.wordNgrams(lower(col("text")), 2,
+              wholeTextFallback = false),
+            array(planted.map(lit): _*)).cast("int"))
+      val models = memoTrain(s"cv153:$dir") {
+        graft.ext.Training.kFoldLogReg(labeled, "doc_id", "text", "label",
+          k = 3, buckets = 1024, maxIter = 100)
+      }
+      trainedCv153 = Some(models.map { case (i, m) =>
+        (i, m.weights, m.bias) })
+      val withFold = labeled.withColumn("fold",
+        graft.ext.Training.foldColumn(col("doc_id"), 3))
+      val score = models.foldLeft(lit(null).cast("double")) {
+        case (acc, (i, m)) =>
+          when(col("fold") === i,
+            graft.functions.Classifier.hashedNgramScore(
+              lower(col("text")), m.weights, m.bias)).otherwise(acc)
+      }
+      graft.ext.Training.binaryMetrics(
+          withFold.withColumn("score", score),
+          "label", "score", groupCols = Seq("fold"))
+        .select(col("fold"), col("n").as("n_test"), col("n_pos"),
+          col("auc"), col("accuracy"))
     })
   )
 
@@ -2276,6 +2326,70 @@ object SparkEntry {
        |  floor(raw * 1e6 + 0.5) / 1e6 AS score,
        |  CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS pred
        |FROM sc JOIN lab USING (doc_id)""".stripMargin
+  }
+
+  /** q153 replay: scoring only, per fold — the q148 captured-weights
+    * pattern times k (each fold's test docs scored with ITS weights,
+    * selected by the replayed fold hash), then the rank-based AUC and
+    * accuracy folded as INTEGERS until one division: rows group by the
+    * 1e-6-snapped score, the tie-averaged positive rank sum is
+    * S2 = Σ p·(2·cumBefore + c + 1), and
+    * AUC = (S2 − npos·(npos+1)) / (2·npos·nneg) — exact-int inputs to
+    * one IEEE division, identical in any engine, no float snap. */
+  private def kfoldCvOracleSql(models: Seq[(Int, Array[Double], Double)])
+      : String = {
+    val buckets = models.head._2.length
+    val k = models.length
+    val wCtes = models.map { case (i, w, _) =>
+      s"w$i AS (SELECT CAST([${w.mkString(", ")}] AS DOUBLE[]) AS w)"
+    }.mkString(",\n")
+    val scoreCase = models.map { case (i, _, b) =>
+      s"""WHEN fold = $i THEN CASE WHEN len(ts) = 0 THEN $b
+         |      ELSE $b + list_aggregate(
+         |        [w$i.w[('0x' || substr(md5(x), 1, 8))::BIGINT % $buckets + 1]
+         |         FOR x IN fs], 'sum') / (2*len(ts) - 1) END""".stripMargin
+    }.mkString("\n    ", "\n    ", "")
+    val wFrom = models.map(m => s"w${m._1}").mkString(", ")
+    s"""WITH $wCtes,
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+       |      x -> x <> '') AS ts,
+       |    ('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % $k AS fold
+       |  FROM documents WHERE text IS NOT NULL AND doc_id < 20000),
+       |f AS (
+       |  SELECT doc_id, fold, ts,
+       |    list_concat(ts,
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS fs
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, fold,
+       |    CAST(CASE WHEN list_has_any(
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+       |      ['spark join', 'data table', 'big data', 'fast scan',
+       |       'hash join', 'stream batch', 'key value', 'slow query'])
+       |      THEN 1 ELSE 0 END AS BIGINT) AS label,
+       |    (CASE$scoreCase END) AS raw
+       |  FROM f, $wFrom),
+       |g AS (
+       |  SELECT fold, CAST(floor(raw*1e6 + 0.5) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS c, CAST(sum(label) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN (CASE WHEN raw > 0 THEN 1 ELSE 0 END) = label
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS corr
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT fold, s, c, p, corr,
+       |    COALESCE(sum(c) OVER (PARTITION BY fold ORDER BY s ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM g)
+       |SELECT fold, CAST(sum(c) AS BIGINT) AS n_test,
+       |  CAST(sum(p) AS BIGINT) AS n_pos,
+       |  CASE WHEN sum(p) > 0 AND sum(p) < sum(c) THEN
+       |    CAST(sum(p*(2*cum + c + 1)) - sum(p)*(sum(p)+1) AS DOUBLE)
+       |      / CAST(2*sum(p)*(sum(c)-sum(p)) AS DOUBLE) END AS auc,
+       |  CAST(sum(corr) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS accuracy
+       |FROM r GROUP BY fold""".stripMargin
   }
 
   /** q140 replay: q128's snapped score CTEs + q70's rule-gate truth,
@@ -2726,7 +2840,8 @@ object SparkEntry {
     semCtrs121.map { case (c, tau) =>
       "q121_semdedup" -> semDedupOracleSql(c, tau) } ++
     trainedLr148.map { case (w, b) =>
-      "q148_trained_classifier" -> trainedClassifierOracleSql(w, b) }
+      "q148_trained_classifier" -> trainedClassifierOracleSql(w, b) } ++
+    trainedCv153.map(ms => "q153_kfold_cv" -> kfoldCvOracleSql(ms))
 
   /** q121 replay: captured centroids → argmin-euclid cell assignment
     * (the q40 CTE), per-member centroid cosine (the engine's exact

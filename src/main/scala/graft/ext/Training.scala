@@ -248,4 +248,95 @@ object Training {
       ()
     }
   }
+
+  /** Deterministic fold assignment: md5 of the salted id, 60-bit
+    * prefix, mod k — the shuffleShards hash family, replayable
+    * verbatim in any SQL engine. */
+  def foldColumn(id: org.apache.spark.sql.Column, k: Int,
+                 salt: String = "cv"): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(k.toLong))
+
+  /** Seeded k-fold cross-validation of [[trainLogReg]]: train on the
+    * k−1 complement of each fold, return the k models for the caller
+    * to score the HELD-OUT folds — the eval loop a curation stack runs
+    * to pick a filter without measuring it on its own training data.
+    *
+    * Folds come from [[foldColumn]] (a salted doc-id hash) unless
+    * `foldCol` names a caller column. The hash fold is only honest on
+    * a near-dup-free corpus: a near-copy of a training document landing
+    * in the held-out fold inflates every metric exactly like q59's
+    * doc-hash split leaks vs q133's — pass folds derived from
+    * connected components (splitByComponent's cluster labels mod k)
+    * when the sample hasn't been deduplicated.
+    *
+    * Scale: each training run inherits trainLogReg's sample-size gate
+    * (maxRows THROWS), so the whole CV is k × a bounded job; scoring
+    * the folds stays the zero-shuffle codegen expression. */
+  def kFoldLogReg(df: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, k: Int, buckets: Int = 1024,
+                  maxIter: Int = 100, salt: String = "cv",
+                  foldCol: Option[String] = None,
+                  maxRows: Int = 2000000): Seq[(Int, TrainedLogReg)] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val fold = foldCol.map(col)
+      .getOrElse(foldColumn(col(idCol), k, salt))
+    val withFold = df.withColumn("__fold", fold)
+    (0 until k).map { i =>
+      i -> trainLogReg(withFold.filter(col("__fold") =!= i),
+        textCol, labelCol, buckets = buckets, maxIter = maxIter,
+        maxRows = maxRows)
+    }
+  }
+
+  /** Rank-based AUC and accuracy of a scored, labeled frame, grouped
+    * by `groupCols` (e.g. the CV fold). Engine-exact by construction:
+    * rows group by the 1e-6-snapped score as an INTEGER key, the
+    * tie-averaged positive rank sum folds as the integer
+    * S2 = Σ p·(2·cumBefore + c + 1) (= 2× the average-rank sum), and
+    * AUC = (S2 − npos·(npos+1)) / (2·npos·nneg) is ONE division of
+    * exact integers — IEEE correctly rounded, so any engine replaying
+    * the same integers emits the identical double, no snap needed.
+    * Accuracy likewise (pred = RAW score > 0, the classifierScores
+    * convention). Null score/label rows are excluded (undefined under
+    * both gate and truth). AUC is null when a group is single-class.
+    *
+    * Scale: one partial-agg shuffle to (group, snapped score) — ~1e6
+    * distinct snapped scores max per group regardless of corpus size —
+    * then a cumulative window per group over those DISTINCT scores
+    * (explicit rowsBetween: running sums over duplicate sort keys must
+    * never share a frame), then the per-group fold. */
+  def binaryMetrics(df: DataFrame, label: String, rawScore: String,
+                    groupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = groupCols.map(col)
+    val sKey = floor(col(rawScore) * lit(1e6) + lit(0.5)).cast("long")
+    val perScore = df
+      .filter(col(rawScore).isNotNull && col(label).isNotNull)
+      .select(gcols ++ Seq(
+        sKey.as("__s"),
+        col(label).cast("long").as("__y"),
+        (col(rawScore) > 0).cast("long").as("__pred")): _*)
+      .groupBy((gcols :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"),
+        sum((col("__pred") === col("__y")).cast("long")).as("__corr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("__cum",
+        coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__s2",
+        col("__p") * (lit(2L) * col("__cum") + col("__c") + lit(1L)))
+    ranked.groupBy(gcols: _*)
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"),
+        sum(col("__s2")).as("__s2sum"), sum(col("__corr")).as("__ncorr"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          (col("__s2sum") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2L) * col("n_pos") * (col("n") - col("n_pos")))
+              .cast("double")))
+      .withColumn("accuracy",
+        col("__ncorr").cast("double") / col("n").cast("double"))
+      .drop("__s2sum", "__ncorr")
+  }
 }

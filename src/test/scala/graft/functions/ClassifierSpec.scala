@@ -213,4 +213,66 @@ class ClassifierSpec extends SparkSpec {
       assert(HashedNgramScorer.bucket(s, B) === expect, s"feature '$s'")
     }
   }
+
+  test("binaryMetrics: AUC and accuracy match a by-hand computation, " +
+      "ties averaged, single-class group → null AUC") {
+    // scores chosen with a TIE straddling the classes: labels/scores
+    // (1, .9) (1, .5) (0, .5) (0, .1) — ranks asc: .1→1, {.5,.5}→2.5,
+    // .9→4; sumRankPos = 4 + 2.5 = 6.5; AUC = (6.5 − 3)/(2·2) = 0.875.
+    // preds (raw > 0) are all 1 → accuracy = 2/4.
+    val df = Seq((1, 0.9), (1, 0.5), (0, 0.5), (0, 0.1))
+      .toDF("label", "score")
+    val r = graft.ext.Training.binaryMetrics(df, "label", "score")
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Double]("auc") === 0.875)
+    assert(r.getAs[Double]("accuracy") === 0.5)
+    // negative scores predict 0: perfect separation → AUC 1, acc 1
+    val sep = Seq((1, 2.0), (1, 0.5), (0, -0.5), (0, -2.0))
+      .toDF("label", "score")
+    val r2 = graft.ext.Training.binaryMetrics(sep, "label", "score")
+      .collect().head
+    assert(r2.getAs[Double]("auc") === 1.0)
+    assert(r2.getAs[Double]("accuracy") === 1.0)
+    // single-class group: AUC undefined, accuracy still defined
+    val one = Seq((1, 0.4), (1, -0.2)).toDF("label", "score")
+    val r3 = graft.ext.Training.binaryMetrics(one, "label", "score")
+      .collect().head
+    assert(r3.isNullAt(r3.fieldIndex("auc")))
+    assert(r3.getAs[Double]("accuracy") === 0.5)
+    // grouped: each group folds independently
+    val g = Seq(("a", 1, 0.9), ("a", 0, -0.9), ("b", 1, -0.3), ("b", 0, 0.3))
+      .toDF("grp", "label", "score")
+    val by = graft.ext.Training.binaryMetrics(g, "label", "score",
+        groupCols = Seq("grp")).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("auc")).toMap
+    assert(by("a") === 1.0 && by("b") === 0.0)
+  }
+
+  test("kFoldLogReg: folds partition the sample, every fold's model " +
+      "separates the held-out docs (AUC 1 on separable classes)") {
+    val docs = plantedDocs(60)
+    val k = 3
+    val models = graft.ext.Training.kFoldLogReg(docs, "doc_id", "text",
+      "label", k = k, buckets = 512, maxIter = 60)
+    assert(models.map(_._1) === (0 until k))
+    // fold sizes: each model trained on strictly fewer than all rows,
+    // and the three complements cover every row exactly k−1 times
+    val total = docs.count()
+    assert(models.forall(_._2.nExamples < total))
+    assert(models.map(_._2.nExamples).sum === (k - 1) * total)
+    // held-out scoring: each fold's model must separate ITS test fold
+    val withFold = docs.withColumn("fold",
+      graft.ext.Training.foldColumn(col("doc_id"), k))
+    models.foreach { case (i, m) =>
+      val scored = withFold.filter(col("fold") === i)
+        .withColumn("score", graft.functions.Classifier.hashedNgramScore(
+          lower(col("text")), m.weights, m.bias))
+      val r = graft.ext.Training.binaryMetrics(scored, "label", "score")
+        .collect().head
+      assert(r.getAs[Double]("auc") === 1.0,
+        s"fold $i must generalize to its held-out docs")
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
 }
