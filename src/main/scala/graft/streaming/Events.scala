@@ -357,6 +357,18 @@ object Events {
     * [[streamingDecontaminate]] — the writer overwrites its
     * `batch_id=<id>` partition, and the catalog append anti-joins on
     * id, so a replayed batch neither double-lands nor double-registers.
+    *
+    * Retention: `retainBatches = Some(n)` bounds the catalog to
+    * signatures registered within the last n batches (each signature
+    * carries the batch that admitted it; older ones drop when the
+    * state advances). At landing-zone lifetimes an unbounded catalog
+    * is itself the scale problem — retention trades eternal dedup for
+    * bounded state: a near-copy arriving more than n batches after its
+    * original IS re-admitted, by design (the same horizon semantics as
+    * dedup-within-watermark). Bootstrap signatures enter at batch −1,
+    * so they age out after n batches like any other. Replay stays
+    * idempotent: a replayed batch re-applies the same retention
+    * predicate at the same batch id.
     */
   def streamingNearDupDedup(stream: DataFrame, id: String, text: String,
                             outDir: String, checkpointDir: String,
@@ -364,11 +376,12 @@ object Events {
                             tau: Double = 0.5, bands: Int = 16,
                             maxBucketSize: Option[Int] = Some(1000),
                             bootstrapCatalog: Option[DataFrame] = None,
+                            retainBatches: Option[Long] = None,
                             config: StreamConfig = StreamConfig())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val state = new NearDupState(bootstrapCatalog)
     val writer = nearDupBatchWriter(state, id, text, outDir,
-      ngram, numHashes, tau, bands, maxBucketSize)
+      ngram, numHashes, tau, bands, maxBucketSize, retainBatches)
     val mgr = stream.sparkSession.streams
     // The cleanup listener attaches BEFORE start(): a query that dies
     // immediately (bad source/checkpoint) would otherwise terminate
@@ -413,12 +426,19 @@ object Events {
 
   /** The signature-catalog state of one [[streamingNearDupDedup]]
     * query: a PinnedLoop started lazily from the first batch's
-    * signature schema (or the bootstrap catalog). */
+    * signature schema (or the bootstrap catalog). Catalog rows carry a
+    * `__seen` batch-id column (bootstrap rows enter at −1) so a
+    * retention policy can age signatures out. */
   final class NearDupState(bootstrap: Option[DataFrame]) {
     private[streaming] var loop: graft.ext.PinnedLoop = null
     private[streaming] def currentOr(init: => DataFrame): DataFrame = {
-      if (loop == null)
-        loop = graft.ext.PinnedLoop.start(bootstrap.getOrElse(init))
+      if (loop == null) {
+        val seed = bootstrap.getOrElse(init)
+        val tagged =
+          if (seed.columns.contains("__seen")) seed
+          else seed.withColumn("__seen", lit(-1L))
+        loop = graft.ext.PinnedLoop.start(tagged)
+      }
       loop.current
     }
     def release(): Unit = if (loop != null) { loop.release(); loop = null }
@@ -431,13 +451,17 @@ object Events {
   def nearDupBatchWriter(state: NearDupState, id: String, text: String,
                          outDir: String, ngram: Int, numHashes: Int,
                          tau: Double, bands: Int,
-                         maxBucketSize: Option[Int])
+                         maxBucketSize: Option[Int],
+                         retainBatches: Option[Long] = None)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
+      retainBatches.foreach(n => require(n >= 1,
+        s"retainBatches must be >= 1, got $n"))
       val sigs = graft.ext.Dedup
         .minhashSignatures(batch, id, text, ngram, numHashes)
         .localCheckpoint(true) // consumed by probe, drop-set and append
-      val catalog = state.currentOr(sigs.filter(lit(false)))
+      val catalogFull = state.currentOr(sigs.filter(lit(false)))
+      val catalog = catalogFull.drop("__seen")
       val pairs = graft.ext.Dedup.incrementalMinhashPairs(
         sigs, catalog, tau, bands, maxBucketSize)
       val batchIds = sigs.select(col("id"))
@@ -459,7 +483,15 @@ object Events {
         // replay guard: a re-delivered batch's survivors are already
         // registered — never give one id two catalog signatures
         .join(catalog.select(col("id")), Seq("id"), "left_anti")
-      state.loop.advance(catalog.unionByName(survSigs))
+        .withColumn("__seen", lit(batchId))
+      val appended = catalogFull.unionByName(survSigs)
+      // retention: age out signatures admitted more than n batches ago
+      // (idempotent on replay — same predicate at the same batch id)
+      val next = retainBatches match {
+        case Some(n) => appended.filter(col("__seen") > lit(batchId - n))
+        case None => appended
+      }
+      state.loop.advance(next)
       ()
     }
 

@@ -484,6 +484,47 @@ class EventsSpec extends SparkSpec {
     assert(after === Seq(4L, 6L), s"replay must not double-land: $after")
   }
 
+  test("nearDupBatchWriter retention: the catalog is bounded to the " +
+      "horizon, aged-out near-dups re-admit by design, replay stays " +
+      "idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("neardup_ret").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val state = new Events.NearDupState(None)
+    val writer = Events.nearDupBatchWriter(state, "doc_id", "text", out,
+      ngram = 2, numHashes = 32, tau = 0.7, bands = 8,
+      maxBucketSize = Some(1000), retainBatches = Some(2L))
+    writer(Seq((1L, a)).toDF("doc_id", "text"), 0L)
+    // within the 2-batch horizon: a near-dup of batch-0's doc drops
+    writer(Seq((11L, a),
+      (12L, "twelve carries an unrelated body of words"))
+      .toDF("doc_id", "text"), 1L)
+    assert(spark.read.parquet(s"$out/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(12L),
+      "a near-dup inside the horizon must still drop")
+    writer(Seq((13L, "thirteen is another unique document entirely"))
+      .toDF("doc_id", "text"), 2L)
+    // past the horizon (doc 1 registered at batch 0, horizon 2): the
+    // same text RE-ADMITS — the documented retention trade
+    writer(Seq((21L, a)).toDF("doc_id", "text"), 3L)
+    assert(spark.read.parquet(s"$out/batch_id=3")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(21L),
+      "an aged-out near-dup must re-admit (bounded-state semantics)")
+    // the catalog holds ONLY the horizon's signatures
+    val ids = state.loop.current.select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(13L, 21L),
+      s"catalog must age out batch-0/1 signatures, got $ids")
+    // replay of the live batch: no double-register, no double-land
+    val n = state.loop.current.count()
+    writer(Seq((21L, a)).toDF("doc_id", "text"), 3L)
+    assert(state.loop.current.count() === n,
+      "replaying a batch under retention must not change the catalog")
+    assert(spark.read.parquet(s"$out/batch_id=3")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(21L))
+    state.release()
+  }
+
   test("streamingDecontaminateBloom: bloom-gated scrub lands exactly the exact path's docs") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
