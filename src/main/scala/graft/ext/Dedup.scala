@@ -564,7 +564,16 @@ object Dedup {
     val setsI = ordered.select(col("id").as("id_inner"),
       col("toks").as("toks_i"), col("n").as("n_i"))
     val setsO = ordered.select(col("id").as("id_outer"), col("toks").as("toks_o"))
-    cand.join(setsI, Seq("id_inner")).join(setsO, Seq("id_outer"))
+    // the verify attach BROADCASTS the array frame deliberately: this
+    // op's contract is the bounded-slice exact twin (LSH is the corpus
+    // path), and attaching the second array side through a shuffle
+    // join ships ~400 B of payload per CANDIDATE — measured 4x the
+    // whole op at 10x corpus, where the checkpointed frame's
+    // file-derived size estimate crosses the broadcast threshold and
+    // flips the plan (q16 at sf10: 300 s SMJ/SHJ vs 40 s broadcast,
+    // identical 48.5M candidates)
+    cand.join(broadcast(setsI), Seq("id_inner"))
+      .join(broadcast(setsO), Seq("id_outer"))
       .withColumn("containment",
         size(array_intersect(col("toks_i"), col("toks_o"))).cast(DoubleType) /
           col("n_i"))
@@ -628,7 +637,13 @@ object Dedup {
       col("n").as("n_a"))
     val setsB = ordered.select(col("id").as("id_b"), col("toks").as("toks_b"),
       col("n").as("n_b"))
-    cand.join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+    // deliberate broadcast of the array frame — the bounded-slice
+    // exact-twin contract (see containmentPairsPrefix): shuffling the
+    // candidate stream with arrays attached is 4x the op at 10x
+    // corpus, because the checkpointed frame's file-derived estimate
+    // crosses the broadcast threshold and flips BHJ -> SMJ
+    cand.join(broadcast(setsA), Seq("id_a"))
+      .join(broadcast(setsB), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
