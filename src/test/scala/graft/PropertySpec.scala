@@ -290,4 +290,27 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("binaryMetrics AUC law: matches the O(n²) pair-counting " +
+      "definition (ties = half credit) on arbitrary scored data") {
+    val scored = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf(0, 1),
+      // coarse grid FORCES tied scores across and within classes
+      Gen.chooseNum(-3, 3).map(_ / 2.0)))
+    forAll(scored) { data =>
+      val pos = data.filter(_._1 == 1).map(_._2)
+      val neg = data.filter(_._1 == 0).map(_._2)
+      whenever(pos.nonEmpty && neg.nonEmpty) {
+        val naive = pos.flatMap(p => neg.map(n =>
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+          (pos.size.toLong * neg.size)
+        val got = graft.ext.Training.binaryMetrics(
+            data.toDF("label", "score"), "label", "score")
+          .collect().head.getAs[Double]("auc")
+        assert(math.abs(got - naive) < 1e-12,
+          s"rank AUC $got != pair AUC $naive on $data")
+      }
+    }
+  }
+
 }

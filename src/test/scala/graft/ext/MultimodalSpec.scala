@@ -458,6 +458,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.buildWav(8000, Array.fill[Short](80)(1))).isEmpty)
   }
 
+  test("mp4 sample-table law: build→parse recovers count/sum/max and " +
+      "the fingerprint is container-invariant, for arbitrary sizes") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 16) {
+      val sizes = Array.fill(1 + rnd.nextInt(60))(1 + rnd.nextInt(1 << 20))
+      val base = Multimodal.parseMp4SampleStats(Multimodal.buildMp4(
+        sizes.length, 600L, 24, "avc1", 64, 64, sampleSizes = sizes)).get
+      assert(base.n_samples === sizes.length.toLong)
+      assert(base.total_bytes === sizes.map(_.toLong).sum)
+      assert(base.max_sample === sizes.max.toLong)
+      // remux invariance holds for ANY size sequence, both stsz forms
+      val remux = Multimodal.parseMp4SampleStats(Multimodal.buildMp4(
+        sizes.length, 90000L, 24, "hev1", 128, 128, v1 = true,
+        sampleSizes = sizes, co64 = true)).get
+      assert(remux.fingerprint === base.fingerprint)
+      assert(remux.total_bytes === base.total_bytes)
+    }
+  }
+
   test("mp4RemuxTable → mp4SampleStats: planted remux twins pair by " +
       "fingerprint and by nothing a byte digest sees") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
