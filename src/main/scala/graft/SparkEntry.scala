@@ -2130,6 +2130,26 @@ object SparkEntry {
           "label", "score", groupCols = Seq("fold"))
         .select(col("fold"), col("n").as("n_test"), col("n_pos"),
           col("auc"), col("accuracy"))
+    }),
+
+    // --- Semantic decontamination: the embedding rung of the q86/q122
+    // decontamination ladder (exact n-grams → bloom gate → cosine),
+    // catching the paraphrased eval item n-grams can't see. The
+    // benchmark is PLANTED as perturbed copies of a fixed corpus slice
+    // (b_i = v_i + 0.1·v_{(i+1) mod 64}, cosine ≈ 0.995 to its source,
+    // vs ≤ ~0.44 between unrelated synthetic vectors), collected
+    // driver-side under the contract gate and ridden as a normalized
+    // constant matrix — one codegen matVec pass over the corpus, zero
+    // shuffle. All arithmetic is LTR-fold + /,sqrt, so the oracle
+    // replays every cosine bit-for-bit with list_dot_product.
+    "q154_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (bids, raw) = graft.ext.Dedup.collectBenchmarkVectors(
+        emb.filter(pmod(col("vec_id"), lit(101)) === 2), "vec_id", "embedding")
+      val bvecs = raw.map(v =>
+        Array.tabulate(v.length)(i => v(i) + 0.1 * v((i + 1) % v.length)))
+      graft.ext.Dedup.semanticContaminationStats(
+        emb, "vec_id", "embedding", bids, bvecs, tau = 0.9)
     })
   )
 
@@ -3721,6 +3741,43 @@ object SparkEntry {
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  a.n_samples, a.total_bytes
         |FROM s a JOIN s b ON a.skey = b.skey AND a.media_id < b.media_id""".stripMargin,
+    // q154: every cosine replayed bit-for-bit — matVec/SquaredNorm and
+    // list_dot_product are all left-to-right folds over the same
+    // doubles (float→double casts are exact), prescaling divides each
+    // element by the LTR sum-of-squares' sqrt in both engines, and the
+    // snap floor(x·1e6+0.5)/1e6 is IEEE-exact; the flag derives from
+    // the snapped value so it can never disagree either.
+    "q154_semantic_decontam" ->
+      """WITH src AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bench AS (
+        |  SELECT vec_id AS bid,
+        |    [v[i] + 0.1 * v[(i % 64) + 1] FOR i IN range(1, 65)] AS bv
+        |  FROM src WHERE vec_id % 101 = 2),
+        |bu AS (
+        |  SELECT bid,
+        |    list_transform(bv, x -> x / sqrt(list_dot_product(bv, bv))) AS u
+        |  FROM bench),
+        |pairs AS (
+        |  SELECT s.vec_id, b.bid, list_dot_product(b.u, s.v) AS d
+        |  FROM src s CROSS JOIN bu b),
+        |best AS (
+        |  SELECT vec_id, bid, d,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d DESC, bid ASC) AS rn
+        |  FROM pairs),
+        |n AS (
+        |  SELECT s.vec_id, sqrt(list_dot_product(s.v, s.v)) AS cn,
+        |    best.bid, best.d
+        |  FROM src s JOIN best ON s.vec_id = best.vec_id AND best.rn = 1)
+        |SELECT vec_id,
+        |  CASE WHEN cn > 0 THEN floor(d / cn * 1000000.0 + 0.5) / 1000000.0
+        |    END AS max_cosine,
+        |  CASE WHEN cn > 0 THEN bid END AS nearest_bench,
+        |  CASE WHEN cn > 0 THEN CAST(
+        |      floor(d / cn * 1000000.0 + 0.5) / 1000000.0 >= 0.9 AS INT)
+        |    END AS contaminated
+        |FROM n""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -1281,6 +1281,120 @@ object Dedup {
     corpus.join(dirty, corpus(id) <=> dirty("__hid"), "left_anti")
   }
 
+  /** Collect a bounded benchmark embedding table to the driver, ordered
+    * by id — the vector twin of the q61 threshold-slice rule: an eval
+    * set is driver-scale BY CONTRACT, and the gate THROWS (early-exit
+    * `limit(maxRows+1)` probe, never a full scan) rather than silently
+    * absorbing a corpus passed in by mistake. Rows must be structurally
+    * clean (uniform dimension, no null elements, non-zero norm) — a
+    * benchmark is the measuring stick, so a malformed row is an error,
+    * not a skip (unlike corpus rows, which get the null-audit path in
+    * [[semanticContaminationStats]]).
+    */
+  def collectBenchmarkVectors(bench: DataFrame, id: String, vec: String,
+                              maxRows: Int = 20000): (Array[Long], Array[Array[Double]]) = {
+    require(maxRows >= 1, "maxRows must be >= 1")
+    val probe = bench.limit(maxRows + 1).count()
+    if (probe > maxRows)
+      throw new IllegalArgumentException(
+        s"collectBenchmarkVectors: benchmark exceeds $maxRows rows — " +
+          "an eval set is driver-scale by contract; for corpus-vs-corpus " +
+          "semantic dedup use semDedupWith/cosinePairsBlocked instead")
+    val rows = bench
+      .select(col(id).cast(LongType).as("id"),
+        col(vec).cast("array<double>").as("v"))
+      .orderBy(col("id").asc)
+      .collect()
+    require(rows.nonEmpty, "collectBenchmarkVectors: empty benchmark")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map { r =>
+      require(!r.isNullAt(1), "collectBenchmarkVectors: null benchmark vector")
+      r.getSeq[Any](1).map {
+        case d: java.lang.Double => d.doubleValue()
+        case null => throw new IllegalArgumentException(
+          "collectBenchmarkVectors: null element in benchmark vector")
+      }.toArray
+    }
+    val dim = vecs(0).length
+    require(dim > 0 && vecs.forall(_.length == dim),
+      "collectBenchmarkVectors: benchmark vectors must share one dimension")
+    (ids, vecs)
+  }
+
+  /** Semantic decontamination audit — the embedding rung of the
+    * decontamination ladder ([[contaminationStats]] exact n-grams →
+    * bloom-prefiltered gate → THIS), catching eval leakage a paraphrase
+    * hides from every n-gram method: per corpus vector, the max cosine
+    * against the benchmark set, the nearest benchmark id, and a
+    * contaminated flag at `tau`.
+    *
+    * Scale shape: the benchmark rides as a plan-time constant matrix
+    * (rows L2-normalized at the driver, entering codegen via
+    * `addReferenceObj` — the classifier/DSIR broadcast-model
+    * convention), so the corpus is scanned ONCE, the |bench|·dim
+    * multiply-adds per row run inside one whole-stage-codegen'd
+    * [[graft.functions.Vectors.matVec]] pass, and NOTHING shuffles —
+    * no candidate generation, no join, no agg. A 1000-executor cluster
+    * does corpus/1000 of the work per node with zero coordination.
+    *
+    * Cross-engine determinism: matVec and the norm both accumulate
+    * left-to-right (bit-identical to DuckDB's `list_dot_product`), the
+    * only other ops are /,sqrt (IEEE correctly-rounded), and the output
+    * cosine is snapped by `floor(x·1e6 + 0.5)/1e6` — the CLAUDE.md
+    * half-point-safe round both engines compute identically — with the
+    * flag derived from the SNAPPED value, so flag and score can never
+    * disagree across engines. Ties in the argmax go to the LOWEST
+    * benchmark id (first index of the max in id-ordered rows).
+    *
+    * Corpus rows that cannot be scored (null vector, wrong dimension,
+    * null element, zero norm) are KEPT with null score/flag — the
+    * contaminationStats lesson: an audit that silently drops malformed
+    * rows reports contaminated docs as clean.
+    */
+  def semanticContaminationStats(corpus: DataFrame, id: String, vec: String,
+                                 benchIds: Array[Long],
+                                 benchVecs: Array[Array[Double]],
+                                 tau: Double): DataFrame = {
+    require(benchIds.nonEmpty && benchIds.length == benchVecs.length,
+      "semanticContaminationStats: benchmark ids/vectors must align")
+    val dim = benchVecs(0).length
+    require(dim > 0 && benchVecs.forall(_.length == dim),
+      "semanticContaminationStats: benchmark vectors must share one dimension")
+    val unit = benchVecs.map { b =>
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += b(i) * b(i); i += 1 }
+      require(s > 0.0,
+        "semanticContaminationStats: zero-norm benchmark vector")
+      val n = math.sqrt(s)
+      b.map(_ / n)
+    }
+    import graft.functions.Vectors
+    val vd = col(vec).cast("array<double>")
+    // lazily-evaluated guard: matVec THROWS on a dimension mismatch by
+    // design (a silently-truncated projection is a wrong sketch), so
+    // malformed rows must never reach it — CaseWhen only evaluates the
+    // branch value when the condition holds
+    val scorable = vd.isNotNull && size(vd) === dim &&
+      !exists(vd, x => x.isNull)
+    val dots = when(scorable, Vectors.matVec(vd, unit))
+    val cnorm = when(scorable, Vectors.norm(vd))
+    corpus
+      .withColumn("__dots", dots)
+      .withColumn("__cnorm", cnorm)
+      .withColumn("max_cosine", when(col("__cnorm") > 0.0,
+        floor(array_max(col("__dots")) / col("__cnorm") * lit(1e6) +
+          lit(0.5)) / lit(1e6)))
+      .withColumn("nearest_bench", when(col("__cnorm") > 0.0,
+        element_at(lit(benchIds),
+          array_position(col("__dots"), array_max(col("__dots")))
+            .cast("int"))))
+      .withColumn("contaminated", when(col("__cnorm") > 0.0,
+        (col("max_cosine") >= tau).cast("int")))
+      .select(col(id), col("max_cosine"), col("nearest_bench"),
+        col("contaminated"))
+  }
+
   // --------------------------------------------------------------------
   // SimHash
   // --------------------------------------------------------------------

@@ -165,6 +165,63 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("semanticContaminationStats flags planted near-copies, keeps malformed rows") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),          // source of bench vector 10
+      (2L, Seq(0.0f, 1.0f, 0.0f)),          // orthogonal to both bench rows
+      (3L, Seq(0.9f, 0.1f, 0.0f)),          // close to bench 10
+      (4L, Seq(0.0f, 0.0f, 0.0f)),          // zero norm: unscorable
+      (5L, null.asInstanceOf[Seq[Float]]),  // null vector: unscorable
+      (6L, Seq(1.0f, 2.0f))                 // wrong dimension: unscorable
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticContaminationStats(corpus, "vec_id", "embedding",
+        benchIds = Array(10L, 20L),
+        benchVecs = Array(Array(1.0, 0.05, 0.0), Array(0.0, 0.0, 1.0)),
+        tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L)._3 === Some(1))
+    assert(out(1L)._2 === Some(10L))
+    assert(out(2L)._3 === Some(0)) // cos to bench10 = .05/norm, to bench20 = 0
+    assert(out(3L)._3 === Some(1))
+    assert(out(3L)._2 === Some(10L))
+    // unscorable rows are KEPT with null audit columns, never dropped
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(out(id) === ((None, None, None)), s"row $id")
+    }
+    assert(out.size === 6)
+  }
+
+  test("semanticContaminationStats argmax ties break to the lowest bench id") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticContaminationStats(corpus, "vec_id", "embedding",
+        benchIds = Array(7L, 3L), // ids out of order on purpose: the
+        benchVecs = Array(Array(2.0, 0.0), Array(2.0, 0.0)),
+        tau = 0.5) // caller supplies rows AS ORDERED; equal cosines
+      .collect()   // resolve to the first matrix row
+    assert(out.head.getLong(2) === 7L)
+  }
+
+  test("collectBenchmarkVectors: gate throws, ordering by id, clean-row contract") {
+    val big = spark.range(0, 50).selectExpr("id AS vec_id",
+      "array(CAST(id AS FLOAT), 1.0F) AS embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.collectBenchmarkVectors(big, "vec_id", "embedding", maxRows = 10)
+    }
+    assert(e.getMessage.contains("exceeds"))
+    val (ids, vecs) = Dedup.collectBenchmarkVectors(
+      big.orderBy(org.apache.spark.sql.functions.rand(7)), "vec_id",
+      "embedding", maxRows = 100)
+    assert(ids.toSeq === (0L until 50L))
+    assert(vecs(3).toSeq === Seq(3.0, 1.0))
+    val zero = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticContaminationStats(zero, "vec_id", "embedding",
+        Array(1L), Array(Array(0.0, 0.0)), 0.9) // zero-norm benchmark
+    }
+  }
+
   test("incremental minhash equals the full join restricted to batch-touching pairs") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val full = Dedup.minhashPairs(real, "doc_id", "text", tau = 0.5,
