@@ -2150,6 +2150,36 @@ object SparkEntry {
         Array.tabulate(v.length)(i => v(i) + 0.1 * v((i + 1) % v.length)))
       graft.ext.Dedup.semanticContaminationStats(
         emb, "vec_id", "embedding", bids, bvecs, tau = 0.9)
+    }),
+
+    // --- MP4 chunk-byte identity: the rung above q152 on the
+    // no-decode video ladder, closing its honest blind spot — a CBR
+    // stream's stsz collapses to (sample_size, count), so ANY two
+    // same-bitrate CBR streams share q152's size fingerprint while
+    // carrying different video. The fixture plants exactly that false
+    // pair next to a true remux twin; the byte walk (bounded mdat
+    // prefix per chunk at the stco/co64 offsets, still zero decode)
+    // separates them. Pairing on the size identity is the fixed-slice
+    // exact-twin convention (q16/q77/q136); the per-file identity walk
+    // is the corpus-scale path. The identity frame is bounded BY
+    // CONTRACT, so the self-join broadcasts explicitly (the q16 sf10
+    // lesson: a checkpoint keeps its pre-checkpoint size estimate).
+    "q155_mp4_cbr_dedup" -> ((s, dir) => {
+      val vids = graft.ext.Multimodal.mp4CbrTable(
+        Tables.documents(s, dir).filter(col("doc_id") < 50000))
+      val st = graft.ext.Multimodal.mp4ByteIdentity(vids).toDF()
+        .filter(col("size_fp").isNotNull)
+        .select(col("media_id"), col("n_samples"), col("total_bytes"),
+          col("size_fp"), col("bytes_fp"))
+        .localCheckpoint(eager = true)
+      st.as("a").join(broadcast(st.as("b")),
+          col("a.size_fp") === col("b.size_fp") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.n_samples").as("n_samples"),
+          col("a.total_bytes").as("total_bytes"),
+          (col("a.bytes_fp") === col("b.bytes_fp")).cast("int")
+            .as("same_bytes"))
     })
   )
 
@@ -3778,6 +3808,32 @@ object SparkEntry {
         |      floor(d / cn * 1000000.0 + 0.5) / 1000000.0 >= 0.9 AS INT)
         |    END AS contaminated
         |FROM n""".stripMargin,
+    // q155: the pair set and every stat recomputed from the fixture's
+    // skey/pkey arithmetic (the q152 convention, extended): within the
+    // 50k slice two docs share (sample_size, count) only when they
+    // share skey (joint cycle lcm(509,120) = 61,080 > slice), so the
+    // skey join replays the size-fingerprint join; pkey equality
+    // replays byte-fingerprint equality (distinct pkeys differ inside
+    // the hashed 64-byte prefix — see mp4CbrTable's scaladoc).
+    "q155_mp4_cbr_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, doc_id % 17 AS m,
+        |    CASE WHEN doc_id % 17 = 9 THEN doc_id - 1
+        |         WHEN doc_id % 17 = 10 THEN doc_id - 2
+        |         ELSE doc_id END AS skey
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id < 50000 AND doc_id % 17 <> 3),
+        |s AS (
+        |  SELECT media_id, skey,
+        |    CASE WHEN m = 10 THEN skey + 1000000000 ELSE skey END AS pkey,
+        |    CAST((skey % 120) + 2 AS BIGINT) AS n_samples,
+        |    CAST(((skey % 120) + 2) * ((skey % 509) + 80) AS BIGINT)
+        |      AS total_bytes
+        |  FROM d)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  a.n_samples, a.total_bytes,
+        |  CAST(a.pkey = b.pkey AS INT) AS same_bytes
+        |FROM s a JOIN s b ON a.skey = b.skey AND a.media_id < b.media_id""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

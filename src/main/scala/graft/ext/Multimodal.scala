@@ -801,6 +801,16 @@ object Multimodal {
                              max_sample: Long, n_chunks: Long,
                              fingerprint: Long)
 
+  /** ftyp-gated walk to the video trak's stbl payload range — the
+    * shared first mile of every sample-table parse. */
+  private def videoStblRange(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 16) return None
+    val top = childBoxes(b, 0, b.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val (ms, me) = findBox(top, "moov").getOrElse(return None)
+    findVideoStbl(b, childBoxes(b, ms, me))
+  }
+
   /** Walk ftyp/moov/trak(vide)/stbl and read stsz (both the fixed
     * `sample_size` form and the per-sample entry table) and stco/co64
     * (chunk count). None for non-MP4, truncated, video-trak-less, or
@@ -808,12 +818,7 @@ object Multimodal {
     * identity — pairing empties would declare all metadata-only files
     * duplicates of each other). Never throws on dirty input. */
   def parseMp4SampleStats(b: Array[Byte]): Option[Mp4Stream] = {
-    if (b == null || b.length < 16) return None
-    val top = childBoxes(b, 0, b.length)
-    if (top.isEmpty || top.head._1 != "ftyp") return None
-    val (ms, me) = findBox(top, "moov").getOrElse(return None)
-    val stblRange = findVideoStbl(b, childBoxes(b, ms, me))
-      .getOrElse(return None)
+    val stblRange = videoStblRange(b).getOrElse(return None)
     val stbl = childBoxes(b, stblRange._1, stblRange._2)
     // stsz: version/flags(4) sample_size(4) sample_count(4) [+ entries]
     val (zs, ze) = findBox(stbl, "stsz").getOrElse(return None)
@@ -855,6 +860,65 @@ object Multimodal {
     Some(Mp4Stream(n, total, maxS, nChunks, fp))
   }
 
+  /** [[Mp4Stream]] plus a CONTENT fingerprint: FNV-1a 64 over the
+    * first `bytesPerChunk` mdat bytes of each of the first `maxChunks`
+    * chunks, read at the stco/co64 offsets. */
+  final case class Mp4ByteId(n_samples: Long, total_bytes: Long,
+                             n_chunks: Long, size_fp: Long, bytes_fp: Long)
+
+  /** Chunk-byte stream identity — the rung ABOVE [[parseMp4SampleStats]]
+    * on the no-decode ladder, closing its honest blind spot: a
+    * constant-bitrate stream's stsz collapses to (sample_size, count),
+    * so ANY two same-bitrate CBR streams share a size fingerprint while
+    * carrying different video. This walk follows the chunk-offset table
+    * into mdat and fingerprints a bounded byte prefix of each chunk
+    * (`maxChunks` × `bytesPerChunk` bytes — constant work per file, no
+    * frame decode, no codec): equal means the muxed STREAM BYTES match
+    * where sampled, which a remux (new brand/timescale/box layout/
+    * 32→64-bit offsets — the offsets' VALUES change but the bytes they
+    * point at do not) preserves and a different stream cannot fake.
+    *
+    * None when the size walk fails, the chunk table is empty or
+    * truncated, or ANY sampled offset lies outside the file — bytes
+    * that are not there cannot attest identity (the truncation-honest
+    * q101 rule). Each chunk's fold is length-prefixed so a short final
+    * chunk can never alias a longer one's prefix. Never throws on
+    * dirty input.
+    */
+  def parseMp4ByteIdentity(b: Array[Byte], bytesPerChunk: Int = 64,
+                           maxChunks: Int = 64): Option[Mp4ByteId] = {
+    require(bytesPerChunk >= 1 && maxChunks >= 1,
+      "bytesPerChunk and maxChunks must be >= 1")
+    val stats = parseMp4SampleStats(b).getOrElse(return None)
+    val stblRange = videoStblRange(b).getOrElse(return None)
+    val stbl = childBoxes(b, stblRange._1, stblRange._2)
+    val (co, wide) = findBox(stbl, "stco").map((_, false))
+      .orElse(findBox(stbl, "co64").map((_, true)))
+      .getOrElse(return None)
+    val (cs, ce) = co
+    if (ce - cs < 8) return None
+    val nEntries = be32At(b, cs + 4)
+    if (nEntries <= 0L) return None // no chunks: no bytes to attest
+    val width = if (wide) 8 else 4
+    val take = math.min(nEntries, maxChunks.toLong).toInt
+    if (ce.toLong - (cs + 8L) < take.toLong * width) return None
+    var fp = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+    def mix(v: Long): Unit = { fp ^= v & 0xffL; fp *= 0x100000001b3L }
+    var i = 0
+    while (i < take) {
+      val off = if (wide) be64At(b, cs + 8 + i * 8)
+                else be32At(b, cs + 8 + i * 4)
+      if (off < 0L || off >= b.length) return None
+      val avail = math.min(bytesPerChunk.toLong, b.length - off).toInt
+      mix(avail.toLong) // length prefix per chunk
+      var j = 0
+      while (j < avail) { mix(b(off.toInt + j).toLong); j += 1 }
+      i += 1
+    }
+    Some(Mp4ByteId(stats.n_samples, stats.total_bytes, stats.n_chunks,
+      stats.fingerprint, fp))
+  }
+
   private def beBytes16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   private def beBytes32(v: Long): Array[Byte] =
@@ -885,10 +949,13 @@ object Multimodal {
                             codec: String, w: Int, h: Int,
                             v1: Boolean = false,
                             sampleSizes: Array[Int] = null,
-                            co64: Boolean = false): Array[Byte] = {
+                            co64: Boolean = false,
+                            payload: Array[Byte] = null): Array[Byte] = {
     require(nFrames >= 1 && fps >= 1 && timescale % fps == 0)
     require(sampleSizes == null || sampleSizes.length == nFrames,
       "sampleSizes must carry one entry per frame")
+    require(payload == null || sampleSizes != null,
+      "payload requires sample tables (the chunk offset must resolve)")
     val delta = timescale / fps
     val duration = nFrames * delta
     val zeros = (n: Int) => new Array[Byte](n)
@@ -976,10 +1043,14 @@ object Multimodal {
     val moov =
       if (sampleSizes == null) m0
       else moovFor(ftyp.length.toLong + m0.length + 8L)
-    // token mdat: the sample-table walk is header-only by design — the
-    // index IS the fixture; carrying real per-sample payload bytes
-    // would bloat every test corpus for data no parse ever reads
-    val mdat = boxBytes("mdat", zeros(16))
+    // token mdat by default: the sample-table walk is header-only by
+    // design — the index IS the fixture; carrying real per-sample
+    // payload bytes would bloat every test corpus for data no parse
+    // ever reads. Callers that exercise the byte-identity walk
+    // ([[parseMp4ByteIdentity]]) pass `payload` to put real bytes at
+    // the chunk offset — only as many as the walk reads (its prefix
+    // window), never the full claimed stream, per the same convention.
+    val mdat = boxBytes("mdat", if (payload != null) payload else zeros(16))
     ftyp ++ moov ++ mdat
   }
 
@@ -1093,6 +1164,83 @@ object Multimodal {
             Some(s.total_bytes), Some(s.max_sample), Some(s.n_chunks),
             Some(s.fingerprint))
           case None => Mp4StreamRow(mid, None, None, None, None, None)
+        }
+      }
+  }
+
+  /** Constant-bitrate fixture table — the stsz-degenerate case
+    * [[mp4RemuxTable]] cannot plant. Streams come in triples keyed by
+    * skey = id − (id mod-17 offset): the base (id ≡ 8 mod 17), a REMUX
+    * of the same payload (id ≡ 9: v1/largesize layout, co64 offsets,
+    * different timescale — same bytes at the offsets), and a DIFFERENT
+    * stream at the SAME bitrate (id ≡ 10: identical CBR sample_size
+    * and count, different payload — the pair a size fingerprint
+    * falsely merges and only the byte walk separates). Every id ≡ 3
+    * (mod 17) is truncated mid-moov (the in-board None path); all
+    * other ids are singleton streams. Stream parameters and payload
+    * derive from skey/pkey arithmetic alone so an oracle recomputes
+    * the pair set from doc_id — and within any < 61,080-doc slice two
+    * docs share (sample_size, count) ONLY when they share skey
+    * (size cycles at 509, a prime coprime to the count's 120, so the
+    * joint cycle is lcm = 61,080), so the oracle's skey join IS the
+    * size-identity join. Payload bytes are
+    * (pkey·31 + j·7) mod 251: distinct pkeys in a slice differ within
+    * the first 64 bytes unless 251 | Δpkey·31 — impossible for the
+    * planted Δ = 10^9 (≡ 187 mod 251) and for same-(S,n) accidental
+    * pairs, which do not exist below the 61,080 cycle. */
+  def mp4CbrTable(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(id).isNotNull)
+      .select(col(id).cast("long")).as[Long]
+      .map { mid =>
+        val m = mid % 17
+        val skey = if (m == 9) mid - 1 else if (m == 10) mid - 2 else mid
+        val pkey = if (m == 10) skey + 1000000000L else skey
+        val remux = m == 9
+        val n = (skey % 120).toInt + 2
+        val s = (skey % 509).toInt + 80
+        val payload = Array.tabulate(64)(j =>
+          ((pkey * 31 + j * 7) % 251).toByte)
+        val bytes = buildMp4(
+          nFrames = n,
+          timescale = if (remux) 90000L else 600L,
+          fps = 24,
+          codec = if (skey % 5 == 2) "hev1" else "avc1",
+          w = ((skey % 64).toInt + 1) * 16,
+          h = ((skey % 48).toInt + 1) * 16,
+          v1 = remux,
+          sampleSizes = Array.fill(n)(s),
+          co64 = remux,
+          payload = payload)
+        (mid, if (m == 3) bytes.take(48) else bytes)
+      }.toDF("media_id", "content")
+  }
+
+  final case class Mp4ByteIdRow(media_id: Option[Long],
+                                n_samples: Option[Long],
+                                total_bytes: Option[Long],
+                                n_chunks: Option[Long],
+                                size_fp: Option[Long],
+                                bytes_fp: Option[Long])
+
+  /** Walk an MP4 binary column into chunk-byte stream-identity rows;
+    * unparseable payloads keep their id with null fields (the q88/q101
+    * shape). Map-side only — at scan parallelism, zero shuffle. */
+  def mp4ByteIdentity(media: DataFrame, id: String = "media_id",
+                      content: String = "content",
+                      bytesPerChunk: Int = 64,
+                      maxChunks: Int = 64): Dataset[Mp4ByteIdRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long"), col(content))
+      .as[(Option[Long], Array[Byte])]
+      .map { case (mid, bytes) =>
+        parseMp4ByteIdentity(bytes, bytesPerChunk, maxChunks) match {
+          case Some(s) => Mp4ByteIdRow(mid, Some(s.n_samples),
+            Some(s.total_bytes), Some(s.n_chunks), Some(s.size_fp),
+            Some(s.bytes_fp))
+          case None => Mp4ByteIdRow(mid, None, None, None, None, None)
         }
       }
   }

@@ -501,4 +501,96 @@ class MultimodalSpec extends SparkSpec {
       assert(dig(id) !== dig(id - 1), s"containers of $id/${id - 1}")
     }
   }
+
+  test("parseMp4ByteIdentity: remux keeps the byte fingerprint; a " +
+      "same-bitrate CBR stream shares size_fp but NOT bytes_fp") {
+    val sizes = Array.fill(12)(900)
+    val payA = Array.tabulate(64)(j => ((j * 31 + 5) % 251).toByte)
+    val payB = Array.tabulate(64)(j => ((j * 31 + 6) % 251).toByte)
+    val base = Multimodal.buildMp4(12, 600L, 24, "avc1", 320, 240,
+      sampleSizes = sizes, payload = payA)
+    val remux = Multimodal.buildMp4(12, 90000L, 24, "avc1", 320, 240,
+      v1 = true, sampleSizes = sizes, co64 = true, payload = payA)
+    val cbrTrap = Multimodal.buildMp4(12, 600L, 24, "avc1", 320, 240,
+      sampleSizes = sizes, payload = payB)
+    val a = Multimodal.parseMp4ByteIdentity(base).get
+    val b = Multimodal.parseMp4ByteIdentity(remux).get
+    val c = Multimodal.parseMp4ByteIdentity(cbrTrap).get
+    assert(a.size_fp === b.size_fp && a.bytes_fp === b.bytes_fp,
+      "remux must preserve both identities")
+    assert(a.size_fp === c.size_fp,
+      "the CBR trap: q152's size identity cannot separate these")
+    assert(a.bytes_fp !== c.bytes_fp,
+      "the byte walk must separate same-bitrate different-content streams")
+    assert(a.n_samples === 12L && a.total_bytes === 10800L)
+  }
+
+  test("parseMp4ByteIdentity equals a by-hand length-prefixed FNV fold " +
+      "over the chunk prefix") {
+    val pay = Array.tabulate(40)(j => (j * 7 + 3).toByte) // < bytesPerChunk
+    val f = Multimodal.buildMp4(3, 600L, 24, "avc1", 64, 64,
+      sampleSizes = Array.fill(3)(100), payload = pay)
+    val got = Multimodal.parseMp4ByteIdentity(f).get.bytes_fp
+    var fp = 0xcbf29ce484222325L
+    def mix(v: Long): Unit = { fp ^= v & 0xffL; fp *= 0x100000001b3L }
+    mix(40L) // the available-length prefix (shorter than the 64 window)
+    pay.foreach(x => mix(x.toLong))
+    assert(got === fp)
+    // the length prefix: a payload extending the same bytes must differ
+    val longer = Multimodal.buildMp4(3, 600L, 24, "avc1", 64, 64,
+      sampleSizes = Array.fill(3)(100), payload = pay ++ Array[Byte](1, 2))
+    assert(Multimodal.parseMp4ByteIdentity(longer).get.bytes_fp !== got)
+  }
+
+  test("parseMp4ByteIdentity: dirty input → None, never a throw") {
+    val sizes = Array.fill(8)(200)
+    val pay = Array.tabulate(64)(_.toByte)
+    val good = Multimodal.buildMp4(8, 600L, 24, "avc1", 64, 64,
+      sampleSizes = sizes, payload = pay)
+    assert(Multimodal.parseMp4ByteIdentity(good).isDefined)
+    // truncation at every cut: mid-ftyp, mid-moov, mid-mdat (offset
+    // beyond the file), and the empty-chunk-table legacy form
+    (1 until good.length by 7).foreach { cut =>
+      Multimodal.parseMp4ByteIdentity(good.take(cut)) // must not throw
+    }
+    val mdatStart = good.length - 8 - pay.length
+    assert(Multimodal.parseMp4ByteIdentity(good.take(mdatStart)).isEmpty,
+      "an offset pointing past the file cannot attest identity")
+    val legacy = Multimodal.buildMp4(8, 600L, 24, "avc1", 64, 64)
+    assert(Multimodal.parseMp4ByteIdentity(legacy).isEmpty,
+      "zero chunks carry no byte identity")
+    assert(Multimodal.parseMp4ByteIdentity(null).isEmpty)
+    assert(Multimodal.parseMp4ByteIdentity(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("mp4CbrTable → mp4ByteIdentity: planted triples — remux pairs, " +
+      "CBR trap separates, truncated ids null") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tbl = Multimodal.mp4CbrTable(docs)
+    val out = Multimodal.mp4ByteIdentity(tbl).collect()
+      .map(r => r.media_id.get -> r).toMap
+    val ids = out.keySet
+    var sawTriple = false
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 17 == 3) assert(r.size_fp.isEmpty, s"truncated id $id")
+      else {
+        assert(r.size_fp.isDefined, s"id $id")
+        val skey = if (id % 17 == 9) id - 1
+                   else if (id % 17 == 10) id - 2 else id
+        assert(r.n_samples.contains(skey % 120 + 2), s"id $id")
+        if (id % 17 == 10 && ids(id - 2) && ids(id - 1)) {
+          sawTriple = true
+          val base = out(id - 2); val remux = out(id - 1)
+          assert(base.size_fp === remux.size_fp &&
+            base.size_fp === r.size_fp, s"triple at $skey: size identity")
+          assert(base.bytes_fp === remux.bytes_fp,
+            s"triple at $skey: remux twin must share bytes")
+          assert(base.bytes_fp !== r.bytes_fp,
+            s"triple at $skey: the trap must separate")
+        }
+      }
+    }
+    assert(sawTriple, "fixture must contain at least one full triple")
+  }
 }
