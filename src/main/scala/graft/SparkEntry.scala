@@ -2180,6 +2180,24 @@ object SparkEntry {
           col("a.total_bytes").as("total_bytes"),
           (col("a.bytes_fp") === col("b.bytes_fp")).cast("int")
             .as("same_bytes"))
+    }),
+
+    // --- Domain-graph PageRank: the web-curation quality signal
+    // (Common Crawl publishes per-domain centrality; recipes gate
+    // crawl sources by it). Fixed-point INTEGER PageRank — floors
+    // instead of floats — so ten iterations replay bit-for-bit in SQL
+    // (the q153 integer-AUC convention on an iterative algorithm) and
+    // the driver fast path provably equals the distributed loop. The
+    // corpus-sized work is one partial-aggregated edge distinct; the
+    // 211-node fixture graph (src = doc_id mod 211, every 13th source
+    // silenced so dangling mass exists) then iterates at graph scale,
+    // not corpus scale.
+    "q156_domain_pagerank" -> ((s, dir) => {
+      val edges = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+        .select((col("doc_id") % 211).as("src"),
+          ((col("doc_id") * col("doc_id") + 7) % 211).as("dst"))
+        .filter(col("src") % 13 =!= 0)
+      graft.ext.Graphs.pageRankFixedPoint(edges, "src", "dst", iters = 10)
     })
   )
 
@@ -2566,6 +2584,63 @@ object SparkEntry {
     * step in RE2 + list ops. string_split is literal-delimiter in
     * DuckDB and regex in Spark — the delimiters here ('&', '.') are
     * regex-inert, so the splits agree. */
+  /** q156's replay: the fixed-point integer PageRank recurrence
+    * unrolled into one CTE per iteration (the lshAuditGrid generated-
+    * SQL pattern). `//` is DuckDB floor division — exact for the
+    * all-positive fixed-point state, matching Spark's `div` and the
+    * driver path's Long division. */
+  private def pageRankOracleSql(iters: Int): String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // through two CTEs, so inlining doubles the expression tree per
+    // round — 2^iters plans — and DuckDB's heuristic inliner will hang
+    // exactly like that before the first row moves
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id % 211 AS src,
+        |    (doc_id * doc_id + 7) % 211 AS dst
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND (doc_id % 211) % 13 <> 0),
+        |nodes AS MATERIALIZED (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |cnt AS MATERIALIZED (SELECT count(*) AS nn FROM nodes),
+        |deg AS MATERIALIZED (
+        |  SELECT n.node, CAST(COALESCE(d.c, 0) AS BIGINT) AS out_degree
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT src AS node, count(*) AS c FROM e GROUP BY 1) d
+        |  ON n.node = d.node),
+        |ed AS MATERIALIZED (
+        |  SELECT e.src, e.dst, deg.out_degree
+        |  FROM e JOIN deg ON e.src = deg.node),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, 1000000000000 // nn AS pr FROM nodes, cnt),
+        |""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (
+         |  SELECT COALESCE(sum(r$p.pr), 0) AS dang
+         |  FROM r$p JOIN deg ON r$p.node = deg.node
+         |  WHERE deg.out_degree = 0),
+         |c$k AS MATERIALIZED (
+         |  SELECT ed.dst AS node,
+         |    sum((17 * r$p.pr) // (20 * ed.out_degree)) AS inc
+         |  FROM ed JOIN r$p ON ed.src = r$p.node GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST((3 * 1000000000000) // (20 * cnt.nn)
+         |      + (17 * d$k.dang) // (20 * cnt.nn)
+         |      + COALESCE(c$k.inc, 0) AS BIGINT) AS pr
+         |  FROM nodes n CROSS JOIN cnt CROSS JOIN d$k
+         |  LEFT JOIN c$k ON n.node = c$k.node),
+         |""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""fin AS (SELECT node, pr FROM r$iters)
+         |SELECT f.node, deg.out_degree, f.pr AS rank_units,
+         |  CAST(f.pr AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM fin f JOIN deg ON f.node = deg.node""".stripMargin
+  }
+
   private def urlCanonicalOracleSql(): String = {
     val suffixes = graft.ext.Urls.MultiPartSuffixes
       .map(s => s"'$s'").mkString("[", ", ", "]")
@@ -3834,6 +3909,11 @@ object SparkEntry {
         |  a.n_samples, a.total_bytes,
         |  CAST(a.pkey = b.pkey AS INT) AS same_bytes
         |FROM s a JOIN s b ON a.skey = b.skey AND a.media_id < b.media_id""".stripMargin,
+    // q156: ten PageRank iterations unrolled as generated CTEs — every
+    // operation is integer (floor-division fixed point), so the replay
+    // is exact with no float snap anywhere; the one division to a
+    // double at the edge is correctly rounded in both engines.
+    "q156_domain_pagerank" -> pageRankOracleSql(10),
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.
