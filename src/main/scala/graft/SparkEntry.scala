@@ -2198,6 +2198,68 @@ object SparkEntry {
           ((col("doc_id") * col("doc_id") + 7) % 211).as("dst"))
         .filter(col("src") % 13 =!= 0)
       graft.ext.Graphs.pageRankFixedPoint(edges, "src", "dst", iters = 10)
+    }),
+
+    // --- Semi-structured profiling: the insights family (A5–A12)
+    // extended to a JSON column. The events fixture's props are a
+    // degenerate {"k": n}, so the query PLANTS the realistic shape —
+    // optional keys, mixed token types, and a malformed row every
+    // 101st event — from event_id arithmetic, then profiles it with a
+    // REAL from_json map parse. The oracle recomputes every count from
+    // the planting formulas (the q152 convention: independent of the
+    // parser, so it checks the parse itself), with parse failures a
+    // first-class __malformed row.
+    "q157_json_profile" -> ((s, dir) => {
+      val i = col("event_id")
+      val j = concat(
+        lit("{\"k\": "), (i % 100).cast("string"),
+        when(i % 3 === 0, concat(lit(", \"tag\": \"t"),
+          (i % 7).cast("string"), lit("\""))).otherwise(lit("")),
+        when(i % 5 === 2, concat(lit(", \"flag\": "),
+          when(i % 2 === 0, lit("true")).otherwise(lit("false"))))
+          .otherwise(lit("")),
+        when(i % 11 === 4, concat(lit(", \"score\": "),
+          (i % 9).cast("string"), lit("."), (i % 10).cast("string")))
+          .otherwise(lit("")),
+        lit("}"))
+      val props = when(i % 101 === 7, lit("{\"k\": ")).otherwise(j)
+      graft.profile.Profiler.jsonKeyProfileDF(
+        Tables.events(s, dir).filter(i.isNotNull).select(props.as("props")),
+        "props")
+    }),
+
+    // --- Centrality-weighted corpus sampling: what q156's ranks are
+    // FOR. Each document keeps with probability ∝ its domain's
+    // PageRank (the Common-Crawl-style "sample the crawl by domain
+    // quality" recipe), as a pure integer comparison — 16-bit md5
+    // uniform × fixed-point rank threshold, u16·scale < rank·boost·2^16
+    // — so the sample is deterministic, engine-exact, and stable under
+    // repartitioning (the q56 hash-sample contract with a DATA-
+    // DEPENDENT fraction). Ranks are graph-sized, so they broadcast;
+    // the corpus is scanned once; the keep decision is map-side; one
+    // aggregation reports per-domain supply vs kept (rank rides the
+    // agg as a plain min — group-determined, the q151 hash-agg rule).
+    "q158_centrality_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), (col("doc_id") % 211).as("node"))
+      val edges = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+        .select((col("doc_id") % 211).as("src"),
+          ((col("doc_id") * col("doc_id") + 7) % 211).as("dst"))
+        .filter(col("src") % 13 =!= 0)
+      val ranks = graft.ext.Graphs
+        .pageRankFixedPoint(edges, "src", "dst", iters = 10)
+        .select(col("node"), col("rank_units"))
+      val u16 = conv(substring(md5(concat(lit("q158:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      docs.join(broadcast(ranks), Seq("node"), "left_outer")
+        .withColumn("rank_units", coalesce(col("rank_units"), lit(0L)))
+        .withColumn("keep",
+          (u16 * lit(1000000000000L) <
+            col("rank_units") * lit(50L * 65536L)).cast("long"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("rank_units")).as("rank_units"),
+          sum(col("keep")).as("n_kept"))
     })
   )
 
@@ -2589,7 +2651,7 @@ object SparkEntry {
     * SQL pattern). `//` is DuckDB floor division — exact for the
     * all-positive fixed-point state, matching Spark's `div` and the
     * driver path's Long division. */
-  private def pageRankOracleSql(iters: Int): String = {
+  private def pageRankCtes(iters: Int): String = {
     // every CTE is MATERIALIZED: each round references its predecessor
     // through two CTEs, so inlining doubles the expression tree per
     // round — 2^iters plans — and DuckDB's heuristic inliner will hang
@@ -2634,12 +2696,15 @@ object SparkEntry {
          |  LEFT JOIN c$k ON n.node = c$k.node),
          |""".stripMargin
     }.mkString
-    head + rounds +
-      s"""fin AS (SELECT node, pr FROM r$iters)
-         |SELECT f.node, deg.out_degree, f.pr AS rank_units,
-         |  CAST(f.pr AS DOUBLE) / 1000000000000.0 AS rank
-         |FROM fin f JOIN deg ON f.node = deg.node""".stripMargin
+    head + rounds + s"fin AS (SELECT node, pr FROM r$iters)"
   }
+
+  private def pageRankOracleSql(iters: Int): String =
+    pageRankCtes(iters) +
+      """
+        |SELECT f.node, deg.out_degree, f.pr AS rank_units,
+        |  CAST(f.pr AS DOUBLE) / 1000000000000.0 AS rank
+        |FROM fin f JOIN deg ON f.node = deg.node""".stripMargin
 
   private def urlCanonicalOracleSql(): String = {
     val suffixes = graft.ext.Urls.MultiPartSuffixes
@@ -3914,6 +3979,59 @@ object SparkEntry {
     // is exact with no float snap anywhere; the one division to a
     // double at the edge is correctly rounded in both engines.
     "q156_domain_pagerank" -> pageRankOracleSql(10),
+    // q157: every profile count recomputed from the planting formulas,
+    // never by parsing JSON — independent of the parser, so the replay
+    // checks the from_json path itself. HAVING guards drop the key
+    // rows Spark never emits when a plant slice is empty at tiny SF;
+    // __malformed is unconditionally one row in both engines.
+    "q157_json_profile" ->
+      """WITH ev AS (
+        |  SELECT event_id AS i FROM events WHERE event_id IS NOT NULL),
+        |ok AS (SELECT i FROM ev WHERE i % 101 <> 7)
+        |SELECT 'k' AS key, CAST(count(*) AS BIGINT) AS n_present,
+        |  CAST(count(*) AS BIGINT) AS n_int, CAST(0 AS BIGINT) AS n_float,
+        |  CAST(0 AS BIGINT) AS n_bool, CAST(0 AS BIGINT) AS n_str,
+        |  CAST(count(DISTINCT i % 100) AS BIGINT) AS n_distinct
+        |FROM ok HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'tag', CAST(count(*) AS BIGINT), 0, 0, 0,
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT i % 7) AS BIGINT)
+        |FROM ok WHERE i % 3 = 0 HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'flag', CAST(count(*) AS BIGINT), 0, 0,
+        |  CAST(count(*) AS BIGINT), 0, CAST(count(DISTINCT i % 2) AS BIGINT)
+        |FROM ok WHERE i % 5 = 2 HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'score', CAST(count(*) AS BIGINT), 0,
+        |  CAST(count(*) AS BIGINT), 0, 0,
+        |  CAST(count(DISTINCT (i % 9) * 10 + (i % 10)) AS BIGINT)
+        |FROM ok WHERE i % 11 = 4 HAVING count(*) > 0
+        |UNION ALL
+        |SELECT '__malformed',
+        |  CAST((SELECT count(*) FROM ev WHERE i % 101 = 7) AS BIGINT),
+        |  0, 0, 0, 0, 0""".stripMargin,
+    // q158: the q156 CTE chain continued through the weighted-sample
+    // replay — the keep decision is the same integer comparison on the
+    // same md5 16-bit uniform, so counts match exactly.
+    "q158_centrality_sample" -> (pageRankCtes(10) +
+      """,
+        |docs AS (
+        |  SELECT doc_id, doc_id % 211 AS node FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |j AS (
+        |  SELECT d.doc_id, d.node, COALESCE(f.pr, 0) AS pr
+        |  FROM docs d LEFT JOIN fin f ON d.node = f.node),
+        |k AS (
+        |  SELECT node, pr,
+        |    CASE WHEN ('0x' || substr(md5('q158:' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |        * 1000000000000 < pr * 3276800
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM j)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(pr) AS BIGINT) AS rank_units,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY node""".stripMargin),
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -384,6 +384,53 @@ object Profiler {
       .select("column", "value", "count")
   }
 
+  /** Semi-structured profiling: the A5–A12 stats family extended to a
+    * JSON string column — the schema-on-read answer to "what is
+    * actually inside props?" that a fixed-schema profiler cannot give.
+    * One row per top-level key: presence count, a type histogram
+    * (canonical int / decimal float / bool literal, by the value's
+    * TOKEN TEXT — so "5" the string and 5 the number both read as int,
+    * the schema-inference stance, documented rather than hidden), and
+    * the exact distinct-value count. Parse failures are a first-class
+    * row (key `__malformed`, always emitted) — a profiler that
+    * silently skips unparseable rows reports a clean schema for a
+    * dirty column.
+    *
+    * Scale shape: `from_json` to map + explode are map-side (output
+    * rows = keys per row, bounded by the JSON width); one aggregation
+    * keyed by (key) with the distinct count riding the same shuffle on
+    * (key, value) — cost scales with corpus × key-width, never with a
+    * cross product. Values with corpus-scale cardinality make
+    * `n_distinct` the expensive column; swap to approx_count_distinct
+    * upstream if a key holds unique ids.
+    */
+  def jsonKeyProfileDF(df: DataFrame, jsonCol: String): DataFrame = {
+    val parsed = df.filter(col(jsonCol).isNotNull)
+      .select(col(jsonCol).as("__j"),
+        from_json(col(jsonCol), MapType(StringType, StringType)).as("__m"))
+      .localCheckpoint(eager = true) // consumed by keys AND malformed
+    val typed = parsed.filter(col("__m").isNotNull)
+      .select(explode(col("__m")).as(Seq("key", "value")))
+      .withColumn("vtype",
+        when(col("value").rlike("^-?[0-9]+$"), "int")
+          .when(col("value").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+          .when(col("value") === "true" || col("value") === "false", "bool")
+          .otherwise("str"))
+    val perKey = typed.groupBy("key").agg(
+      count(lit(1)).as("n_present"),
+      sum((col("vtype") === "int").cast("long")).as("n_int"),
+      sum((col("vtype") === "float").cast("long")).as("n_float"),
+      sum((col("vtype") === "bool").cast("long")).as("n_bool"),
+      sum((col("vtype") === "str").cast("long")).as("n_str"),
+      countDistinct(col("value")).as("n_distinct"))
+    val malformed = parsed.filter(col("__m").isNull)
+      .agg(count(lit(1)).as("n_present"))
+      .select(lit("__malformed").as("key"), col("n_present"),
+        lit(0L).as("n_int"), lit(0L).as("n_float"), lit(0L).as("n_bool"),
+        lit(0L).as("n_str"), lit(0L).as("n_distinct"))
+    perKey.unionByName(malformed)
+  }
+
   // --------------------------------------------------------------------
   // Full profile (driver-sized result: one struct per column)
   // --------------------------------------------------------------------

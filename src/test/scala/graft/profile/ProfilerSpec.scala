@@ -189,4 +189,29 @@ class ProfilerSpec extends SparkSpec {
     assert(v.stdDev.isEmpty || v.stdDev.contains(Double.NaN) || v.stdDev.isDefined)
     assert(ins.dataSummary.rowCount === 1)
   }
+
+  test("jsonKeyProfileDF: per-key presence, token-text types, distinct, malformed row") {
+    val df = Seq(
+      """{"a": 5, "b": "x"}""",
+      """{"a": -17, "b": "5", "c": true}""",   // "5" quoted still types int
+      """{"a": 2.50, "c": false}""",
+      """{"a": 5}""",
+      """not json at all""",
+      null.asInstanceOf[String]                 // null row: ignored entirely
+    ).toDF("j")
+    val out = Profiler.jsonKeyProfileDF(df, "j").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a: 5, -17, 2.50, 5 -> 3 int + 1 float, 3 distinct value strings
+    assert(out("a") === ((4L, 3L, 1L, 0L, 0L, 3L)))
+    // b: "x", "5" -> the schema-inference stance types by token text
+    assert(out("b") === ((2L, 1L, 0L, 0L, 1L, 2L)))
+    assert(out("c") === ((2L, 0L, 0L, 2L, 0L, 2L)))
+    assert(out("__malformed") === ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out.size === 4)
+    // an all-clean column still carries the (zero) malformed row
+    val clean = Profiler.jsonKeyProfileDF(Seq("""{"z": 1}""").toDF("j"), "j")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean === Map("z" -> 1L, "__malformed" -> 0L))
+  }
 }
