@@ -2260,6 +2260,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("rank_units")).as("rank_units"),
           sum(col("keep")).as("n_kept"))
+    }),
+
+    // --- Shard release manifest: the integrity record a data release
+    // ships next to its shards — per shard: counts, character mass,
+    // id range, and an ORDER-INDEPENDENT bit_xor of 60-bit content
+    // digests, so a consumer recomputing the manifest agrees iff the
+    // content multiset agrees, regardless of task order or partition
+    // count. Composes q93's deterministic sharding with one map-side
+    // digest pass and one agg.
+    "q159_shard_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val sharded = graft.ext.Sampling.shuffleShards(docs, "doc_id",
+        nShards = 16)
+      graft.ext.Layout.shardManifest(sharded, "shard", "doc_id", "text")
+    }),
+
+    // --- k-anonymity audit (Sweeney): after q84's PII scrub removes
+    // direct identifiers, this measures whether the REMAINING
+    // attribute combinations still single documents out — one row per
+    // (lang, source, length-bucket) equivalence class with its size
+    // and an at-risk flag below k = 5. Continuous quasi-identifiers
+    // are bucketed first (raw lengths make every row its own class).
+    "q160_k_anonymity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_bucket"))
+      graft.profile.Profiler.kAnonymityDF(docs,
+        Seq("lang", "source", "len_bucket"), k = 5)
     })
   )
 
@@ -4032,6 +4061,30 @@ object SparkEntry {
         |  CAST(min(pr) AS BIGINT) AS rank_units,
         |  CAST(sum(keep) AS BIGINT) AS n_kept
         |FROM k GROUP BY node""".stripMargin),
+    // q159: the q93 shard formula + the same 60-bit md5-prefix digest;
+    // bit_xor is order-independent in both engines, length(text) has
+    // established parity (q22).
+    "q159_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 16 AS shard,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS dig,
+        |    length(text) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(bit_xor(dig) AS BIGINT) AS content_xor,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM t GROUP BY shard""".stripMargin,
+    // q160: NULL is a class value like any other — GROUP BY keeps null
+    // groups identically in both engines.
+    "q160_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(*) < 5 AS INT) AS at_risk
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

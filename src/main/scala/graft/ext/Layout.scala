@@ -211,4 +211,37 @@ object Layout {
         lit(null).cast("long").as("bin"), lit(false).as("needs_compaction"))
     small.unionByName(big)
   }
+
+  /** Release manifest per shard: row count, character mass, id range,
+    * and an ORDER-INDEPENDENT content checksum — `bit_xor` of the
+    * 60-bit md5-prefix digest of each row's content (the repo's
+    * hashed-shingle digest convention). XOR is commutative/associative,
+    * so the checksum is invariant under task order, partition count and
+    * rewrite order — two independently-produced copies of a shard
+    * agree iff their content multisets agree (up to the usual 60-bit
+    * odds, and up to XOR's blindness to DOUBLED rows — pair it with
+    * `n_docs`, which any duplication moves). The integrity record a
+    * data release ships next to its shards: the consumer recomputes
+    * one map-side pass + one agg and compares.
+    *
+    * Scale shape: digest + length are map-side on the scan; one
+    * partial-aggregated groupBy on the shard key; output is
+    * shard-count-sized. Null content digests to NULL and is EXCLUDED
+    * from the xor by aggregate-null semantics but still counted in
+    * `n_docs` — a manifest must not silently shrink the row count.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, idCol: String,
+                    contentCol: String): DataFrame = {
+    val dig = conv(substring(md5(col(contentCol)), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(shardCol).as("shard"), col(idCol).as("id"),
+        col(contentCol).as("content"), dig.as("__dig"),
+        length(col(contentCol)).as("__nc"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("n_chars"),
+        expr("bit_xor(__dig)").as("content_xor"),
+        min(col("id")).as("id_min"),
+        max(col("id")).as("id_max"))
+  }
 }

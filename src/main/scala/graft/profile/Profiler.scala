@@ -431,6 +431,29 @@ object Profiler {
     perKey.unionByName(malformed)
   }
 
+  /** k-anonymity audit (Sweeney 2002): one row per equivalence class
+    * of the quasi-identifier columns with its size and an `at_risk`
+    * flag (class smaller than k) — the re-identification screen a
+    * training-data release runs AFTER PII scrubbing
+    * ([[graft.ext.TextAnalysis.piiScrub]] removes direct identifiers;
+    * this measures whether the remaining attribute combinations still
+    * single people out). Callers bucket continuous quasi-identifiers
+    * first (a raw length column makes every row its own class and the
+    * audit vacuously red). NULL is a class value like any other —
+    * an all-null combination that occurs once is exactly as
+    * identifying as any other singleton.
+    *
+    * One partial-aggregated groupBy; output is class-count-sized.
+    */
+  def kAnonymityDF(df: DataFrame, quasiCols: Seq[String],
+                   k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", (col("class_size") < k).cast("int"))
+  }
+
   // --------------------------------------------------------------------
   // Full profile (driver-sized result: one struct per column)
   // --------------------------------------------------------------------

@@ -139,6 +139,35 @@ class LayoutSpec extends SparkSpec {
     assert(bins === Map("f1" -> 0L, "f2" -> 0L, "f3" -> 1L, "f4" -> 1L))
   }
 
+  test("shardManifest: checksum is order/partition independent, counts move on duplication") {
+    val docs = Seq((0L, 1L, "alpha"), (0L, 2L, "beta"), (1L, 3L, "gamma"),
+      (1L, 4L, "delta"), (1L, 5L, null.asInstanceOf[String]))
+      .toDF("shard", "id", "content")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Layout.shardManifest(df, "shard", "id", "content")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.get(2), r.get(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    val base = m(docs)
+    assert(base(0L)._1 === 2L && base(1L)._1 === 3L)
+    assert(base(1L)._4 === 3L && base(1L)._5 === 5L) // id range incl. null-content row
+    // order & partitioning invariance: the release-integrity property
+    assert(m(docs.orderBy(org.apache.spark.sql.functions.rand(3))
+      .repartition(7)) === base)
+    // null content: excluded from the xor, still counted
+    val noNull = m(docs.filter($"content".isNotNull))
+    assert(noNull(1L)._3 === base(1L)._3, "xor must ignore the null row")
+    assert(noNull(1L)._1 === 2L && base(1L)._1 === 3L)
+    // a doubled row cancels out of XOR (shard {a,a,b} xors like {b})
+    // but moves n_docs — the documented pairing that makes the
+    // manifest duplication-honest
+    val doubled = m(docs.union(docs.filter($"id" === 1L)))
+    val without = m(docs.filter($"id" =!= 1L))
+    assert(doubled(0L)._3 === without(0L)._3, "xor is blind to the pair")
+    assert(doubled(0L)._1 === 3L && without(0L)._1 === 1L,
+      "n_docs must expose the duplication")
+  }
+
   test("zOrderBuckets fails loudly on out-of-range inputs, keeps nulls null") {
     val bad = Seq((Some(70L), Some(1L))).toDF("x", "y")
     val ex = intercept[Exception] {

@@ -214,4 +214,21 @@ class ProfilerSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(clean === Map("z" -> 1L, "__malformed" -> 0L))
   }
+
+  test("kAnonymityDF: class sizes, at-risk flag, null is a class value") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("fr", "web"),
+      (null.asInstanceOf[String], "web"),
+      (null.asInstanceOf[String], "web")
+    ).toDF("lang", "source")
+    val out = Profiler.kAnonymityDF(df, Seq("lang", "source"), k = 3)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out((Some("en"), "web")) === ((3L, 0)))
+    assert(out((Some("fr"), "web")) === ((1L, 1)))
+    assert(out((None, "web")) === ((2L, 1))) // the null class is audited too
+    assert(out.size === 3)
+  }
 }
