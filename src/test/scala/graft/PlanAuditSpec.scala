@@ -380,6 +380,34 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a hash-partitionable equi join on the block key:\n$p")
   }
 
+  test("q154 (semantic decontamination): one codegen projection over " +
+      "the corpus, zero exchanges — the benchmark rides as a constant") {
+    val p = plan("q154_semantic_decontam")
+    assert(exchanges(p) === 0,
+      s"the matVec pass must not shuffle, got plan:\n$p")
+    assert(!p.contains("Join"), "no join: the benchmark is a plan constant")
+  }
+
+  test("q158 (centrality sample): ranks broadcast, keep is map-side, " +
+      "one aggregation pair on the domain key") {
+    val p = plan("q158_centrality_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "graph-sized ranks must broadcast onto the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must never sort-merge against a graph-sized frame:\n$p")
+  }
+
+  test("q159/q160 (manifest, k-anonymity): map-side digests, a single " +
+      "partial-aggregated shuffle each") {
+    Seq("q159_shard_manifest", "q160_k_anonymity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortAggregate"),
+        s"$q must stay hash-aggregable:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+        s"$q is scan→agg, no join:\n$p")
+    }
+  }
+
   test("no registered query plans a nested-loop join (allowlist excepted)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(nestedLoopAllowed)
