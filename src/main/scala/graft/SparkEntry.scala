@@ -2289,6 +2289,20 @@ object SparkEntry {
           expr("n_chars DIV 100").as("len_bucket"))
       graft.profile.Profiler.kAnonymityDF(docs,
         Seq("lang", "source", "len_bucket"), k = 5)
+    }),
+
+    // --- l-diversity (Machanavajjhala): a k-anonymous class still
+    // leaks when everyone in it shares one sensitive value —
+    // membership IS disclosure. Same single-groupBy shape as q160,
+    // with the sensitive column's distinct count riding the same
+    // shuffle; NULL counts as a value ("withheld" is itself sensitive,
+    // and an all-null class is as uniform as an all-equal one).
+    "q161_l_diversity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 200").as("len_bucket"))
+      graft.profile.Profiler.kAnonymityLDiversityDF(docs,
+        Seq("source", "len_bucket"), sensitiveCol = "lang", k = 5, l = 2)
     })
   )
 
@@ -4085,6 +4099,20 @@ object SparkEntry {
         |  CAST(count(*) < 5 AS INT) AS at_risk
         |FROM documents WHERE doc_id IS NOT NULL
         |GROUP BY 1, 2, 3""".stripMargin,
+    // q161: count(DISTINCT) skips nulls in both engines; the null
+    // presence is re-added as one more distinct value via max(isnull).
+    "q161_l_diversity" ->
+      """SELECT source, n_chars // 200 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT lang)
+        |    + max(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS l_diversity,
+        |  CAST(count(*) < 5 OR
+        |    count(DISTINCT lang)
+        |      + max(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) < 2 AS INT)
+        |    AS at_risk
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -1351,24 +1351,33 @@ object Dedup {
     * contaminationStats lesson: an audit that silently drops malformed
     * rows reports contaminated docs as clean.
     */
+  /** L2-normalize benchmark rows at the driver (LTR sum of squares —
+    * the fold a SQL oracle replays exactly); throws on a zero-norm or
+    * ragged row, because a benchmark is the measuring stick. */
+  private def unitBenchRows(benchVecs: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    require(benchVecs.nonEmpty, "semantic decontamination: empty benchmark")
+    val dim = benchVecs(0).length
+    require(dim > 0 && benchVecs.forall(_.length == dim),
+      "semantic decontamination: benchmark vectors must share one dimension")
+    benchVecs.map { b =>
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += b(i) * b(i); i += 1 }
+      require(s > 0.0, "semantic decontamination: zero-norm benchmark vector")
+      val n = math.sqrt(s)
+      b.map(_ / n)
+    }
+  }
+
   def semanticContaminationStats(corpus: DataFrame, id: String, vec: String,
                                  benchIds: Array[Long],
                                  benchVecs: Array[Array[Double]],
                                  tau: Double): DataFrame = {
     require(benchIds.nonEmpty && benchIds.length == benchVecs.length,
       "semanticContaminationStats: benchmark ids/vectors must align")
-    val dim = benchVecs(0).length
-    require(dim > 0 && benchVecs.forall(_.length == dim),
-      "semanticContaminationStats: benchmark vectors must share one dimension")
-    val unit = benchVecs.map { b =>
-      var s = 0.0
-      var i = 0
-      while (i < dim) { s += b(i) * b(i); i += 1 }
-      require(s > 0.0,
-        "semanticContaminationStats: zero-norm benchmark vector")
-      val n = math.sqrt(s)
-      b.map(_ / n)
-    }
+    val unit = unitBenchRows(benchVecs)
+    val dim = unit(0).length
     import graft.functions.Vectors
     val vd = col(vec).cast("array<double>")
     // lazily-evaluated guard: matVec THROWS on a dimension mismatch by
@@ -1393,6 +1402,38 @@ object Dedup {
         (col("max_cosine") >= tau).cast("int")))
       .select(col(id), col("max_cosine"), col("nearest_bench"),
         col("contaminated"))
+  }
+
+  /** The corpus with semantically contaminated documents removed — the
+    * filter twin of [[semanticContaminationStats]] (the audit view)
+    * and the embedding analog of [[decontaminate]]. Unscorable rows
+    * (null vector, wrong dimension, zero norm) are KEPT: the exact
+    * path's convention — a doc with no contamination EVIDENCE
+    * survives; use the audit view to find and fix the unscorable ones.
+    * One map-side expression over the corpus (the benchmark is a plan
+    * constant), zero shuffle — which is also why the streaming wrapper
+    * ([[graft.streaming.Events.streamingSemanticDecontaminate]]) needs
+    * no persisted state at all.
+    */
+  def semanticDecontaminate(corpus: DataFrame, id: String, vec: String,
+                            benchIds: Array[Long],
+                            benchVecs: Array[Array[Double]],
+                            tau: Double): DataFrame = {
+    require(benchIds.nonEmpty && benchIds.length == benchVecs.length,
+      "semanticDecontaminate: benchmark ids/vectors must align")
+    val unit = unitBenchRows(benchVecs)
+    val dim = unit(0).length
+    import graft.functions.Vectors
+    val vd = col(vec).cast("array<double>")
+    val scorable = vd.isNotNull && size(vd) === dim &&
+      !exists(vd, x => x.isNull)
+    val dots = when(scorable, Vectors.matVec(vd, unit))
+    val cnorm = when(scorable, Vectors.norm(vd))
+    val snapped = floor(array_max(dots) / cnorm * lit(1e6) + lit(0.5)) /
+      lit(1e6)
+    // null flag (unscorable) keeps the row: filter on =!= true via a
+    // null-safe negation
+    corpus.filter(!coalesce(cnorm > 0.0 && snapped >= tau, lit(false)))
   }
 
   // --------------------------------------------------------------------

@@ -454,6 +454,32 @@ object Profiler {
       .withColumn("at_risk", (col("class_size") < k).cast("int"))
   }
 
+  /** [[kAnonymityDF]] plus l-diversity (Machanavajjhala 2007): a class
+    * can be k-anonymous yet still leak — if everyone in it shares one
+    * sensitive value, membership IS disclosure. Adds the distinct
+    * count of `sensitiveCol` per class (NULL counts as a value: "field
+    * withheld" is itself sensitive information, and a class where
+    * everyone withheld it is as uniform as one where everyone matches)
+    * and flags classes failing EITHER bar. Same single-groupBy shape —
+    * the distinct rides the same shuffle.
+    */
+  def kAnonymityLDiversityDF(df: DataFrame, quasiCols: Seq[String],
+                             sensitiveCol: String, k: Int = 5,
+                             l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    // countDistinct skips nulls; count the null presence separately so
+    // "withheld" is one more distinct sensitive value, never invisible
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        (countDistinct(col(sensitiveCol)) +
+          max(col(sensitiveCol).isNull.cast("long"))).as("l_diversity"))
+      .withColumn("at_risk",
+        (col("class_size") < k || col("l_diversity") < l).cast("int"))
+  }
+
   // --------------------------------------------------------------------
   // Full profile (driver-sized result: one struct per column)
   // --------------------------------------------------------------------

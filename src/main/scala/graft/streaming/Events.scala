@@ -265,6 +265,47 @@ object Events {
       ()
     }
 
+  /** Streaming SEMANTIC decontamination — the embedding rung of the
+    * streaming scrub family ([[streamingDecontaminate]] exact n-grams,
+    * [[streamingDecontaminateBloom]] bloom-gated, THIS for the
+    * paraphrase leak n-grams can't see). The simplest of the three by
+    * construction: the benchmark is a plan-time CONSTANT matrix inside
+    * one codegen expression ([[graft.ext.Dedup.semanticDecontaminate]]),
+    * so each micro-batch is a stateless map-side filter — no persisted
+    * catalog, no listener, no state to retain or compact. Surviving
+    * rows land under `outDir/batch_id=N` idempotently (mode=overwrite
+    * per batch directory, the replay contract the other scrubs share).
+    */
+  def streamingSemanticDecontaminate(stream: DataFrame,
+                                     benchIds: Array[Long],
+                                     benchVecs: Array[Array[Double]],
+                                     id: String, vec: String, tau: Double,
+                                     outDir: String, checkpointDir: String,
+                                     config: StreamConfig = StreamConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = semanticDecontaminateBatchWriter(benchIds, benchVecs,
+      id, vec, tau, outDir)
+    config(stream.writeStream)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writer)
+      .start()
+  }
+
+  /** The idempotent per-batch body of
+    * [[streamingSemanticDecontaminate]], exposed for the replay test. */
+  def semanticDecontaminateBatchWriter(benchIds: Array[Long],
+                                       benchVecs: Array[Array[Double]],
+                                       id: String, vec: String, tau: Double,
+                                       outDir: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      graft.ext.Dedup
+        .semanticDecontaminate(batch, id, vec, benchIds, benchVecs, tau)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      ()
+    }
+
   /** [[streamingDecontaminate]], bloom-prefiltered — the firehose shape
     * for a benchmark suite too large to broadcast exactly
     * ([[graft.ext.Dedup.decontaminateBloom]] is the batch twin). The

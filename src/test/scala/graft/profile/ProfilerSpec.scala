@@ -231,4 +231,25 @@ class ProfilerSpec extends SparkSpec {
     assert(out((None, "web")) === ((2L, 1))) // the null class is audited too
     assert(out.size === 3)
   }
+
+  test("kAnonymityLDiversityDF: a k-anonymous class with one sensitive value is at risk; null is a sensitive value") {
+    val df = Seq(
+      // class A: 3 rows, all lang=en -> k ok (k=3) but l=1 -> at risk
+      ("web", "en"), ("web", "en"), ("web", "en"),
+      // class B: 3 rows, en/fr -> l=2 -> safe
+      ("pdf", "en"), ("pdf", "fr"), ("pdf", "en"),
+      // class C: 3 rows, en + NULL -> null counts as a value -> l=2 safe
+      ("api", "en"), ("api", null.asInstanceOf[String]), ("api", "en")
+    ).toDF("source", "lang")
+    val out = Profiler.kAnonymityLDiversityDF(df, Seq("source"), "lang",
+        k = 3, l = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("web") === ((3L, 1L, 1)), "uniform sensitive value leaks")
+    assert(out("pdf") === ((3L, 2L, 0)))
+    assert(out("api") === ((3L, 2L, 0)), "withheld is a distinct value")
+    intercept[IllegalArgumentException] {
+      Profiler.kAnonymityLDiversityDF(df, Seq("lang"), "lang")
+    }
+  }
 }

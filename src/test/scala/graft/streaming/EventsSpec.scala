@@ -431,6 +431,49 @@ class EventsSpec extends SparkSpec {
     assert(after === Seq(2L, 4L), s"replay must not double-land: $after")
   }
 
+  test("streamingSemanticDecontaminate: stateless scrub lands the batch twin's docs; replay idempotent") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // bench row ~ [1, 0, 0]; tau 0.9
+    val bids = Array(100L)
+    val bvecs = Array(Array(1.0, 0.05, 0.0))
+    val out = java.nio.file.Files.createTempDirectory("semdecon_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("semdecon_ckpt").toString
+    val q = Events.streamingSemanticDecontaminate(
+      mem.toDF().toDF("vec_id", "embedding"), bids, bvecs,
+      "vec_id", "embedding", tau = 0.9, out, ckpt)
+    mem.addData(
+      (1L, Seq(0.98f, 0.06f, 0.0f)),   // contaminated
+      (2L, Seq(0.0f, 1.0f, 0.0f)))     // clean
+    q.processAllAvailable()
+    mem.addData(
+      (3L, Seq(1.0f, 0.0f, 0.0f)),     // contaminated, second batch
+      (4L, Seq(0.0f, 0.0f, 0.0f)),     // zero norm: unscorable, KEPT
+      (5L, null.asInstanceOf[Seq[Float]])) // null vector: KEPT
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(2L, 4L, 5L),
+      "contaminated drop; unscorable rows survive (no evidence)")
+    // replay with the same batchId must overwrite, never append
+    val writer = Events.semanticDecontaminateBatchWriter(
+      bids, bvecs, "vec_id", "embedding", 0.9, out)
+    writer(Seq((3L, Seq(1.0f, 0.0f, 0.0f)), (4L, Seq(0.0f, 0.0f, 0.0f)),
+      (5L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"), 1L)
+    val after = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after === Seq(2L, 4L, 5L), s"replay must not double-land: $after")
+    // the batch twin lands exactly the same survivors
+    val twin = graft.ext.Dedup.semanticDecontaminate(
+      Seq((1L, Seq(0.98f, 0.06f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+        (3L, Seq(1.0f, 0.0f, 0.0f)), (4L, Seq(0.0f, 0.0f, 0.0f)),
+        (5L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bids, bvecs, 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(twin === landed, "stream ≡ batch")
+  }
+
   test("streamingNearDupDedup: packaged landing-zone near-dup drop, " +
       "replay idempotent, batch-equivalent to the q89 operator") {
     implicit val sq = spark.sqlContext
