@@ -396,23 +396,32 @@ object Profiler {
     * silently skips unparseable rows reports a clean schema for a
     * dirty column.
     *
-    * Scale shape: `from_json` to map + explode are map-side (output
-    * rows = keys per row, bounded by the JSON width); one aggregation
-    * keyed by (key) with the distinct count riding the same shuffle on
-    * (key, value) — cost scales with corpus × key-width, never with a
-    * cross product. Values with corpus-scale cardinality make
-    * `n_distinct` the expensive column; swap to approx_count_distinct
-    * upstream if a key holds unique ids.
+    * Scale shape: ONE pass — a parse failure becomes a sentinel
+    * `__malformed` entry in the same exploded (key, value) stream, so
+    * corpus rows are scanned once with no checkpoint, no union of two
+    * corpus-sized branches, and no second scan for the failure count
+    * (`__malformed` is therefore a reserved key). The explode is
+    * map-side (output rows = keys per row, bounded by the JSON width);
+    * one aggregation keyed by (key) with the distinct count riding the
+    * same shuffle; the always-present zero `__malformed` row folds in
+    * through a key-count-sized re-aggregation. A JSON `null` value
+    * contributes presence but no type (and no distinct value). Values
+    * with corpus-scale cardinality make `n_distinct` the expensive
+    * column; swap to approx_count_distinct upstream if a key holds
+    * unique ids.
     */
   def jsonKeyProfileDF(df: DataFrame, jsonCol: String): DataFrame = {
-    val parsed = df.filter(col(jsonCol).isNotNull)
-      .select(col(jsonCol).as("__j"),
-        from_json(col(jsonCol), MapType(StringType, StringType)).as("__m"))
-      .localCheckpoint(eager = true) // consumed by keys AND malformed
-    val typed = parsed.filter(col("__m").isNotNull)
-      .select(explode(col("__m")).as(Seq("key", "value")))
+    val sentinel = array(struct(lit("__malformed").as("key"),
+      lit(null).cast(StringType).as("value")))
+    val typed = df.filter(col(jsonCol).isNotNull)
+      .select(from_json(col(jsonCol), MapType(StringType, StringType))
+        .as("__m"))
+      .select(explode(when(col("__m").isNotNull, map_entries(col("__m")))
+        .otherwise(sentinel)).as("kv"))
+      .select(col("kv.key").as("key"), col("kv.value").as("value"))
       .withColumn("vtype",
-        when(col("value").rlike("^-?[0-9]+$"), "int")
+        when(col("value").isNull, lit(null).cast(StringType))
+          .when(col("value").rlike("^-?[0-9]+$"), "int")
           .when(col("value").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
           .when(col("value") === "true" || col("value") === "false", "bool")
           .otherwise("str"))
@@ -423,12 +432,17 @@ object Profiler {
       sum((col("vtype") === "bool").cast("long")).as("n_bool"),
       sum((col("vtype") === "str").cast("long")).as("n_str"),
       countDistinct(col("value")).as("n_distinct"))
-    val malformed = parsed.filter(col("__m").isNull)
-      .agg(count(lit(1)).as("n_present"))
-      .select(lit("__malformed").as("key"), col("n_present"),
-        lit(0L).as("n_int"), lit(0L).as("n_float"), lit(0L).as("n_bool"),
-        lit(0L).as("n_str"), lit(0L).as("n_distinct"))
-    perKey.unionByName(malformed)
+    val zeroMalformed = df.sparkSession.range(1).select(
+      lit("__malformed").as("key"), lit(0L).as("n_present"),
+      lit(0L).as("n_int"), lit(0L).as("n_float"), lit(0L).as("n_bool"),
+      lit(0L).as("n_str"), lit(0L).as("n_distinct"))
+    perKey.unionByName(zeroMalformed).groupBy("key").agg(
+      sum(col("n_present")).as("n_present"),
+      sum(col("n_int")).as("n_int"),
+      sum(col("n_float")).as("n_float"),
+      sum(col("n_bool")).as("n_bool"),
+      sum(col("n_str")).as("n_str"),
+      sum(col("n_distinct")).as("n_distinct"))
   }
 
   /** k-anonymity audit (Sweeney 2002): one row per equivalence class

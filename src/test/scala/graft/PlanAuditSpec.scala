@@ -397,9 +397,10 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus must never sort-merge against a graph-sized frame:\n$p")
   }
 
-  test("q159/q160 (manifest, k-anonymity): map-side digests, a single " +
-      "partial-aggregated shuffle each") {
-    Seq("q159_shard_manifest", "q160_k_anonymity").foreach { q =>
+  test("q157/q159/q160/q161 (json profile, manifest, k-anon, l-div): " +
+      "map-side prep, hash aggregation, no join anywhere") {
+    Seq("q157_json_profile", "q159_shard_manifest", "q160_k_anonymity",
+        "q161_l_diversity").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortAggregate"),
         s"$q must stay hash-aggregable:\n$p")
