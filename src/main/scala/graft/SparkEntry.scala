@@ -2303,6 +2303,43 @@ object SparkEntry {
           expr("n_chars DIV 200").as("len_bucket"))
       graft.profile.Profiler.kAnonymityLDiversityDF(docs,
         Seq("source", "len_bucket"), sensitiveCol = "lang", k = 5, l = 2)
+    }),
+
+    // --- Content-policy term gate: whole-word blocklist hits per doc
+    // (the C4 bad-words filter made auditable — counts and distinct
+    // terms, not just the flag, so a threshold sweep can separate one
+    // incidental mention from a saturated page). One literal
+    // longest-first alternation, portable across regex engines by
+    // construction; pure map-side projection.
+    "q162_term_blocklist" -> ((s, dir) =>
+      graft.ext.TextAnalysis.termBlocklistStats(
+        Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("slow", "stale", "hash join", "corrupt"),
+        minHits = 2)),
+
+    // --- Categorical drift monitor: event-type mix between two
+    // snapshot slices, with a PLANTED regression (slice B drops 70% of
+    // error events — a collector change upstream); categories missing
+    // from one side keep a zero row, because appearance/disappearance
+    // is the strongest drift signal an inner join would hide.
+    "q163_share_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_id").isNotNull)
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 === 1 &&
+        !(col("event_type") === "error" && col("event_id") % 10 < 7))
+      graft.profile.Profiler.categoryShareDrift(a, b, "event_type")
+    }),
+
+    // --- Contrastive pair mining: nearest same-label (positive) and
+    // nearest different-label (hard negative) per anchor, with the
+    // margin — the triplet/InfoNCE pair generator where random
+    // negatives are too easy to carry gradient. Anchors are the fixed
+    // broadcast-scale slice (the q20 exact-twin convention); the
+    // corpus streams map-side.
+    "q164_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label")
     })
   )
 
@@ -4113,6 +4150,73 @@ object SparkEntry {
         |    AS at_risk
         |FROM documents WHERE doc_id IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // q162: the same literal longest-first alternation; \b is ASCII in
+    // both engines, list_distinct ≡ array_distinct on match strings.
+    "q162_term_blocklist" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NOT NULL THEN len(regexp_extract_all(
+        |    lower(text), '\b(?:hash join|corrupt|stale|slow)\b')) END
+        |    AS n_hits,
+        |  CASE WHEN text IS NOT NULL THEN len(list_distinct(
+        |    regexp_extract_all(lower(text),
+        |      '\b(?:hash join|corrupt|stale|slow)\b'))) END AS n_terms,
+        |  CASE WHEN text IS NOT NULL THEN CAST(len(regexp_extract_all(
+        |    lower(text), '\b(?:hash join|corrupt|stale|slow)\b')) >= 2
+        |    AS INT) END AS blocked
+        |FROM documents""".stripMargin,
+    // q163: counts are exact integers; each share is ONE division of
+    // identical ints (identical doubles in any engine), snapped at 6dp.
+    "q163_share_drift" ->
+      """WITH ev AS (SELECT event_id, event_type FROM events
+        |            WHERE event_id IS NOT NULL),
+        |a AS (SELECT event_type AS value, count(*) AS cnt_a FROM ev
+        |      WHERE event_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT event_type AS value, count(*) AS cnt_b FROM ev
+        |      WHERE event_id % 2 = 1
+        |        AND NOT (event_type = 'error' AND event_id % 10 < 7)
+        |      GROUP BY 1),
+        |t AS (SELECT (SELECT sum(cnt_a) FROM a) AS ta,
+        |             (SELECT sum(cnt_b) FROM b) AS tb),
+        |j AS (SELECT COALESCE(a.value, b.value) AS value,
+        |        CAST(COALESCE(a.cnt_a, 0) AS BIGINT) AS cnt_a,
+        |        CAST(COALESCE(b.cnt_b, 0) AS BIGINT) AS cnt_b
+        |      FROM a FULL OUTER JOIN b ON a.value IS NOT DISTINCT FROM b.value)
+        |SELECT value, cnt_a, cnt_b,
+        |  floor(cnt_a / CAST(ta AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS share_a,
+        |  floor(cnt_b / CAST(tb AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS share_b,
+        |  floor((cnt_a / CAST(ta AS DOUBLE) - cnt_b / CAST(tb AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS share_delta
+        |FROM j, t""".stripMargin,
+    // q164: the q20 cosine-ranking replay, partitioned by (anchor,
+    // same-label side); margin re-rounds the difference of the two
+    // 6dp-rounded cosines (near-exact subtraction, stable re-round).
+    "q164_hard_negatives" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT id AS qid, label AS qlabel, v AS qv
+        |      FROM c WHERE id < 50),
+        |sims AS (
+        |  SELECT q.qid, q.qlabel, c.id,
+        |    CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS same,
+        |    list_cosine_similarity(c.v, q.qv) AS cos
+        |  FROM c JOIN q ON c.id <> q.qid),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid, same
+        |    ORDER BY cos DESC, id ASC) AS rn
+        |  FROM sims),
+        |p AS (
+        |  SELECT qid, min(qlabel) AS label,
+        |    max(CASE WHEN same = 1 THEN id END) AS pos_id,
+        |    max(CASE WHEN same = 1 THEN round(cos, 6) END) AS pos_cosine,
+        |    max(CASE WHEN same = 0 THEN id END) AS neg_id,
+        |    max(CASE WHEN same = 0 THEN round(cos, 6) END) AS neg_cosine
+        |  FROM rk WHERE rn = 1 GROUP BY qid)
+        |SELECT qid, label, pos_id, pos_cosine, neg_id, neg_cosine,
+        |  round(pos_cosine - neg_cosine, 6) AS margin
+        |FROM p""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -32,6 +32,54 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.Vectors.dot(a, b)
 
+  /** Contrastive pair mining: per anchor, the nearest SAME-label
+    * neighbor (the positive) and the nearest DIFFERENT-label neighbor
+    * (the hard negative) with their cosines and the margin — the
+    * triplet/InfoNCE training-pair generator for retrieval and
+    * embedding fine-tuning, where random negatives are too easy to
+    * teach anything and the near-boundary ones carry all the gradient.
+    * A small (or negative) margin marks exactly the anchors worth
+    * mining.
+    *
+    * Anchors are bounded by contract and broadcast (the
+    * [[bruteForceTopK]] exact-twin convention — mine hard pairs for a
+    * training SAMPLE; an all-corpus pairing belongs to the LSH/kNN
+    * graph family). The corpus streams map-side, the per-(anchor,
+    * side) rank-1 rows pivot through plain conditional aggregates
+    * (single row per group side — hash-aggregable, the q151 rule). An
+    * anchor whose label no other doc shares keeps null positive
+    * columns rather than vanishing. Self-pairs are excluded by id.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, id: String,
+                    vec: String, label: String): DataFrame = {
+    def side(df: DataFrame, idAs: String, vAs: String, nAs: String,
+             lAs: String) =
+      df.select(col(id).as(idAs), col(vec).cast("array<double>").as(vAs),
+          col(label).as(lAs))
+        .withColumn(nAs, graft.functions.Vectors.norm(col(vAs)))
+    val c = side(corpus, "id", "v", "norm", "label")
+    val q = side(anchors, "qid", "qv", "qnorm", "qlabel")
+    val sims = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("id"),
+        when(col("label") === col("qlabel"), 1).otherwise(0).as("same"),
+        (dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+          .as("cosine"))
+    val w = Window.partitionBy("qid", "same")
+      .orderBy(col("cosine").desc, col("id").asc)
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("qid")
+      .agg(min(col("qlabel")).as("label"),
+        max(when(col("same") === 1, col("id"))).as("pos_id"),
+        max(when(col("same") === 1, round(col("cosine"), 6)))
+          .as("pos_cosine"),
+        max(when(col("same") === 0, col("id"))).as("neg_id"),
+        max(when(col("same") === 0, round(col("cosine"), 6)))
+          .as("neg_cosine"))
+      .withColumn("margin",
+        round(col("pos_cosine") - col("neg_cosine"), 6))
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast); the corpus

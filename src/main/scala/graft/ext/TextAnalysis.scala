@@ -410,6 +410,44 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Content-policy term gate: per document, whole-word hit counts
+    * against a literal blocklist — the bad-words filter every web
+    * curation recipe runs (C4 drops any page with one hit) made
+    * auditable: hit count, DISTINCT terms hit, and the flag, so the
+    * log explains why a page dropped and a threshold sweep can pick
+    * `minHits` (one slur vs a medical page mentioning anatomy once is
+    * exactly the precision question the counts expose).
+    *
+    * Terms are restricted to lowercase alphanumeric words/phrases —
+    * literal text, no metacharacters — which keeps ONE compiled
+    * alternation portable across regex engines (Java and RE2 quote
+    * rules differ; literals don't). Longest-first alternation so an
+    * overlapping phrase ("hash join") beats its prefix word ("hash")
+    * identically under both engines' leftmost-first matching. Matching
+    * is case-insensitive via `lower()`, boundaries are ASCII `\b`
+    * (both engines' default). Null text keeps null counts and a null
+    * flag — the unscorable-row convention.
+    *
+    * Pure map-side projection: one regex pass per document, zero
+    * shuffle, codegen-resident.
+    */
+  def termBlocklistStats(df: DataFrame, id: String, text: String,
+                         terms: Seq[String], minHits: Int = 1): DataFrame = {
+    require(terms.nonEmpty, "termBlocklistStats: empty blocklist")
+    require(minHits >= 1, "minHits must be >= 1")
+    terms.foreach(t => require(t.matches("[a-z0-9]+( [a-z0-9]+)*"),
+      s"blocklist terms must be lowercase alphanumeric words/phrases, " +
+        s"got '$t' — regex metacharacters are not portable across engines"))
+    val pattern = terms.distinct.sortBy(t => (-t.length, t))
+      .mkString("\\b(?:", "|", ")\\b")
+    val hits = regexp_extract_all(lower(col(text)), lit(pattern), lit(0))
+    df.select(col(id),
+      when(col(text).isNotNull, size(hits)).as("n_hits"),
+      when(col(text).isNotNull, size(array_distinct(hits))).as("n_terms"),
+      when(col(text).isNotNull, (size(hits) >= minHits).cast("int"))
+        .as("blocked"))
+  }
+
   /** Gopher-style per-document quality gates as auditable booleans plus
     * the conjunction. Pure map-side arithmetic over counts (reusing the
     * [[qualityScore]] component definitions); the flags — not just a

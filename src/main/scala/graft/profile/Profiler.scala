@@ -445,6 +445,46 @@ object Profiler {
       sum(col("n_distinct")).as("n_distinct"))
   }
 
+  /** Categorical distribution drift between two snapshots of a table —
+    * the tabular twin of [[graft.ext.Similarity.centroidDrift]] (which
+    * watches embeddings) and the monitoring op that catches a
+    * pipeline/config change upstream: per category, both slices'
+    * counts, shares, and the share delta, with categories present in
+    * only one slice carrying count 0 on the other (their appearance or
+    * disappearance IS the strongest drift signal — an inner join would
+    * hide exactly the rows that matter). NULL is a category like any
+    * other (null-safe join key).
+    *
+    * Scale shape: each snapshot partial-aggregates map-side to its
+    * category table; totals derive from those aggregates (never a
+    * second scan) and broadcast back as one-row frames; the outer join
+    * runs at category cardinality. Shares/deltas are exact-integer
+    * counts through one division each — identical doubles in any
+    * engine — snapped at 6 dp for output.
+    */
+  def categoryShareDrift(dfA: DataFrame, dfB: DataFrame,
+                         valueCol: String): DataFrame = {
+    def side(df: DataFrame, cnt: String) =
+      df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(cnt))
+    val a = side(dfA, "cnt_a")
+    val b = side(dfB, "cnt_b")
+    val ta = a.agg(sum(col("cnt_a")).as("__ta"))
+    val tb = b.agg(sum(col("cnt_b")).as("__tb"))
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    a.join(b.withColumnRenamed("value", "__vb"),
+        col("value") <=> col("__vb"), "full_outer")
+      .select(coalesce(col("value"), col("__vb")).as("value"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(ta))
+      .crossJoin(broadcast(tb))
+      .select(col("value"), col("cnt_a"), col("cnt_b"),
+        snap6(col("cnt_a") / col("__ta")).as("share_a"),
+        snap6(col("cnt_b") / col("__tb")).as("share_b"),
+        snap6(col("cnt_a") / col("__ta") - col("cnt_b") / col("__tb"))
+          .as("share_delta"))
+  }
+
   /** k-anonymity audit (Sweeney 2002): one row per equivalence class
     * of the quasi-identifier columns with its size and an `at_risk`
     * flag (class smaller than k) — the re-identification screen a

@@ -529,4 +529,31 @@ class SimilaritySpec extends SparkSpec {
     assert(vecs.values.forall(_.length == 64))
     assert(vecs(0).take(3).toArray === exploded)
   }
+
+  test("hardNegatives: nearest same-label positive, nearest other-label negative, lonely label keeps null positive") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),    // anchor, label 0
+      (2L, Seq(0.9f, 0.1f), 0),    // closest same-label
+      (3L, Seq(0.0f, 1.0f), 0),    // far same-label
+      (4L, Seq(0.95f, 0.05f), 1),  // closest other-label -> hard negative
+      (5L, Seq(-1.0f, 0.0f), 1),   // far other-label
+      (6L, Seq(0.5f, 0.5f), 7)     // anchor with a UNIQUE label
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(org.apache.spark.sql.functions.col("vec_id")
+      .isin(1L, 6L))
+    val out = Similarity.hardNegatives(emb, anchors, "vec_id", "embedding",
+        "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a1 = out(1L)
+    assert(a1.getLong(2) === 2L, "positive = nearest same-label")
+    assert(a1.getLong(4) === 4L, "negative = nearest other-label")
+    assert(a1.getDouble(3) < 1.0 && a1.getDouble(5) > a1.getDouble(3),
+      "4 is closer than 2: the margin must be negative")
+    assert(a1.getDouble(6) < 0.0)
+    val a6 = out(6L)
+    assert(a6.isNullAt(2) && a6.isNullAt(3) && a6.isNullAt(6),
+      "a label nobody shares keeps null positive and null margin")
+    assert(!a6.isNullAt(4), "the negative side still mines")
+    assert(out.size === 2)
+  }
 }

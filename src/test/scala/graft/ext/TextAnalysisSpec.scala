@@ -831,4 +831,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1L) === null)
     assert(rows(2L) === "")
   }
+
+  test("termBlocklistStats: whole-word hits, phrase beats prefix word, null text null") {
+    val docs = Seq(
+      (1L, "the hash join was slow and the scan was slow too"),
+      (2L, "hashing is not a hash hit here"),       // substring must not match
+      (3L, "a hash join inside"),                   // phrase, not bare hash
+      (4L, "Slow START but only one hit"),          // case-insensitive
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.termBlocklistStats(docs, "doc_id", "text",
+        terms = Seq("slow", "hash join", "corrupt"), minHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === ((Some(3), Some(2), Some(1)))) // 2x slow + 1 phrase
+    assert(out(2L) === ((Some(0), Some(0), Some(0))), "hashing/hash alone")
+    assert(out(3L) === ((Some(1), Some(1), Some(0))), "phrase wins, below minHits")
+    assert(out(4L) === ((Some(1), Some(1), Some(0))))
+    assert(out(5L) === ((None, None, None)), "null text is unscorable")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.termBlocklistStats(docs, "doc_id", "text", Seq("a.b"))
+    }
+  }
 }

@@ -252,4 +252,21 @@ class ProfilerSpec extends SparkSpec {
       Profiler.kAnonymityLDiversityDF(df, Seq("lang"), "lang")
     }
   }
+
+  test("categoryShareDrift: one-sided categories keep zero rows; shares snap exactly") {
+    val a = Seq("x", "x", "y", "z", null.asInstanceOf[String])
+      .toDF("event_type")
+    val b = Seq("x", "y", "y", "y").toDF("event_type")
+    val out = Profiler.categoryShareDrift(a, b, "event_type")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(Some("x")) === ((2L, 1L, 0.4, 0.25, 0.15)))
+    assert(out(Some("y")) === ((1L, 3L, 0.2, 0.75, -0.55)))
+    assert(out(Some("z")) === ((1L, 0L, 0.2, 0.0, 0.2)),
+      "a category that vanished must keep a zero row")
+    assert(out(None) === ((1L, 0L, 0.2, 0.0, 0.2)),
+      "null is a category like any other")
+    assert(out.size === 4)
+  }
 }
