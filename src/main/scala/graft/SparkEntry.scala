@@ -2340,6 +2340,38 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.ext.Similarity.hardNegatives(
         emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label")
+    }),
+
+    // --- t-closeness (Li 2007): the rung above q160/q161 — a class
+    // that is k-anonymous and l-diverse still leaks when its sensitive
+    // MIX diverges from the table's (90% one language in a 10%-base-
+    // rate table discloses by membership). Per class the total-
+    // variation distance to the global lang distribution, in exact
+    // integer arithmetic (one correctly-rounded division at the edge),
+    // with the mass of values ABSENT from the class counted too.
+    "q165_t_closeness" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id").isNotNull)
+        .select(col("source"), expr("n_chars DIV 200").as("len_bucket"),
+          col("lang"))
+      graft.profile.Profiler.tClosenessDF(docs,
+        Seq("source", "len_bucket"), sensitiveCol = "lang", t = 0.2)
+    }),
+
+    // --- Numeric drift monitor: the q163 pattern for a CONTINUOUS
+    // column — fixed-width histogram (out-of-range clamps into the
+    // edge bins, so a tail excursion shows up instead of vanishing)
+    // plus binned-CDF KS and TVD statistics, exact by integer
+    // arithmetic. Planted regression: slice B's 'view' events shift
+    // +4.0 (an upstream unit change). Width 64/32 = 2.0 is exactly
+    // representable, so binning is bit-identical in any engine.
+    "q166_numeric_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_id").isNotNull)
+      val a = ev.filter(col("event_id") % 2 === 0).select(col("value"))
+      val b = ev.filter(col("event_id") % 2 === 1)
+        .select(when(col("event_type") === "view", col("value") + lit(4.0))
+          .otherwise(col("value")).as("value"))
+      graft.profile.Profiler.numericDriftDF(a, b, "value",
+        lo = 0.0, hi = 64.0, nBins = 32)
     })
   )
 
@@ -4217,6 +4249,75 @@ object SparkEntry {
         |SELECT qid, label, pos_id, pos_cosine, neg_id, neg_cosine,
         |  round(pos_cosine - neg_cosine, 6) AS margin
         |FROM p""".stripMargin,
+    // q165: the TVD in exact integer arithmetic (HUGEINT products ≡
+    // Spark's DECIMAL(38,0)), one correctly-rounded division at the
+    // edge, snapped at 6dp; the `cs*(n - sum_nv)` term folds the mass
+    // of sensitive values ABSENT from the class.
+    "q165_t_closeness" ->
+      """WITH cv AS (
+        |  SELECT source, n_chars // 200 AS len_bucket, lang AS sv,
+        |    CAST(count(*) AS HUGEINT) AS n_cv
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2, 3),
+        |gv AS (SELECT sv, sum(n_cv) AS n_v FROM cv GROUP BY 1),
+        |tot AS (SELECT sum(n_v) AS n FROM gv),
+        |w AS (SELECT cv.*, sum(n_cv) OVER (PARTITION BY source, len_bucket)
+        |        AS cs FROM cv),
+        |j AS (SELECT w.source, w.len_bucket, w.cs, w.n_cv, g.n_v, t.n
+        |      FROM w JOIN gv g ON w.sv IS NOT DISTINCT FROM g.sv
+        |      CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT source, len_bucket, max(cs) AS cs,
+        |    sum(abs(n_cv * n - n_v * cs)) AS sum_term,
+        |    sum(n_v) AS sum_nv, max(n) AS n
+        |  FROM j GROUP BY 1, 2)
+        |SELECT source, len_bucket, CAST(cs AS BIGINT) AS class_size,
+        |  floor(CAST(sum_term + cs * (n - sum_nv) AS DOUBLE)
+        |    / CAST(2 * cs * n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS tvd,
+        |  CAST(floor(CAST(sum_term + cs * (n - sum_nv) AS DOUBLE)
+        |    / CAST(2 * cs * n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    > 0.2 AS INT) AS at_risk
+        |FROM agg""".stripMargin,
+    // q166: binning is floor((x-lo)/2.0) with an exactly-representable
+    // width — bit-identical in both engines; KS/TVD are HUGEINT
+    // cross-products with ONE correctly-rounded division each, snapped
+    // at 6dp; the planted +4.0 view shift replays exactly.
+    "q166_numeric_drift" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events
+        |            WHERE event_id IS NOT NULL),
+        |av AS (SELECT value AS x FROM ev WHERE event_id % 2 = 0),
+        |bv AS (SELECT CASE WHEN event_type = 'view' THEN value + 4.0
+        |         ELSE value END AS x
+        |       FROM ev WHERE event_id % 2 = 1),
+        |ab AS (SELECT CAST(least(greatest(floor((x - 0.0) / 2.0), 0.0),
+        |           31.0) AS BIGINT) AS bin,
+        |         CAST(count(*) AS HUGEINT) AS cnt_a
+        |       FROM av WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
+        |bb AS (SELECT CAST(least(greatest(floor((x - 0.0) / 2.0), 0.0),
+        |           31.0) AS BIGINT) AS bin,
+        |         CAST(count(*) AS HUGEINT) AS cnt_b
+        |       FROM bv WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1),
+        |j AS (SELECT COALESCE(ab.bin, bb.bin) AS bin,
+        |        COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        |      FROM ab FULL OUTER JOIN bb ON ab.bin = bb.bin),
+        |t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM j),
+        |r AS (SELECT j.bin, j.cnt_a, j.cnt_b, t.na, t.nb,
+        |        abs(sum(j.cnt_a) OVER w * t.nb
+        |          - sum(j.cnt_b) OVER w * t.na) AS dev,
+        |        abs(j.cnt_a * t.nb - j.cnt_b * t.na) AS term
+        |      FROM j CROSS JOIN t
+        |      WINDOW w AS (ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+        |  CAST(cnt_b AS BIGINT) AS cnt_b,
+        |  floor(CAST(dev AS DOUBLE) / CAST(na * nb AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cum_dev,
+        |  floor(CAST(max(dev) OVER () AS DOUBLE) / CAST(na * nb AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+        |  floor(CAST(sum(term) OVER () AS DOUBLE)
+        |    / (2.0 * CAST(na * nb AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS tvd
+        |FROM r""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

@@ -534,6 +534,136 @@ object Profiler {
         (col("class_size") < k || col("l_diversity") < l).cast("int"))
   }
 
+  /** Numeric distribution drift between two snapshots — the numeric
+    * twin of [[categoryShareDrift]]: a fixed-width histogram (caller
+    * supplies `lo`/`hi`/`nBins`; out-of-range values clamp into the
+    * edge bins so a tail excursion is VISIBLE, not dropped) plus the
+    * two classical two-sample statistics on the binned data, engine-
+    * exact by integer arithmetic:
+    *
+    *  - `ks_stat` = max_bin |cumA·Nb − cumB·Na| / (Na·Nb) — the
+    *    Kolmogorov–Smirnov statistic of the binned CDFs (bins empty on
+    *    both sides cannot move it, so only observed bins are carried);
+    *  - `tvd`     = Σ_bin |cntA·Nb − cntB·Na| / (2·Na·Nb).
+    *
+    * Products ride DECIMAL(38,0); each statistic is ONE division of
+    * exactly-represented integers (correctly rounded in any engine),
+    * snapped at 6dp. PSI is deliberately NOT emitted: it needs `ln`,
+    * which is not correctly-rounded-portable (SCALE.md ranking rule) —
+    * TVD + KS carry the same drift signal exactly.
+    *
+    * Scale shape: each snapshot partial-aggregates map-side to ≤nBins
+    * rows; everything after the two aggregates (outer join, running
+    * sums, totals) runs at bin cardinality — the unpartitioned windows
+    * are single-task over ≤nBins rows by construction. Null/NaN values
+    * are excluded (drift is over observed values).
+    */
+  def numericDriftDF(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                     lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / nBins
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def side(df: DataFrame, cnt: String) =
+      df.select(col(valueCol).cast("double").as("__x"))
+        .filter(col("__x").isNotNull && !isnan(col("__x")))
+        .select(least(greatest(floor((col("__x") - lit(lo)) / lit(width)),
+          lit(0.0)), lit((nBins - 1).toDouble)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val a = side(dfA, "cnt_a")
+    val b = side(dfB, "cnt_b")
+    val bins = a.join(b.withColumnRenamed("bin", "__bb"),
+        col("bin") === col("__bb"), "full_outer")
+      .select(coalesce(col("bin"), col("__bb")).as("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = bins.agg(sum(col("cnt_a")).as("__na"),
+      sum(col("cnt_b")).as("__nb"))
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ok = col("__na") > 0 && col("__nb") > 0
+    val nanb = (dec(col("__na")) * dec(col("__nb"))).cast("double")
+    bins.crossJoin(broadcast(tot))
+      .withColumn("__dev",
+        abs(dec(sum(col("cnt_a")).over(run)) * dec(col("__nb")) -
+          dec(sum(col("cnt_b")).over(run)) * dec(col("__na"))))
+      .withColumn("__term",
+        abs(dec(col("cnt_a")) * dec(col("__nb")) -
+          dec(col("cnt_b")) * dec(col("__na"))))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        when(ok, snap6(col("__dev").cast("double") / nanb)).as("cum_dev"),
+        when(ok, snap6(max(col("__dev")).over(all).cast("double") / nanb))
+          .as("ks_stat"),
+        when(ok, snap6(sum(col("__term")).over(all).cast("double") /
+          (lit(2.0) * nanb))).as("tvd"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007): the rung
+    * above [[kAnonymityLDiversityDF]] — a class can be k-anonymous AND
+    * l-diverse yet still leak, when its sensitive-value MIX differs
+    * sharply from the table's (a class that is 90% one diagnosis in a
+    * 10%-base-rate table discloses by membership). Per quasi-identifier
+    * class: size and the total-variation distance between the class's
+    * sensitive distribution and the global one (the categorical
+    * instance of the paper's EMD), flagged above `t`.
+    *
+    * Engine-exact by integer arithmetic: with class counts `n_cv`,
+    * class size `cs`, global value counts `n_v` and table size `N`,
+    *
+    *   TVD = ( Σ_{v∈class} |n_cv·N − n_v·cs|  +  cs·(N − Σ_{v∈class} n_v) )
+    *         / (2·cs·N)
+    *
+    * (the second term folds every value ABSENT from the class, whose
+    * |0 − p_v| contributions an in-class join would silently drop).
+    * Products ride DECIMAL(38,0) — n_cv·N overflows Long past ~3e9
+    * rows — and the single division of two exactly-represented
+    * integers is correctly rounded in any engine, then snapped at 6dp.
+    * NULL is a sensitive value like any other (null-safe value join).
+    *
+    * Scale shape: one shuffle at (class × value) cardinality, the
+    * class-size window and the final per-class aggregate ride the same
+    * quasi-key partitioning, and the value-cardinality global table
+    * broadcasts.
+    */
+  def tClosenessDF(df: DataFrame, quasiCols: Seq[String],
+                   sensitiveCol: String, t: Double = 0.2): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    require(t > 0.0 && t <= 1.0, "t must be in (0, 1]")
+    val qc = quasiCols.map(col)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cv = df.groupBy((qc :+ col(sensitiveCol).as("__sv")): _*)
+      .agg(count(lit(1)).as("__n_cv"))
+    val glob = cv.groupBy(col("__sv").as("__gv"))
+      .agg(sum(col("__n_cv")).as("__n_v"))
+    val tot = glob.agg(sum(col("__n_v")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qc: _*)
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    cv.withColumn("__cs", sum(col("__n_cv")).over(w))
+      .join(broadcast(glob), col("__sv") <=> col("__gv"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term",
+        abs(dec(col("__n_cv")) * dec(col("__n")) -
+          dec(col("__n_v")) * dec(col("__cs"))))
+      .groupBy(qc: _*)
+      .agg(max(col("__cs")).as("class_size"),
+        sum(col("__term")).as("__sum_term"),
+        sum(dec(col("__n_v"))).as("__sum_nv"),
+        max(col("__n")).as("__N"))
+      .select((qc :+ col("class_size") :+
+        snap6((col("__sum_term") +
+            dec(col("class_size")) * (dec(col("__N")) - col("__sum_nv")))
+          .cast("double") /
+          (dec(lit(2)) * dec(col("class_size")) * dec(col("__N")))
+            .cast("double")).as("tvd")): _*)
+      .withColumn("at_risk", (col("tvd") > t).cast("int"))
+  }
+
   // --------------------------------------------------------------------
   // Full profile (driver-sized result: one struct per column)
   // --------------------------------------------------------------------

@@ -149,7 +149,12 @@ class PlanAuditSpec extends SparkSpec {
       // (the corpus-scale projection itself is map-side, pinned below)
       "q143_mutual_knn_clusters", "q144_random_projection",
       // q146: the grand-total one-row crossJoin(broadcast) attach
-      "q145_knn_density", "q146_distinctive_terms")
+      "q145_knn_density", "q146_distinctive_terms",
+      // q163: the two one-row snapshot-totals aggregates crossJoin
+      // (broadcast) onto the category table — the q113 identity shape;
+      // q164: q20's broadcast anchor-slice non-equi join (anchors are
+      // the fixed bounded slice, the corpus streams map-side)
+      "q163_share_drift", "q164_hard_negatives")
 
   test("q144 (random projection): the projection itself is map-side, " +
       "zero exchanges") {

@@ -253,6 +253,58 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("numericDriftDF: clamped bins, exact KS and TVD, one-sided bins kept") {
+    val a = Seq(1.0, 1.0, 3.0, 5.0, 9.0).toDF("v")          // Na = 5
+    val b = Seq(0.0, 2.0, 2.0, 6.0, 11.0, -1.0).toDF("v")    // Nb = 6
+    val out = Profiler.numericDriftDF(a, b, "v", lo = 0.0, hi = 10.0,
+        nBins = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // 11.0 and -1.0 clamp into the edge bins instead of vanishing
+    assert(out(0L) === ((2L, 2L, 0.066667, 0.133333, 0.3)))
+    assert(out(1L) === ((1L, 2L, 0.066667, 0.133333, 0.3)))
+    assert(out(2L) === ((1L, 0L, 0.133333, 0.133333, 0.3)),
+      "a bin present on one side only must keep its zero row")
+    assert(out(3L) === ((0L, 1L, 0.033333, 0.133333, 0.3)))
+    assert(out(4L) === ((1L, 1L, 0.0, 0.133333, 0.3)))
+    assert(out.size === 5)
+    // identical snapshots: zero drift on every statistic
+    val same = Profiler.numericDriftDF(a, a, "v", 0.0, 10.0, 5)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(same.forall(_ == ((0.0, 0.0, 0.0))))
+    // an empty side yields null statistics, never NaN
+    val empty = a.filter(org.apache.spark.sql.functions.col("v") < -100)
+    val nulls = Profiler.numericDriftDF(a, empty, "v", 0.0, 10.0, 5)
+      .collect()
+    assert(nulls.nonEmpty && nulls.forall(r => r.isNullAt(3) &&
+      r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("tClosenessDF: TVD vs the global sensitive mix, absent values counted, null is a value") {
+    val df = Seq(
+      // global mix: en 5/8, fr 2/8, null 1/8
+      ("web", "en"), ("web", "en"), ("web", "en"), ("web", "en"),
+      ("pdf", "en"), ("pdf", "fr"),
+      ("api", "fr"), ("api", null.asInstanceOf[String])
+    ).toDF("source", "lang")
+    val out = Profiler.tClosenessDF(df, Seq("source"), "lang", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    // web: all-en, TVD = (|4*8-5*4| + 4*(8-5)) / (2*4*8) = 0.375
+    assert(out("web") === ((4L, 0.375, 1)),
+      "a class skewed to the majority value still leaks")
+    // pdf: {en .5, fr .5} vs {.625, .25, .125} -> 0.25 (the absent
+    // null value's mass must be counted, not dropped by the join)
+    assert(out("pdf") === ((2L, 0.25, 0)))
+    // api: {fr .5, null .5} -> 0.625; "withheld" is a sensitive value
+    assert(out("api") === ((2L, 0.625, 1)))
+    assert(out.size === 3)
+    intercept[IllegalArgumentException] {
+      Profiler.tClosenessDF(df, Seq("lang"), "lang")
+    }
+  }
+
   test("categoryShareDrift: one-sided categories keep zero rows; shares snap exactly") {
     val a = Seq("x", "x", "y", "z", null.asInstanceOf[String])
       .toDF("event_type")
