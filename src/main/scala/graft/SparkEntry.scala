@@ -58,6 +58,12 @@ object SparkEntry {
     * snapped weights, then the integer-exact rank-AUC fold. */
   @volatile private var trainedCv153
       : Option[Seq[(Int, Array[Double], Double)]] = None
+  /** (means, axes) — q168 estimates the PCA basis in-engine (float
+    * covariance sums are shuffle-order-dependent, so the basis is a
+    * per-run capture) and the oracle replays the PROJECTION with the
+    * captured literals. */
+  @volatile private var pcaBasis168
+      : Option[(Array[Double], Array[Array[Double]])] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -2372,6 +2378,32 @@ object SparkEntry {
           .otherwise(col("value")).as("value"))
       graft.profile.Profiler.numericDriftDF(a, b, "value",
         lo = 0.0, hi = 64.0, nBins = 32)
+    }),
+
+    // --- UniMax token-budget allocation: where q108 realizes a CHOSEN
+    // mixture, this answers the prior question — 30k tokens to spend,
+    // at most 0.3 epochs over any language: who gets how much? Integer
+    // water-filling (saturated prefix at cap, even split + deterministic
+    // remainder for the rest), so the SQL replay is bit-exact.
+    "q167_unimax_budget" -> ((s, dir) =>
+      graft.ext.Sampling.tokenBudgetWaterfall(
+        Tables.documents(s, dir).filter(col("doc_id").isNotNull),
+        "lang", "n_chars", totalBudget = 30000L, maxEpochs = 0.3)),
+
+    // --- PCA projection: the data-adapted reduction next to q144's
+    // oblivious JL — basis from one distributed covariance pass
+    // (dim×dim eigenproblem on the driver, the tall-skinny shape),
+    // sign-canonicalized; the projection is the same codegen'd
+    // ascending-index matVec fold q144 uses, with the centering folded
+    // into one literal per axis. Basis captured → oracle replays the
+    // projection with the captured literals (the q40/q110 pattern).
+    "q168_pca_projection" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (means, axes) = graft.ext.Similarity.pcaBasis(
+        emb, "vec_id", "embedding", dim = 64, k = 4)
+      pcaBasis168 = Some((means, axes))
+      graft.ext.Similarity.pcaProjectWith(
+        emb, "vec_id", "embedding", 64, means, axes)
     })
   )
 
@@ -2724,6 +2756,29 @@ object SparkEntry {
     * double order, cosines round(6)-snapped and the ratio floor-snapped
     * (min sampled pair distance is ~1.07, so the d2o > 0 branch is
     * never snap-fragile). */
+  /** q168 replay: captured PCA axes + centering constants as literals;
+    * `list_inner_product` is the same ascending-index fold as the
+    * engine's matVec, the centering subtracts the SAME driver-derived
+    * literal ([[graft.ext.Similarity.pcaCenters]]), then the shared
+    * floor-snap. The validity filter mirrors the engine's (null,
+    * wrong-length and null-element vectors dropped). */
+  private def pcaProjectionOracleSql(means: Array[Double],
+                                     axes: Array[Array[Double]]): String = {
+    val centers = graft.ext.Similarity.pcaCenters(means, axes)
+    val cols = axes.indices.map { j =>
+      s"floor((list_inner_product(CAST([${axes(j).mkString(", ")}] " +
+        s"AS DOUBLE[]), v) - (${centers(j)})) * 1e6 + 0.5) / 1e6 " +
+        s"AS pc${j + 1}"
+    }.mkString(",\n  ")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings
+       |           WHERE embedding IS NOT NULL AND len(embedding) = 64
+       |             AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+       |SELECT vec_id,
+       |  $cols
+       |FROM s""".stripMargin
+  }
+
   private def randomProjectionOracleSql(outDim: Int = 8,
                                         dim: Int = 64): String = {
     val rows = graft.ext.Similarity.md5SignMatrix(outDim, dim)
@@ -3143,7 +3198,9 @@ object SparkEntry {
       "q121_semdedup" -> semDedupOracleSql(c, tau) } ++
     trainedLr148.map { case (w, b) =>
       "q148_trained_classifier" -> trainedClassifierOracleSql(w, b) } ++
-    trainedCv153.map(ms => "q153_kfold_cv" -> kfoldCvOracleSql(ms))
+    trainedCv153.map(ms => "q153_kfold_cv" -> kfoldCvOracleSql(ms)) ++
+    pcaBasis168.map { case (m, a) =>
+      "q168_pca_projection" -> pcaProjectionOracleSql(m, a) }
 
   /** q121 replay: captured centroids → argmin-euclid cell assignment
     * (the q40 CTE), per-member centroid cosine (the engine's exact
@@ -4318,6 +4375,47 @@ object SparkEntry {
         |    / (2.0 * CAST(na * nb AS DOUBLE)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS tvd
         |FROM r""".stripMargin,
+    // q167: the waterfall is pure integer arithmetic over the sorted
+    // cap table — saturation test, floor-division level, and the
+    // first-(B-Sk mod m)-groups remainder rule replay verbatim.
+    "q167_unimax_budget" ->
+      """WITH g AS (
+        |  SELECT CAST(lang AS VARCHAR) AS lang,
+        |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS tokens
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+        |c AS (SELECT lang, tokens,
+        |    CAST(floor(CAST(tokens AS DOUBLE) * 0.3) AS BIGINT) AS cap
+        |  FROM g),
+        |w AS (SELECT lang, tokens, cap,
+        |    row_number() OVER (ORDER BY cap ASC, lang ASC NULLS LAST)
+        |      AS rn,
+        |    sum(cap) OVER (ORDER BY cap ASC, lang ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM c),
+        |sat AS (SELECT *,
+        |    CAST(CAST(cap AS HUGEINT) * (n - rn + 1) + s - cap
+        |      <= 30000 AS INT) AS saturated
+        |  FROM w),
+        |kk AS (SELECT *,
+        |    CAST(sum(saturated) OVER () AS BIGINT) AS k,
+        |    CAST(coalesce(sum(CASE WHEN saturated = 1 THEN cap END)
+        |      OVER (), 0) AS BIGINT) AS sk
+        |  FROM sat)
+        |SELECT lang, tokens, cap,
+        |  CASE WHEN saturated = 1 THEN cap
+        |    ELSE (30000 - sk) // (n - k) +
+        |      CASE WHEN rn - k <= (30000 - sk) % (n - k)
+        |        THEN 1 ELSE 0 END END AS alloc,
+        |  saturated,
+        |  CASE WHEN tokens > 0 THEN
+        |    floor(CAST(CASE WHEN saturated = 1 THEN cap
+        |      ELSE (30000 - sk) // (n - k) +
+        |        CASE WHEN rn - k <= (30000 - sk) % (n - k)
+        |          THEN 1 ELSE 0 END END AS DOUBLE)
+        |      / CAST(tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS epochs_used
+        |FROM kk""".stripMargin,
     // q138: the Morton interleave replayed as the same fixed-order
     // 64-bit integer fold (shifts/masks/adds are exact in any engine);
     // order day = CAST to DATE minus epoch, the q41/q66 convention.

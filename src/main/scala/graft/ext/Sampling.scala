@@ -201,6 +201,75 @@ object Sampling {
             col("ts") * col("t_max"))).as("kept"))
   }
 
+  /** UniMax-style token-budget allocation (Chung et al. 2023): where
+    * [[mixturePlan]] realizes a CHOSEN mixture, this op answers the
+    * prior question — with `totalBudget` tokens to spend and at most
+    * `maxEpochs` passes over any group, how much does each group get?
+    * Water-filling: every group's cap is `floor(tokens·maxEpochs)`;
+    * budget pours equally into all groups, groups that hit their cap
+    * saturate, and the overflow re-pours into the rest — the mixture
+    * that maximizes low-resource share without over-repeating anyone.
+    *
+    * Entirely integer arithmetic, so a SQL oracle replays it exactly:
+    * with caps sorted ascending (group name tiebreak), the saturated
+    * set is the prefix where `cap_i·(n−i+1) + S_{i−1} ≤ B` (filling
+    * every remaining group at level cap_i still fits; the left side is
+    * nondecreasing in i, so the cut is well-defined); the rest receive
+    * `λ = (B − S_k) div (n−k)` each, with the remainder distributed
+    * +1 to the first `(B − S_k) mod (n−k)` of them in sort order.
+    * Allocations sum to exactly min(B, Σcap) — no float drift to
+    * reconcile. Products ride DECIMAL(38,0) (cap × group-count can
+    * overflow Long at extreme budgets).
+    *
+    * Output per group: `tokens` available, `cap`, `alloc`, `saturated`
+    * flag, and `epochs_used` = alloc/tokens (6 dp; NULL for an empty
+    * group). Scale shape: ONE partial-aggregated groupBy over the
+    * corpus; the waterfall itself runs at group cardinality (languages,
+    * sources — small by nature), where the unpartitioned windows are
+    * single-task by construction.
+    */
+  def tokenBudgetWaterfall(df: DataFrame, groupCol: String,
+                           tokensCol: String, totalBudget: Long,
+                           maxEpochs: Double): DataFrame = {
+    require(totalBudget >= 0L, "totalBudget must be non-negative")
+    require(maxEpochs > 0.0, "maxEpochs must be positive")
+    val dec = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val byGroup = df
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).cast("long").as("tokens"))
+      .withColumn("cap",
+        floor(col("tokens").cast("double") * lit(maxEpochs)).cast("long"))
+    val ord = Window.orderBy(col("cap").asc, col("group").asc_nulls_last)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val b = lit(totalBudget)
+    byGroup
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__s", sum(col("cap")).over(run))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__sat",
+        (dec(col("cap")) * dec(col("__n") - col("__rn") + lit(1)) +
+          dec(col("__s")) - dec(col("cap")) <= dec(b)).cast("int"))
+      .withColumn("__k", sum(col("__sat")).over(all))
+      .withColumn("__sk",
+        coalesce(sum(when(col("__sat") === 1, col("cap"))).over(all),
+          lit(0L)))
+      .withColumn("alloc",
+        when(col("__sat") === 1, col("cap")).otherwise(
+          expr(s"(${totalBudget}L - __sk) DIV (__n - __k)") +
+            when(col("__rn") - col("__k") <=
+              expr(s"(${totalBudget}L - __sk) % (__n - __k)"),
+              lit(1L)).otherwise(lit(0L))))
+      .withColumn("epochs_used",
+        when(col("tokens") > 0,
+          snap6(col("alloc").cast("double") / col("tokens").cast("double"))))
+      .select(col("group").as(groupCol), col("tokens"), col("cap"),
+        col("alloc"), col("__sat").as("saturated"), col("epochs_used"))
+  }
+
   /** Exact k-quantile bucket per row (`bucket` ∈ 1..k) via `ntile` over
     * a GLOBAL order. Correct and oracle-checkable, but the empty
     * partitionBy serializes the sort into one task — fine for

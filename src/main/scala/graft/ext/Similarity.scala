@@ -322,6 +322,76 @@ object Similarity {
       graft.functions.Vectors.matVec(col(vec),
         md5SignMatrix(outDim, dim)).as("proj"))
 
+  /** Exact PCA basis over an embedding column: the data-adapted
+    * counterpart of [[randomProjection]] (JL preserves distances
+    * obliviously; PCA concentrates VARIANCE, the right reduction
+    * before clustering/SemDeDup when the corpus has structure). One
+    * distributed covariance pass (`RowMatrix.computePrincipalComponents`
+    * — covariance via one treeAggregate, eigendecomposition of the
+    * dim×dim Gram on the driver: dim is 64-1024 for embeddings, the
+    * classic tall-skinny shape) plus one column-means pass. Returns
+    * `(means, axes)` with axes as k rows × dim cols, each axis
+    * sign-canonicalized (largest-|entry| component positive, index
+    * tiebreak low) so the basis is unique, not SVD-sign-arbitrary.
+    *
+    * Float covariance sums are shuffle-order-dependent, so the basis
+    * is captured per run and REPLAYED as literals (the q40/q110
+    * captured-params convention) — never recomputed by an oracle.
+    */
+  def pcaBasis(df: DataFrame, id: String, vec: String, dim: Int,
+               k: Int): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val noNulls = prep(df, id, vec, "id", "v", "norm")
+      .filter(col("v").isNotNull && !exists(col("v"), x => x.isNull) &&
+        size(col("v")) === dim)
+    val rows = noNulls.select("v").rdd
+      .map(r => org.apache.spark.mllib.linalg.Vectors.dense(
+        r.getSeq[Double](0).toArray))
+    val mat = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+    val means = mat.computeColumnSummaryStatistics().mean.toArray
+    val pc = mat.computePrincipalComponents(k) // dim × k, column-major
+    val axes = Array.tabulate(k, dim)((j, i) => pc(i, j))
+    axes.foreach { a =>
+      val pivot = a.indices.maxBy(i => (math.abs(a(i)), -i))
+      if (a(pivot) < 0) a.indices.foreach(i => a(i) = -a(i))
+    }
+    (means, axes)
+  }
+
+  /** The per-axis centering constants `c_j = <means, axis_j>` — ONE
+    * shared derivation (ascending-index fold) so the Spark plan and a
+    * generated oracle consume bit-identical literals. */
+  def pcaCenters(means: Array[Double],
+                 axes: Array[Array[Double]]): Array[Double] =
+    axes.map(a => means.indices.foldLeft(0.0)((s, i) => s + means(i) * a(i)))
+
+  /** Project an embedding column onto a captured PCA basis: per axis
+    * `pc_j = snap6( <v, axis_j> − c_j )` with `c_j = <means, axis_j>`
+    * folded into one driver-side literal — the centering never touches
+    * the per-row hot path, and the inner product is the same codegen'd
+    * ascending-index fold [[randomProjection]] uses
+    * ([[graft.functions.Vectors.matVec]]), replayed verbatim by
+    * DuckDB's `list_inner_product`. Pure map-side, zero shuffle.
+    * Malformed vectors (null, wrong length, null element) are dropped,
+    * matching the basis estimation filter.
+    */
+  def pcaProjectWith(df: DataFrame, id: String, vec: String, dim: Int,
+                     means: Array[Double],
+                     axes: Array[Array[Double]]): DataFrame = {
+    require(axes.nonEmpty && axes.forall(_.length == dim),
+      "axes must be k rows of dim cols")
+    require(means.length == dim, "means must have dim entries")
+    val centers = pcaCenters(means, axes)
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    df.filter(col(vec).isNotNull &&
+        !exists(col(vec), x => x.isNull) && size(col(vec)) === dim)
+      .select(col(id).cast("long").as(id) +:
+        axes.indices.map { j =>
+          snap6(element_at(graft.functions.Vectors.matVec(col(vec),
+            Array(axes(j))), 1) - lit(centers(j))).as(s"pc${j + 1}")
+        }: _*)
+  }
+
   /** k-NN label prediction: each query's label is the majority label of
     * its k nearest corpus neighbors by cosine; vote ties break to the
     * smaller label, so classification is deterministic.

@@ -154,7 +154,23 @@ class PlanAuditSpec extends SparkSpec {
       // (broadcast) onto the category table — the q113 identity shape;
       // q164: q20's broadcast anchor-slice non-equi join (anchors are
       // the fixed bounded slice, the corpus streams map-side)
-      "q163_share_drift", "q164_hard_negatives")
+      "q163_share_drift", "q164_hard_negatives",
+      // q165/q166: the one-row totals aggregate crossJoins (broadcast)
+      // onto the class/bin table — the q113 identity shape again
+      "q165_t_closeness", "q166_numeric_drift")
+
+  test("q168 (pca projection): the projection is map-side codegen, " +
+      "zero exchanges") {
+    val emb = io.Tables.embeddings(spark, dir)
+    val (m, a) = graft.ext.Similarity.pcaBasis(
+      emb, "vec_id", "embedding", dim = 64, k = 2)
+    val p = graft.ext.Similarity.pcaProjectWith(
+        emb, "vec_id", "embedding", 64, m, a)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(exchanges(p) === 0,
+      s"pca projection must ride the scan, never shuffle:\n$p")
+    assert(p.contains("mat_vec"), "expected the codegen matVec fold")
+  }
 
   test("q144 (random projection): the projection itself is map-side, " +
       "zero exchanges") {

@@ -492,6 +492,33 @@ class SamplingSpec extends SparkSpec {
     assert(viaComponent === viaKey)
   }
 
+  test("tokenBudgetWaterfall: saturated prefix capped, rest split evenly, remainder deterministic") {
+    import spark.implicits._
+    val df = Seq(("a", 100L), ("b", 300L), ("c", 1000L), ("d", 0L))
+      .toDF("lang", "toks")
+    def run(b: Long) =
+      Sampling.tokenBudgetWaterfall(df, "lang", "toks", b, maxEpochs = 2.0)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+            Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // caps: a 200, b 600, c 2000, d 0; B = 1000 -> a,d saturate,
+    // b and c split the remaining 800 evenly
+    val out = run(1000L)
+    assert(out("a") === ((100L, 200L, 200L, 1, Some(2.0))))
+    assert(out("b") === ((300L, 600L, 400L, 0, Some(1.333333))))
+    assert(out("c") === ((1000L, 2000L, 400L, 0, Some(0.4))))
+    assert(out("d") === ((0L, 0L, 0L, 1, None)),
+      "an empty group saturates at zero, never divides by zero")
+    assert(out.values.map(_._3).sum === 1000L, "allocations spend exactly B")
+    // B = 1001: the odd token goes to the FIRST unsaturated group in
+    // (cap, name) order — deterministic, not engine-dependent
+    val odd = run(1001L)
+    assert(odd("b")._3 === 401L && odd("c")._3 === 400L)
+    // budget above total capacity: everyone saturates at cap
+    val rich = run(5000L)
+    assert(rich.values.forall(v => v._3 === v._2 && v._4 === 1))
+  }
+
   test("splitByComponent rejects null keys loudly") {
     import spark.implicits._
     val docs = Seq(Some(1L), Some(2L), None).toDF("id")

@@ -556,4 +556,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!a6.isNullAt(4), "the negative side still mines")
     assert(out.size === 2)
   }
+
+  test("pcaBasis/pcaProjectWith: line data recovers its axis, sign canonical, malformed rows dropped") {
+    import spark.implicits._
+    // points on the line t·(3,4): PC1 is exactly ±(0.6, 0.8); the sign
+    // canon (largest-|entry| positive) pins (0.6, 0.8), so pc1 = 5t
+    val emb = Seq(
+      (1L, Seq(-6.0f, -8.0f)), (2L, Seq(-3.0f, -4.0f)),
+      (3L, Seq(3.0f, 4.0f)), (4L, Seq(6.0f, 8.0f)),
+      (5L, null.asInstanceOf[Seq[Float]]),       // dropped: null vector
+      (6L, Seq(1.0f))                            // dropped: wrong dim
+    ).toDF("vec_id", "embedding")
+    val (means, axes) = Similarity.pcaBasis(emb, "vec_id", "embedding",
+      dim = 2, k = 1)
+    assert(means(0) === 0.0 && means(1) === 0.0)
+    assert(math.abs(axes(0)(0) - 0.6) < 1e-9 &&
+      math.abs(axes(0)(1) - 0.8) < 1e-9,
+      s"PC1 must be the canonical (0.6, 0.8), got ${axes(0).toSeq}")
+    val proj = Similarity.pcaProjectWith(emb, "vec_id", "embedding", 2,
+        means, axes)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj === Map(1L -> -10.0, 2L -> -5.0, 3L -> 5.0, 4L -> 10.0))
+    // an off-center cloud: centering must zero the projection mean
+    val off = Seq((1L, Seq(10.0f, 0.0f)), (2L, Seq(12.0f, 0.0f)),
+      (3L, Seq(14.0f, 0.0f)), (4L, Seq(16.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (m2, a2) = Similarity.pcaBasis(off, "vec_id", "embedding", 2, 1)
+    val p2 = Similarity.pcaProjectWith(off, "vec_id", "embedding", 2, m2, a2)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(p2.sum) < 1e-6, "projections of a centered axis sum to 0")
+    assert(p2.max === 3.0 && p2.min === -3.0)
+  }
 }
