@@ -2404,6 +2404,24 @@ object SparkEntry {
       pcaBasis168 = Some((means, axes))
       graft.ext.Similarity.pcaProjectWith(
         emb, "vec_id", "embedding", 64, means, axes)
+    }),
+
+    // --- Cross-corpus containment gate: the admission question of an
+    // incremental corpus — is this incoming doc ≥80% CONTAINED in
+    // something the catalog already holds? The asymmetric rung next
+    // to q60 (exact bytes) and q89 (symmetric Jaccard): it catches a
+    // batch doc that is a SUBSET of a longer existing page, where
+    // Jaccard stays low. One verdict row per batch doc, undecidables
+    // (null/short text) kept with a NULL partner. Exact op on the
+    // fixed q136 slice by convention; LSH carries unbounded backlogs.
+    "q169_containment_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 5000)
+      graft.ext.Dedup.crossContainmentGate(
+          docs.filter(col("doc_id") % 10 === 7),
+          docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text", tau = 0.8)
+        .select(col("doc_id"), col("catalog_id"),
+          round(col("containment"), 6).as("containment"), col("contained"))
     })
   )
 
@@ -4775,6 +4793,52 @@ object SparkEntry {
         |  SELECT id_b, id_a, i * 1.0 / n_b FROM pw)
         |SELECT id_inner, id_outer, round(c, 6) AS containment
         |FROM d WHERE c >= 0.8""".stripMargin,
+    // q169: the q136 shingle CTEs split into batch/catalog sides with
+    // ONE union-wide df guard (per-side guards would miscount every
+    // intersection through a one-side-pruned shingle); the engine
+    // intersects 60-bit shingle hashes, the replay intersects the
+    // strings — identical counts at ~1e-8 collision odds (q16 rule).
+    "q169_containment_gate" ->
+      """WITH tb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 5000 AND doc_id % 10 = 7),
+        |tc AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 5000 AND doc_id % 10 <> 7),
+        |shb AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+        |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM tb),
+        |shc AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+        |    THEN [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]
+        |    ELSE [array_to_string(ts, ' ')] END)) AS s
+        |  FROM tc),
+        |bound AS (SELECT least(0.5 * count(*), 1000.0) AS b
+        |          FROM documents WHERE doc_id < 5000 AND doc_id IS NOT NULL),
+        |keep AS (SELECT s FROM (SELECT s FROM shb UNION ALL SELECT s FROM shc)
+        |         GROUP BY s HAVING count(*) <= (SELECT b FROM bound)),
+        |gb AS (SELECT shb.doc_id, shb.s FROM shb JOIN keep USING (s)),
+        |gc AS (SELECT shc.doc_id, shc.s FROM shc JOIN keep USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY 1),
+        |inter AS (SELECT gb.doc_id AS bid, gc.doc_id AS cid, count(*) AS i
+        |          FROM gb JOIN gc ON gb.s = gc.s GROUP BY 1, 2),
+        |sc AS (SELECT bid, cid, i * 1.0 / n AS c
+        |       FROM inter JOIN sizes ON inter.bid = sizes.doc_id),
+        |best AS (SELECT bid, cid, c FROM (
+        |    SELECT bid, cid, c, row_number() OVER (PARTITION BY bid
+        |      ORDER BY c DESC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+        |ids AS (SELECT DISTINCT doc_id FROM documents
+        |        WHERE doc_id < 5000 AND doc_id % 10 = 7)
+        |SELECT ids.doc_id, best.cid AS catalog_id,
+        |  round(best.c, 6) AS containment,
+        |  CAST(COALESCE(best.c >= 0.8, FALSE) AS INT) AS contained
+        |FROM ids LEFT JOIN best ON ids.doc_id = best.bid""".stripMargin,
     // q135: same key-deterministic perturbation, same prefix+length
     // blocking predicate (the blocking is part of the operator's
     // recall contract, so the oracle replays it, not the unblocked

@@ -581,6 +581,91 @@ object Dedup {
       .select("id_inner", "id_outer", "containment")
   }
 
+  /** Cross-corpus containment gate: for every document of an incoming
+    * `batch`, is it ≥ `tau` CONTAINED in some document the `catalog`
+    * already holds? The admission question of an incremental corpus —
+    * [[incrementalSurvivors]] answers it for exact bytes,
+    * [[incrementalMinhashPairs]] for symmetric Jaccard; this is the
+    * asymmetric rung that catches a batch doc which is a SUBSET of an
+    * existing page (quote farms, partial mirrors, re-crawls with
+    * boilerplate stripped) even when Jaccard is low because the
+    * catalog doc is much longer.
+    *
+    * One verdict row per batch document: the best catalog partner
+    * (max containment, id tiebreak), the containment (an exact
+    * `inter/n` division — identical in any engine), and the gate flag.
+    * A batch doc with no shared shingle — or too short to shingle /
+    * null text — keeps a row with NULL partner and `contained` 0:
+    * a gate that silently drops the undecidable admits them blind.
+    *
+    * The document-frequency guard is computed over the UNION of the
+    * two shingle streams and pruned from BOTH sides — per-side guards
+    * would drop a shingle from one side only and silently miscount
+    * every intersection through it. Sizes are post-guard (containment
+    * over informative shingles, [[containmentPairs]]' convention).
+    * Batch and catalog must not share ids.
+    *
+    * Scale shape: shingles ride as 60-bit hashes past the guard (8 B
+    * join keys, the q16 lesson); the candidate stream is narrow
+    * (bid, cid) counts with sizes joined back after aggregation. This
+    * is the EXACT gate — at corpus scale bind the batch by contract
+    * (a landing-zone batch is bounded by construction) and let the
+    * banded [[incrementalMinhashPairs]] carry unbounded backlogs.
+    */
+  def crossContainmentGate(batch: DataFrame, catalog: DataFrame,
+                           id: String, text: String, tau: Double,
+                           ngram: Int = 3,
+                           maxDocFrequency: Option[Double] = Some(0.5),
+                           maxTokenDocs: Option[Long] = Some(1000L),
+                           mode: ShingleMode = ShingleMode.Word,
+                           charK: Int = 5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    def stream(df: DataFrame) =
+      guardedTokenStream(df, id, text, ngram, None, None, mode, charK)
+    val tb0 = stream(batch)
+    val tc0 = stream(catalog)
+    val (tbG, tcG) =
+      if (maxDocFrequency.isEmpty && maxTokenDocs.isEmpty) (tb0, tc0)
+      else {
+        val totalDocs = batch.count() + catalog.count()
+        val fracBound = maxDocFrequency.map(_ * totalDocs)
+        val bound = (fracBound, maxTokenDocs.map(_.toDouble)) match {
+          case (Some(a), Some(b)) => math.min(a, b)
+          case (a, b) => a.orElse(b).get
+        }
+        val keep = tb0.select("tok").unionByName(tc0.select("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= lit(bound))
+          .select("tok")
+        (tb0.join(keep, Seq("tok"), "left_semi"),
+          tc0.join(keep, Seq("tok"), "left_semi"))
+      }
+    def hashed(t: DataFrame) = t.select(col("id"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long").as("tok"))
+    // sizes + the candidate join read the batch stream twice: pin it
+    val tb = hashed(tbG).localCheckpoint(eager = true)
+    val tc = hashed(tcG)
+    val nb = tb.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = tb.select(col("id").as("bid"), col("tok"))
+      .join(tc.select(col("id").as("cid"), col("tok")), Seq("tok"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(nb.select(col("id").as("bid"), col("n")), Seq("bid"))
+      .withColumn("containment", col("inter").cast(DoubleType) / col("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bid")
+      .orderBy(col("containment").desc, col("cid").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bid"), col("cid").as("catalog_id"), col("containment"))
+    batch.filter(col(id).isNotNull)
+      .select(col(id).cast("long").as("bid")).distinct()
+      .join(best, Seq("bid"), "left_outer")
+      .select(col("bid").as(id), col("catalog_id"), col("containment"),
+        coalesce((col("containment") >= tau).cast("int"), lit(0))
+          .as("contained"))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (the ppjoin-family
     * optimization from the distributed set-similarity-join literature,
     * PAPERS.md): order each document's shingles by ascending global

@@ -1008,4 +1008,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (11L, 12L)),
       s"one auto call must find the English AND the CJK pair: $pairs")
   }
+
+  test("crossContainmentGate: subset batch docs gate, undecidables keep a null-partner row") {
+    import spark.implicits._
+    val catalog = Seq(
+      (1L, "a b c d e f g h i j"),   // 8 trigrams
+      (2L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "c d e f g"),           // 3 trigrams, all inside doc 1
+      (101L, "a b c q r s t u v w"), // 1 of 8 trigrams shared with doc 1
+      (102L, "z y x w v"),           // no overlap at all
+      (103L, null.asInstanceOf[String]) // undecidable
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossContainmentGate(batch, catalog, "doc_id", "text",
+        tau = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3)))).toMap
+    assert(out(100L) === ((Some(1L), Some(1.0), 1)),
+      "a batch doc fully inside a catalog doc must gate")
+    assert(out(101L) === ((Some(1L), Some(0.125), 0)),
+      "a weak overlap reports its best partner but passes")
+    assert(out(102L)._1.isEmpty && out(102L)._3 === 0,
+      "no shared shingle: null partner, passes")
+    assert(out(103L) === ((None, None, 0)),
+      "an undecidable (null text) doc keeps its verdict row")
+    assert(out.size === 4, "one verdict per batch doc, catalog emits none")
+  }
 }
