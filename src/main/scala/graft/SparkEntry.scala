@@ -64,6 +64,9 @@ object SparkEntry {
     * captured literals. */
   @volatile private var pcaBasis168
       : Option[(Array[Double], Array[Array[Double]])] = None
+  /** (weights, bias) — q170 calibrates q148's trained scorer (same
+    * memoized model); the oracle replays scoring + binning. */
+  @volatile private var calibLr170: Option[(Array[Double], Double)] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -76,6 +79,28 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def memoTrain[T <: AnyRef](key: String)(f: => T): T =
     trainerMemo.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  /** The planted bigrams that define q148/q170's truth label — ONE
+    * list shared by both bindings and both oracle builders. */
+  private val Planted148 = Seq("spark join", "data table", "big data",
+    "fast scan", "hash join", "stream batch", "key value", "slow query")
+
+  private def lr148TruthDF(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      arrays_overlap(
+        graft.functions.Strings.wordNgrams(lower(col("text")), 2,
+          wholeTextFallback = false),
+        array(Planted148.map(lit): _*)).cast("int").as("label"))
+
+  /** The q148 trained model, memoized per data dir so q170's
+    * calibration audit scores with the SAME weights q148 captured. */
+  private def lr148Model(dir: String, docs: DataFrame,
+                         truth: DataFrame): graft.ext.Training.TrainedLogReg =
+    memoTrain(s"lr148:$dir") {
+      graft.ext.Training.trainLogReg(
+        docs.join(truth, Seq("doc_id")).filter(col("doc_id") < 20000),
+        "text", "label", buckets = 4096, maxIter = 100)
+    }
 
   /** The deterministic messy-HTML page built from a documents row
     * (comments, hostile script/style, entities) — ONE definition
@@ -1968,19 +1993,8 @@ object SparkEntry {
     // captured-params pattern); the label is a trivial replay.
     "q148_trained_classifier" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
-      val planted = Seq("spark join", "data table", "big data",
-        "fast scan", "hash join", "stream batch", "key value",
-        "slow query")
-      val truth = docs.select(col("doc_id"),
-        arrays_overlap(
-          graft.functions.Strings.wordNgrams(lower(col("text")), 2,
-            wholeTextFallback = false),
-          array(planted.map(lit): _*)).cast("int").as("label"))
-      val model = memoTrain(s"lr148:$dir") {
-        graft.ext.Training.trainLogReg(
-          docs.join(truth, Seq("doc_id")).filter(col("doc_id") < 20000),
-          "text", "label", buckets = 4096, maxIter = 100)
-      }
+      val truth = lr148TruthDF(docs)
+      val model = lr148Model(dir, docs, truth)
       trainedLr148 = Some((model.weights, model.bias))
       graft.ext.TextAnalysis.classifierScores(docs, "doc_id", "text",
           model.weights, model.bias)
@@ -2422,6 +2436,60 @@ object SparkEntry {
           "doc_id", "text", tau = 0.8)
         .select(col("doc_id"), col("catalog_id"),
           round(col("containment"), 6).as("containment"), col("contained"))
+    }),
+
+    // --- Calibration audit of the trained scorer: q140's sweep says
+    // whether q148's model RANKS well; this says whether its margin
+    // MEANS anything — per fixed-width margin bin the observed
+    // positive rate and mean score, the table a reliability diagram
+    // plots and the input to any score-thresholding policy. Scores on
+    // the 1e-6 grid, rates/means exact-integer; same memoized model
+    // as q148, captured for the scoring replay.
+    "q170_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val truth = lr148TruthDF(docs)
+      val model = lr148Model(dir, docs, truth)
+      calibLr170 = Some((model.weights, model.bias))
+      val scored = graft.ext.TextAnalysis.classifierScores(
+          docs, "doc_id", "text", model.weights, model.bias)
+        .select(col("doc_id"),
+          graft.functions.Rounding.reprRound6(col("score")).as("score"))
+        .join(truth, Seq("doc_id"))
+      graft.profile.Profiler.calibrationBins(scored, "score", "label",
+        lo = -1.0, hi = 1.0, nBins = 20)
+    }),
+
+    // --- Domain link-graph extraction: pages become HTML with
+    // deterministic outlinks (messy case/ports/tracking params, plus
+    // mailto/relative/javascript hrefs that must fall out), and the
+    // edge table is href extraction → canonicalization → registrable
+    // domain → one aggregation — the step that turns a raw crawl into
+    // q156's PageRank input. The oracle recomputes every edge from the
+    // PLANTING arithmetic (the q155/q157 convention), so extraction,
+    // canonicalization and domain folding are independently checked
+    // end-to-end.
+    "q171_link_graph" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p><A HREF = \"HTTPS://WWW.Host"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("-Example.COM/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&x=1\">read</a>\n<a class=\"m\" " +
+          "href=\"http://cdn.host"),
+        pmod(col("doc_id") * 3 + 1, lit(7)).cast("string"),
+        lit("-example.org:80/q\">x</a><a href=\"mailto:a@example.com\">" +
+          "m</a><a href=\"/relative/path\">rel</a></body></html>"))
+      val pages = docs.select(col("doc_id"), col("source"),
+        html.as("html"))
+      graft.ext.Urls.htmlOutlinks(pages, "html")
+        .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+        .filter(col("curl").isNotNull)
+        .withColumn("dst_domain", graft.ext.Urls.registrableDomain(
+          graft.ext.Urls.hostOf(col("href"))))
+        .groupBy(col("source").as("src_domain"), col("dst_domain"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
     })
   )
 
@@ -2610,14 +2678,64 @@ object SparkEntry {
        |  SELECT doc_id,
        |    CAST(CASE WHEN list_has_any(
        |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
-       |      ['spark join', 'data table', 'big data', 'fast scan',
-       |       'hash join', 'stream batch', 'key value', 'slow query'])
+       |      [${Planted148.map(t => s"'$t'").mkString(", ")}])
        |      THEN 1 ELSE 0 END AS INT) AS label
        |  FROM t)
        |SELECT doc_id, label,
        |  floor(raw * 1e6 + 0.5) / 1e6 AS score,
        |  CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS pred
        |FROM sc JOIN lab USING (doc_id)""".stripMargin
+  }
+
+  /** q170 replay: the q148 scoring CTEs verbatim (same weights, same
+    * featurization), then the reliability binning — the 6dp-snapped
+    * score clamps into fixed-width margin bins and rates/means fold as
+    * exact integers with the shared snap at the edge. */
+  private def calibrationOracleSql(weights: Array[Double],
+                                   bias: Double): String = {
+    val w = weights.mkString(", ")
+    val buckets = weights.length
+    s"""WITH wl AS (SELECT CAST([$w] AS DOUBLE[]) AS w),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, ts,
+       |    list_concat(ts,
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS fs
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) = 0 THEN $bias
+       |         ELSE $bias + list_aggregate(
+       |             [wl.w[('0x' || substr(md5(x), 1, 8))::BIGINT % $buckets + 1]
+       |              FOR x IN fs], 'sum') / (2*len(ts) - 1)
+       |    END AS raw
+       |  FROM f, wl),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN list_has_any(
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+       |      [${Planted148.map(t => s"'$t'").mkString(", ")}])
+       |      THEN 1 ELSE 0 END AS BIGINT) AS label
+       |  FROM t),
+       |sn AS (
+       |  SELECT sc.doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS s6, lab.label
+       |  FROM sc JOIN lab USING (doc_id)),
+       |b AS (
+       |  SELECT CAST(least(greatest(floor((s6 - (-1.0)) / 0.1), 0.0), 19.0)
+       |      AS BIGINT) AS bin,
+       |    label, CAST(floor(s6 * 1e6 + 0.5) AS BIGINT) AS si
+       |  FROM sn)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(label) AS BIGINT) AS n_pos,
+       |  floor(CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 AS pos_rate,
+       |  floor(CAST(sum(si) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 AS mean_score
+       |FROM b GROUP BY 1""".stripMargin
   }
 
   /** q153 replay: scoring only, per fold — the q148 captured-weights
@@ -2659,8 +2777,7 @@ object SparkEntry {
        |  SELECT doc_id, fold,
        |    CAST(CASE WHEN list_has_any(
        |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
-       |      ['spark join', 'data table', 'big data', 'fast scan',
-       |       'hash join', 'stream batch', 'key value', 'slow query'])
+       |      [${Planted148.map(t => s"'$t'").mkString(", ")}])
        |      THEN 1 ELSE 0 END AS BIGINT) AS label,
        |    (CASE$scoreCase END) AS raw
        |  FROM f, $wFrom),
@@ -3218,7 +3335,9 @@ object SparkEntry {
       "q148_trained_classifier" -> trainedClassifierOracleSql(w, b) } ++
     trainedCv153.map(ms => "q153_kfold_cv" -> kfoldCvOracleSql(ms)) ++
     pcaBasis168.map { case (m, a) =>
-      "q168_pca_projection" -> pcaProjectionOracleSql(m, a) }
+      "q168_pca_projection" -> pcaProjectionOracleSql(m, a) } ++
+    calibLr170.map { case (w, b) =>
+      "q170_calibration" -> calibrationOracleSql(w, b) }
 
   /** q121 replay: captured centroids → argmin-euclid cell assignment
     * (the q40 CTE), per-member centroid cosine (the engine's exact
@@ -4839,6 +4958,28 @@ object SparkEntry {
         |  round(best.c, 6) AS containment,
         |  CAST(COALESCE(best.c >= 0.8, FALSE) AS INT) AS contained
         |FROM ids LEFT JOIN best ON ids.doc_id = best.bid""".stripMargin,
+    // q171: every edge recomputed from the planting arithmetic, never
+    // by parsing HTML — the replay independently checks extraction,
+    // canonicalization (mailto/relative/javascript drop, tracking
+    // params, case, default port) and registrable-domain folding
+    // (www/cdn subdomains collapse).
+    "q171_link_graph" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |e AS (
+        |  SELECT source AS src_domain,
+        |    'host' || CAST(doc_id % 7 AS VARCHAR) || '-example.com'
+        |      AS dst_domain, doc_id
+        |  FROM d
+        |  UNION ALL
+        |  SELECT source,
+        |    'host' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) ||
+        |      '-example.org', doc_id
+        |  FROM d)
+        |SELECT src_domain, dst_domain,
+        |  CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM e GROUP BY 1, 2""".stripMargin,
     // q135: same key-deterministic perturbation, same prefix+length
     // blocking predicate (the blocking is part of the operator's
     // recall contract, so the oracle replays it, not the unblocked

@@ -113,6 +113,25 @@ object Urls {
       .otherwise(host)
   }
 
+  /** Outbound links of an HTML column: one row per double-quoted
+    * `href="..."` attribute value (case-insensitive attribute name,
+    * whitespace around `=` tolerated via the explicit
+    * `[ \t\n\f\r]` class — never Java `\s`, which RE2 disagrees with
+    * on U+000B), appended as `as` with every input column preserved.
+    * Values come out RAW — mailto/relative/javascript hrefs included;
+    * feed them to [[canonicalizeUrl]], whose null-for-non-http(s)
+    * contract drops them at the next filter. A null HTML value or a
+    * page with no links contributes no rows (explode semantics) —
+    * link EDGES are the deliverable, not page verdicts.
+    *
+    * Map-side explode over a codegen'd regex — zero shuffle; the
+    * per-domain edge aggregation downstream is the first exchange.
+    */
+  def htmlOutlinks(df: DataFrame, htmlCol: String,
+                   as: String = "href"): DataFrame =
+    df.withColumn(as, explode(regexp_extract_all(col(htmlCol),
+      lit("(?i)href[ \t\n\f\r]*=[ \t\n\f\r]*\"([^\"]*)\""), lit(1))))
+
   /** Convenience: append canonical_url / host / domain to `df`; host
     * and domain are null (not '') for non-http(s) rows so downstream
     * group-bys see missing, never a phantom '' domain. */

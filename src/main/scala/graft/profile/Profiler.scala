@@ -602,6 +602,47 @@ object Profiler {
           (lit(2.0) * nanb))).as("tvd"))
   }
 
+  /** Calibration (reliability) table for a binary scorer: fixed-width
+    * margin bins over `[lo, hi)` (out-of-range clamps to the edge
+    * bins), each with its count, positive count, observed positive
+    * rate, and mean score — the table a reliability diagram plots, and
+    * the audit that separates "ranks well" ([[graft.ext.TextAnalysis.thresholdSweep]]'s
+    * AUC view) from "the score MEANS something" (a margin-2 bucket
+    * that is only 60% positive will mislead any downstream
+    * threshold-by-score consumer). ECE is deliberately not emitted:
+    * its probability mapping needs `exp`, which is not
+    * correctly-rounded-portable — margin-space rates carry the signal.
+    *
+    * Cross-engine contract (the thresholdSweep rule): `scoreCol` must
+    * already sit on the 1e-6 decimal grid (Rounding.reprRound6 /
+    * floor-snap). The mean then rides as an exact integer sum of
+    * 1e6-scaled scores with two correctly-rounded divisions at the
+    * edge; the rate is one. Rows with a null score or label are
+    * excluded (undefined under both the gate and the truth).
+    *
+    * Scale shape: one partial-aggregated groupBy to ≤nBins rows.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / nBins
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(least(greatest(floor((col(scoreCol) - lit(lo)) / lit(width)),
+          lit(0.0)), lit((nBins - 1).toDouble)).cast("long").as("bin"),
+        col(labelCol).cast("long").as("__l"),
+        floor(col(scoreCol) * lit(1e6) + lit(0.5)).cast("long").as("__s6"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("n_pos"),
+        sum(col("__s6")).as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        snap6(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        snap6(col("__ss").cast("double") / lit(1e6) /
+          col("n").cast("double")).as("mean_score"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007): the rung
     * above [[kAnonymityLDiversityDF]] — a class can be k-anonymous AND
     * l-diverse yet still leak, when its sensitive-value MIX differs

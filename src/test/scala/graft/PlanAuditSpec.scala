@@ -159,6 +159,15 @@ class PlanAuditSpec extends SparkSpec {
       // onto the class/bin table — the q113 identity shape again
       "q165_t_closeness", "q166_numeric_drift")
 
+  test("q171 (link graph): map-side extraction feeding one " +
+      "aggregation pair, no join anywhere") {
+    val p = plan("q171_link_graph")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"extract→canonicalize→domain is scan→agg, no join:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"edge aggregation must stay hash-based:\n$p")
+  }
+
   test("q168 (pca projection): the projection is map-side codegen, " +
       "zero exchanges") {
     val emb = io.Tables.embeddings(spark, dir)

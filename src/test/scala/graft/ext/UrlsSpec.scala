@@ -82,4 +82,27 @@ class UrlsSpec extends SparkSpec {
       s"12 pages across 3 host spellings must cap at 5: $byDomain")
     assert(byDomain("small.org") == 2L)
   }
+
+  test("htmlOutlinks: raw hrefs extracted case/space-insensitively; canonicalize drops non-http") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, """<a HREF = "HTTPS://WWW.A-Example.COM/p?utm_source=x&k=1">t</a>
+             |<a class="m" href="http://cdn.b-example.org:80/q">x</a>
+             |<a href="mailto:a@b.c">m</a><a href="/rel/path">r</a>
+             |<a href="javascript:void(0)">j</a>""".stripMargin),
+      (2L, "<p>no links at all</p>"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "html")
+    val raw = Urls.htmlOutlinks(pages, "html")
+    assert(raw.count() === 5, "all five raw hrefs of page 1 extracted")
+    val domains = raw
+      .withColumn("curl", Urls.canonicalizeUrl(col("href")))
+      .filter(col("curl").isNotNull)
+      .withColumn("dst", Urls.registrableDomain(Urls.hostOf(col("href"))))
+      .select("doc_id", "dst")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(domains === Set((1L, "a-example.com"), (1L, "b-example.org")),
+      "mailto/relative/javascript hrefs fall out at canonicalization; " +
+        "www and cdn subdomains collapse to the registrable domain")
+  }
 }

@@ -253,6 +253,27 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("calibrationBins: clamped margin bins, exact rates and means, null rows excluded") {
+    // bins over [-1, 1) with width 0.5: bin 0 = [-1,-0.5), ..., bin 3 = [0.5,1)
+    val df = Seq(
+      (-2.0, 0),            // clamps into bin 0
+      (-0.75, 0), (-0.6, 1),
+      (0.1, 1), (0.2, 1), (0.3, 0), (0.4, 0),
+      (1.5, 1)              // clamps into bin 3
+    ).toDF("score", "label")
+      .union(Seq((null.asInstanceOf[java.lang.Double], 1))
+        .toDF("score", "label"))
+    val out = Profiler.calibrationBins(df, "score", "label",
+        lo = -1.0, hi = 1.0, nBins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) === ((3L, 1L, 0.333333, -1.116667)),
+      "out-of-range scores clamp into the edge bin")
+    assert(out(2L) === ((4L, 2L, 0.5, 0.25)))
+    assert(out(3L) === ((1L, 1L, 1.0, 1.5)))
+    assert(out.size === 3, "null-score rows are excluded, empty bins absent")
+  }
+
   test("numericDriftDF: clamped bins, exact KS and TVD, one-sided bins kept") {
     val a = Seq(1.0, 1.0, 3.0, 5.0, 9.0).toDF("v")          // Na = 5
     val b = Seq(0.0, 2.0, 2.0, 6.0, 11.0, -1.0).toDF("v")    // Nb = 6
