@@ -2490,6 +2490,22 @@ object SparkEntry {
         .groupBy(col("source").as("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // --- Domain blocklist derivation: q70's page gates rolled up per
+    // source — a domain whose pages mostly fail is spam at the source
+    // (C4/RefinedWeb practice: block it, don't re-judge every future
+    // crawl of it). Per domain: per-rule failure counts (a NULL
+    // verdict is a failure), kept count, exact keep share, block flag.
+    "q172_domain_quality" -> ((s, dir) => {
+      val flags = graft.ext.TextAnalysis.qualityRules(
+        Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 10L, maxTokens = 500L,
+        minAvgTokenLen = 2.0, maxAvgTokenLen = 10.0,
+        maxPunctRatio = 0.05, keepCols = Seq("source"))
+      graft.ext.TextAnalysis.domainQualityReport(flags, "source",
+        Seq("ok_length", "ok_token_len", "ok_punct"), "keep",
+        minKeepShare = 0.5)
     })
   )
 
@@ -4980,6 +4996,55 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_links,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // q172: the q70 gate CTEs verbatim (null text → NULL length flag,
+    // 0.0 ratios — the engine's exact semantics) rolled up per source;
+    // a NULL verdict folds as a failure via COALESCE, shares snap on
+    // one integer division.
+    "q172_domain_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(list_sum(list_transform(list_filter(
+        |         string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |         x -> length(x))) AS DOUBLE) AS tok_chars,
+        |    length(text) * 1.0 AS n_chars,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 AS punct
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+        |      ELSE 0.0 END AS avg_len,
+        |    CASE WHEN n_chars > 0 THEN punct / n_chars
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM t),
+        |f AS (
+        |  SELECT source,
+        |    (n_tokens >= 10 AND n_tokens <= 500) AS ok_length,
+        |    (avg_len >= 2.0 AND avg_len <= 10.0) AS ok_token_len,
+        |    (punct_ratio <= 0.05) AS ok_punct,
+        |    ((n_tokens >= 10 AND n_tokens <= 500)
+        |      AND (avg_len >= 2.0 AND avg_len <= 10.0)
+        |      AND (punct_ratio <= 0.05)) AS keep
+        |  FROM u),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN COALESCE(ok_length, FALSE) THEN 0 ELSE 1
+        |      END) AS BIGINT) AS n_fail_length,
+        |    CAST(sum(CASE WHEN COALESCE(ok_token_len, FALSE) THEN 0
+        |      ELSE 1 END) AS BIGINT) AS n_fail_token_len,
+        |    CAST(sum(CASE WHEN COALESCE(ok_punct, FALSE) THEN 0 ELSE 1
+        |      END) AS BIGINT) AS n_fail_punct,
+        |    CAST(sum(CASE WHEN COALESCE(keep, FALSE) THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_kept
+        |  FROM f GROUP BY 1)
+        |SELECT source, n_docs, n_fail_length, n_fail_token_len,
+        |  n_fail_punct, n_kept,
+        |  floor(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS keep_share,
+        |  CAST(floor(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 < 0.5 AS INT) AS blocked
+        |FROM g""".stripMargin,
     // q135: same key-deterministic perturbation, same prefix+length
     // blocking predicate (the blocking is part of the operator's
     // recall contract, so the oracle replays it, not the unblocked

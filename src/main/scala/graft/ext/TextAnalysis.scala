@@ -478,6 +478,39 @@ object TextAnalysis {
         col("ok_length") && col("ok_token_len") && col("ok_punct"))
   }
 
+  /** Per-domain rollup of [[qualityRules]]' verdicts — the step that
+    * turns page-level gates into a DOMAIN blocklist (C4/RefinedWeb
+    * practice: a domain whose pages mostly fail is spam/boilerplate at
+    * the source; blocking it beats re-judging every future crawl of
+    * it). Per group: doc count, per-rule failure counts (a NULL flag —
+    * null text — counts as a FAILURE: an unjudgeable page is not a
+    * pass), kept count, exact keep share (6 dp, one integer division),
+    * and the block verdict (`keep_share < minKeepShare`).
+    *
+    * One partial-aggregated groupBy over the map-side flag projection;
+    * output is domain-cardinality.
+    */
+  def domainQualityReport(flags: DataFrame, domainCol: String,
+                          ruleCols: Seq[String], keepCol: String,
+                          minKeepShare: Double): DataFrame = {
+    require(ruleCols.nonEmpty, "at least one rule column")
+    require(minKeepShare > 0.0 && minKeepShare <= 1.0,
+      "minKeepShare must be in (0, 1]")
+    val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val failCounts = ruleCols.map { c =>
+      sum(when(coalesce(col(c), lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"n_fail_${c.stripPrefix("ok_")}")
+    }
+    val aggs = failCounts :+
+      sum(coalesce(col(keepCol), lit(false)).cast("long")).as("n_kept")
+    flags.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .withColumn("keep_share",
+        snap6(col("n_kept").cast("double") / col("n_docs").cast("double")))
+      .withColumn("blocked",
+        (col("keep_share") < lit(minKeepShare)).cast("int"))
+  }
+
   /** Learned quality classification — fastText-style hashed-n-gram
     * linear inference ([[graft.functions.HashedNgramScoreExpr]]): the
     * MAIN quality filter of modern curation stacks (CCNet/FineWeb

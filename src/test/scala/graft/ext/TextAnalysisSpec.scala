@@ -485,6 +485,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L)._3 === false && r(4L)._4 === false)
   }
 
+  test("domainQualityReport: failure counts per rule, null flags fail, block verdict") {
+    val longDoc = ("word " * 20).trim
+    val df = Seq(
+      // domain "good": 3 passing pages
+      (1L, "good", longDoc), (2L, "good", longDoc), (3L, "good", longDoc),
+      // domain "spam": 1 pass, 2 fails, 1 unjudgeable
+      (4L, "spam", longDoc),
+      (5L, "spam", "too short"),
+      (6L, "spam", ("w!!! " * 20).trim),
+      (7L, "spam", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val flags = TextAnalysis.qualityRules(df, "doc_id", "text",
+      minTokens = 5L, maxTokens = 1000L, minAvgTokenLen = 2.0,
+      maxAvgTokenLen = 12.0, maxPunctRatio = 0.3,
+      keepCols = Seq("source"))
+    val out = TextAnalysis.domainQualityReport(flags, "source",
+        Seq("ok_length", "ok_token_len", "ok_punct"), "keep",
+        minKeepShare = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getInt(7)))).toMap
+    assert(out("good") === ((3L, 0L, 0L, 0L, 3L, 1.0, 0)))
+    // spam: 4 docs; fails — length: doc5 + null doc7 = 2 (doc7's NULL
+    // flag counts as a failure); token_len: doc7 = 1; punct: doc6 = 1
+    // (qualityRules maps null text to ratio 0.0 → ok_punct TRUE);
+    // kept: doc4 only -> share 0.25 < 0.5 -> blocked
+    assert(out("spam") === ((4L, 2L, 1L, 1L, 1L, 0.25, 1)),
+      "a NULL verdict counts as a failure, and the domain blocks")
+  }
+
   test("piiScrub redacts emails, ips, phones; counts per kind") {
     val df = Seq(
       (1L, "mail bob.smith+x@example.co.uk or alice@test.org today"),
