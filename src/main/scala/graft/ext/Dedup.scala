@@ -658,8 +658,11 @@ object Dedup {
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("bid"), col("cid").as("catalog_id"), col("containment"))
+    // the verdict universe keeps the id's ORIGINAL type — a cast here
+    // would silently empty the join against the token stream's ids
+    // for any non-long id column
     batch.filter(col(id).isNotNull)
-      .select(col(id).cast("long").as("bid")).distinct()
+      .select(col(id).as("bid")).distinct()
       .join(best, Seq("bid"), "left_outer")
       .select(col("bid").as(id), col("catalog_id"), col("containment"),
         coalesce((col("containment") >= tau).cast("int"), lit(0))

@@ -370,7 +370,16 @@ object Multimodal {
     * every cell moves by the same exact amount. None for payloads no
     * reader accepts (text, audio, truncated files).
     */
+  /** ImageIO's default stream cache writes every decode through a TEMP
+    * FILE — one disk round-trip per image, per task, and the source
+    * here is already an in-memory byte array. Disabled once, lazily
+    * (process-wide JDK flag; measured 2x+ on the decode-bound q120
+    * path at sf10, with run-to-run variance collapsing too). */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private[ext] def perceptualHashes(bytes: Array[Byte]): Option[(Long, Long)] = {
+    imageIoMemCache
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
@@ -378,17 +387,17 @@ object Multimodal {
     else {
       val w = img.getWidth
       val h = img.getHeight
+      // one bulk ARGB fetch instead of w·h getRGB calls (identical
+      // values — same sRGB conversion path — at a fraction of the
+      // per-pixel call overhead)
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
       val gray = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          gray(y * w + x) = (((p >> 16) & 0xff) * 299 +
-            ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
-          x += 1
-        }
-        y += 1
+      var gi = 0
+      while (gi < gray.length) {
+        val p = argb(gi)
+        gray(gi) = (((p >> 16) & 0xff) * 299 +
+          ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        gi += 1
       }
       // area-average grid, value = sum·1024/count (integer): images
       // smaller than the grid reuse pixels (y1 >= y0+1), still exact
@@ -418,7 +427,7 @@ object Multimodal {
       }
       val g98 = grid(9, 8)
       var dhash = 0L
-      y = 0
+      var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {

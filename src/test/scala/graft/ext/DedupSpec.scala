@@ -1035,5 +1035,14 @@ class DedupSpec extends SparkSpec {
     assert(out(103L) === ((None, None, 0)),
       "an undecidable (null text) doc keeps its verdict row")
     assert(out.size === 4, "one verdict per batch doc, catalog emits none")
+    // non-long ids must survive the verdict join (no silent cast)
+    val sOut = Dedup.crossContainmentGate(
+        Seq(("b1", "c d e f g")).toDF("doc_id", "text"),
+        Seq(("c1", "a b c d e f g h i j")).toDF("doc_id", "text"),
+        "doc_id", "text", tau = 0.8,
+        maxDocFrequency = None, maxTokenDocs = None)
+      .collect()
+    assert(sOut.length === 1 && sOut.head.getString(1) === "c1" &&
+      sOut.head.getInt(3) === 1, "string ids gate identically")
   }
 }
