@@ -67,6 +67,9 @@ object SparkEntry {
   /** (weights, bias) — q170 calibrates q148's trained scorer (same
     * memoized model); the oracle replays scoring + binning. */
   @volatile private var calibLr170: Option[(Array[Double], Double)] = None
+  /** (weights, bias) — q173 audits the same scorer per language; the
+    * oracle replays scoring + the integer rank-AUC fold per group. */
+  @volatile private var biasLr173: Option[(Array[Double], Double)] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -2506,6 +2509,45 @@ object SparkEntry {
       graft.ext.TextAnalysis.domainQualityReport(flags, "source",
         Seq("ok_length", "ok_token_len", "ok_punct"), "keep",
         minKeepShare = 0.5)
+    }),
+
+    // --- Per-language bias audit of the quality filter (the C4
+    // criticism made measurable: a learned filter that silently
+    // passes one language at half another's rate reshapes the corpus
+    // more than any explicit mixture decision). Per lang: n, positives,
+    // keep rate, rank-AUC and accuracy — all integer-exact — plus the
+    // max−min keep-rate disparity. Scoring is ONE map-side projection
+    // (lang, score, label ride together — no corpus joins).
+    "q173_filter_bias" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val truth = lr148TruthDF(docs)
+      val model = lr148Model(dir, docs, truth)
+      biasLr173 = Some((model.weights, model.bias))
+      val scored = docs.select(col("lang"),
+        graft.functions.Classifier.hashedNgramScore(lower(col("text")),
+          model.weights, model.bias).as("score"),
+        arrays_overlap(
+          graft.functions.Strings.wordNgrams(lower(col("text")), 2,
+            wholeTextFallback = false),
+          array(Planted148.map(lit): _*)).cast("int").as("label"))
+      val metrics = graft.ext.Training.binaryMetrics(
+        scored, "label", "score", Seq("lang"))
+      val rates = scored
+        .filter(col("score").isNotNull && col("label").isNotNull)
+        .groupBy("lang")
+        .agg(sum((col("score") > 0).cast("long")).as("__nk"))
+      val snap6 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy("lang")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      metrics.join(rates, Seq("lang"))
+        .withColumn("__rate", col("__nk").cast("double") /
+          col("n").cast("double"))
+        .select(col("lang"), col("n"), col("n_pos"),
+          snap6(col("__rate")).as("keep_rate"), col("auc"), col("accuracy"),
+          snap6(max(col("__rate")).over(wAll) -
+            min(col("__rate")).over(wAll)).as("disparity"))
     })
   )
 
@@ -2752,6 +2794,75 @@ object SparkEntry {
        |  floor(CAST(sum(si) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)
        |    * 1e6 + 0.5) / 1e6 AS mean_score
        |FROM b GROUP BY 1""".stripMargin
+  }
+
+  /** q173 replay: the q148 scoring CTEs verbatim, then the q153
+    * integer rank-AUC fold PARTITIONED BY LANG, per-language keep
+    * counts folded per row (pred = raw > 0, decided before the
+    * snapped-score grouping — a raw in (0, 5e-7) snaps to key 0 yet
+    * predicts positive), and the max−min keep-rate disparity window. */
+  private def filterBiasOracleSql(weights: Array[Double],
+                                  bias: Double): String = {
+    val w = weights.mkString(", ")
+    val buckets = weights.length
+    s"""WITH wl AS (SELECT CAST([$w] AS DOUBLE[]) AS w),
+       |t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT doc_id, lang, ts,
+       |    list_concat(ts,
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS fs
+       |  FROM t),
+       |sc AS (
+       |  SELECT lang,
+       |    CASE WHEN len(ts) = 0 THEN $bias
+       |         ELSE $bias + list_aggregate(
+       |             [wl.w[('0x' || substr(md5(x), 1, 8))::BIGINT % $buckets + 1]
+       |              FOR x IN fs], 'sum') / (2*len(ts) - 1)
+       |    END AS raw,
+       |    CAST(CASE WHEN list_has_any(
+       |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+       |      [${Planted148.map(t => s"'$t'").mkString(", ")}])
+       |      THEN 1 ELSE 0 END AS BIGINT) AS label
+       |  FROM f, wl),
+       |rws AS (
+       |  SELECT lang, CAST(floor(raw * 1e6 + 0.5) AS BIGINT) AS s, label,
+       |    CASE WHEN raw > 0 THEN 1 ELSE 0 END AS pred
+       |  FROM sc),
+       |g AS (
+       |  SELECT lang, s, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(label) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS corr,
+       |    CAST(sum(pred) AS BIGINT) AS kept
+       |  FROM rws GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, s, c, p, corr, kept,
+       |    COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY s ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM g),
+       |m AS (
+       |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(p) AS BIGINT) AS np, CAST(sum(kept) AS BIGINT) AS nk,
+       |    CAST(sum(p * (2*cum + c + 1)) AS BIGINT) AS s2,
+       |    CAST(sum(corr) AS BIGINT) AS nc
+       |  FROM r GROUP BY 1),
+       |fin AS (
+       |  SELECT lang, n, np AS n_pos,
+       |    CAST(nk AS DOUBLE) / CAST(n AS DOUBLE) AS rate_raw,
+       |    CASE WHEN np > 0 AND np < n THEN
+       |      CAST(s2 - np*(np+1) AS DOUBLE) / CAST(2*np*(n-np) AS DOUBLE)
+       |    END AS auc,
+       |    CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+       |  FROM m)
+       |SELECT lang, n, n_pos,
+       |  floor(rate_raw * 1e6 + 0.5) / 1e6 AS keep_rate, auc, accuracy,
+       |  floor((max(rate_raw) OVER () - min(rate_raw) OVER ())
+       |    * 1e6 + 0.5) / 1e6 AS disparity
+       |FROM fin""".stripMargin
   }
 
   /** q153 replay: scoring only, per fold — the q148 captured-weights
@@ -3353,7 +3464,9 @@ object SparkEntry {
     pcaBasis168.map { case (m, a) =>
       "q168_pca_projection" -> pcaProjectionOracleSql(m, a) } ++
     calibLr170.map { case (w, b) =>
-      "q170_calibration" -> calibrationOracleSql(w, b) }
+      "q170_calibration" -> calibrationOracleSql(w, b) } ++
+    biasLr173.map { case (w, b) =>
+      "q173_filter_bias" -> filterBiasOracleSql(w, b) }
 
   /** q121 replay: captured centroids → argmin-euclid cell assignment
     * (the q40 CTE), per-member centroid cosine (the engine's exact
