@@ -1768,7 +1768,11 @@ object SparkEntry {
           Tables.documents(s, dir).filter(col("doc_id") < 5000),
           "doc_id", "text", tau = 0.8, ngram = 3)
         .select(col("id_inner"), col("id_outer"),
-          round(col("containment"), 6).as("containment"))),
+          // floor-snap, not round(x,6): Spark repr-rounds, DuckDB
+          // value-rounds, and they disagree at repr half-points
+          // (Rounding.scala contract for every cross-engine float)
+          graft.functions.Rounding.reprRound6(col("containment"))
+            .as("containment"))),
 
     // --- ANN evaluation harness: recall@10 / MRR / nDCG of the
     // sign-LSH index (q21's exact config) against the brute-force
@@ -2438,7 +2442,9 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 =!= 7),
           "doc_id", "text", tau = 0.8)
         .select(col("doc_id"), col("catalog_id"),
-          round(col("containment"), 6).as("containment"), col("contained"))
+          // floor-snap (Rounding.scala contract), never round(x,6)
+          graft.functions.Rounding.reprRound6(col("containment"))
+            .as("containment"), col("contained"))
     }),
 
     // --- Calibration audit of the trained scorer: q140's sweep says
@@ -2541,7 +2547,12 @@ object SparkEntry {
       val wAll = org.apache.spark.sql.expressions.Window.orderBy("lang")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      metrics.join(rates, Seq("lang"))
+      // <=> : a null LANG group is data — an equi-join would silently
+      // drop it while the oracle's single GROUP BY keeps it (CLAUDE.md
+      // null-key rule; latent here only because the generator never
+      // emits null lang)
+      metrics.join(rates.withColumnRenamed("lang", "__lang"),
+          col("lang") <=> col("__lang"))
         .withColumn("__rate", col("__nk").cast("double") /
           col("n").cast("double"))
         .select(col("lang"), col("n"), col("n_pos"),
@@ -5039,7 +5050,7 @@ object SparkEntry {
         |  SELECT id_a AS id_inner, id_b AS id_outer, i * 1.0 / n_a AS c FROM pw
         |  UNION ALL
         |  SELECT id_b, id_a, i * 1.0 / n_b FROM pw)
-        |SELECT id_inner, id_outer, round(c, 6) AS containment
+        |SELECT id_inner, id_outer, floor(c * 1e6 + 0.5) / 1e6 AS containment
         |FROM d WHERE c >= 0.8""".stripMargin,
     // q169: the q136 shingle CTEs split into batch/catalog sides with
     // ONE union-wide df guard (per-side guards would miscount every
@@ -5084,7 +5095,7 @@ object SparkEntry {
         |ids AS (SELECT DISTINCT doc_id FROM documents
         |        WHERE doc_id < 5000 AND doc_id % 10 = 7)
         |SELECT ids.doc_id, best.cid AS catalog_id,
-        |  round(best.c, 6) AS containment,
+        |  floor(best.c * 1e6 + 0.5) / 1e6 AS containment,
         |  CAST(COALESCE(best.c >= 0.8, FALSE) AS INT) AS contained
         |FROM ids LEFT JOIN best ON ids.doc_id = best.bid""".stripMargin,
     // q171: every edge recomputed from the planting arithmetic, never

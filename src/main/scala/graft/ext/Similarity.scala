@@ -383,9 +383,11 @@ object Similarity {
     require(means.length == dim, "means must have dim entries")
     val centers = pcaCenters(means, axes)
     val snap6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    // the id keeps its ORIGINAL type (crossContainmentGate convention):
+    // a long cast would silently null non-numeric ids for future callers
     df.filter(col(vec).isNotNull &&
         !exists(col(vec), x => x.isNull) && size(col(vec)) === dim)
-      .select(col(id).cast("long").as(id) +:
+      .select(col(id) +:
         axes.indices.map { j =>
           snap6(element_at(graft.functions.Vectors.matVec(col(vec),
             Array(axes(j))), 1) - lit(centers(j))).as(s"pc${j + 1}")

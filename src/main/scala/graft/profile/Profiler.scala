@@ -345,14 +345,24 @@ object Profiler {
     * means (`round(x, 4)` is a different function per engine at repr
     * half-points — see [[iqrOutliersDF]]); reports the raw mean
     * alongside so the tail's pull is visible.
+    *
+    * Exact `percentile` holds every group value in the aggregation
+    * buffer — fine for oracle-SF groups, the q61 buffer explosion at
+    * an unbounded corpus. `exact = false` is the unbounded-corpus
+    * path: the clip bounds come from `approx_percentile` (bounded
+    * sketch state per group), pass 2 unchanged — same escape as
+    * [[iqrOutliersDF]].
     */
   def winsorizedStatsDF(df: DataFrame, groupCol: String, valueCol: String,
-                        p: Double = 0.05): DataFrame = {
+                        p: Double = 0.05, exact: Boolean = true): DataFrame = {
     require(p > 0 && p < 0.5, s"p must be in (0, 0.5), got $p")
     val rows = df.filter(col(valueCol).isNotNull)
+    def q(frac: Double) =
+      if (exact) percentile(col(valueCol), lit(frac))
+      else approx_percentile(col(valueCol), lit(frac), lit(10000))
     val bounds = rows.groupBy(groupCol)
-      .agg(reprRound4(percentile(col(valueCol), lit(p))).as("lo"),
-        reprRound4(percentile(col(valueCol), lit(1 - p))).as("hi"))
+      .agg(reprRound4(q(p)).as("lo"),
+        reprRound4(q(1 - p)).as("hi"))
       .withColumnRenamed(groupCol, "__g")
     rows.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .groupBy(groupCol)

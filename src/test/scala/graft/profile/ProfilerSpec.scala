@@ -171,6 +171,25 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getDouble(5) === 95.05)
   }
 
+  test("winsorizedStatsDF approx path (exact=false) tracks exact") {
+    // the unbounded-corpus escape: clip bounds from approx_percentile
+    // instead of buffering every group value in the agg buffer
+    val df = ((1 to 2000).map(v => ("a", v.toDouble)) :+ (("a", 1e6)))
+      .toDF("g", "v")
+    val ex = Profiler.winsorizedStatsDF(df, "g", "v").collect().head
+    val ap = Profiler.winsorizedStatsDF(df, "g", "v", exact = false)
+      .collect().head
+    assert(ap.getLong(1) === ex.getLong(1))
+    assert(ap.getDouble(2) === ex.getDouble(2))  // raw mean: identical
+    // winsorized mean and bounds: approx sketch within 1% of exact
+    assert(math.abs(ap.getDouble(3) - ex.getDouble(3)) <
+      0.01 * math.abs(ex.getDouble(3)))
+    assert(math.abs(ap.getDouble(4) - ex.getDouble(4)) <
+      0.01 * math.max(1.0, math.abs(ex.getDouble(4))))
+    assert(math.abs(ap.getDouble(5) - ex.getDouble(5)) <
+      0.01 * math.abs(ex.getDouble(5)))
+  }
+
   test("iqrOutliersDF reports the null group instead of orphaning it") {
     val df = ((0 to 99).map(v => (Option.empty[String], v.toDouble)) :+
         ((Option.empty[String], 500.0)) :+ (Some("a"), 1.0))
