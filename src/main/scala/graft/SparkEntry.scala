@@ -2559,7 +2559,19 @@ object SparkEntry {
           snap6(col("__rate")).as("keep_rate"), col("auc"), col("accuracy"),
           snap6(max(col("__rate")).over(wAll) -
             min(col("__rate")).over(wAll)).as("disparity"))
-    })
+    }),
+
+    // --- Duplicated-span REMOVAL (the deletion half of ExactSubstr
+    // dedup, completing q102's measurement): every char inside a
+    // corpus-duplicated 20-char window is cut and the unique remainder
+    // reassembled in order, byte-identical. Registered at the q102
+    // SCALE setting (stride 4 — content-anchored window sampling, so
+    // removal is a deterministic lower-bound scrub, replayed exactly
+    // by the oracle); stride=1 exactness and planted-cross-doc-span
+    // vanishing are DedupSpec-pinned.
+    "q174_strip_dup_spans" -> ((s, dir) =>
+      graft.ext.TextAnalysis.stripDuplicatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = 20, stride = 4))
   )
 
   /** The q17 minhash sketch replayed end-to-end in SQL (signatures from
@@ -6434,6 +6446,60 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM d
         |LEFT JOIN ls USING (doc_id)
-        |LEFT JOIN (SELECT doc_id, bg, c FROM tb WHERE rn = 1) tb USING (doc_id)""".stripMargin
+        |LEFT JOIN (SELECT doc_id, bg, c FROM tb WHERE rn = 1) tb USING (doc_id)""".stripMargin,
+    // q174: the q102 digest CTEs verbatim (same stride-4 content
+    // sampling), then interval merge (lag gap-break + running count),
+    // and an INDEPENDENT reassembly — per-char interval-membership
+    // anti-test instead of the engine's cursor fold, so the replay
+    // checks the union semantics, not the fold's arithmetic.
+    "q174_strip_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
+        |p AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len - 19)) AS pos
+        |  FROM d WHERE doc_id IS NOT NULL AND len >= 20),
+        |dig AS (
+        |  SELECT doc_id, pos, dg FROM (
+        |    SELECT doc_id, pos, md5(substr(text, pos, 20)) AS dg FROM p)
+        |  WHERE ('0x' || substr(dg, 1, 8))::BIGINT % 4 = 0),
+        |dups AS (SELECT dg FROM dig GROUP BY 1 HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM dig
+        |       WHERE dg IN (SELECT dg FROM dups)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               IS NULL
+        |          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |               + 20
+        |          THEN 1 ELSE 0 END AS brk
+        |      FROM dp),
+        |g AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM m),
+        |iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+        |       FROM g GROUP BY doc_id, grp),
+        |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |            CAST(sum(e - s) AS BIGINT) AS n_removed
+        |          FROM iv GROUP BY 1),
+        |ch AS (SELECT doc_id, unnest(generate_series(1, len)) AS i, text
+        |       FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |         AND len >= 1),
+        |keep AS (SELECT c.doc_id, c.i, substr(c.text, c.i, 1) AS chr
+        |         FROM ch c WHERE NOT EXISTS (SELECT 1 FROM iv
+        |           WHERE iv.doc_id = c.doc_id
+        |             AND c.i >= iv.s AND c.i < iv.e)),
+        |rebuilt AS (SELECT doc_id, string_agg(chr, '' ORDER BY i) AS ct
+        |            FROM keep GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IS NULL OR d.text IS NULL THEN d.text
+        |       ELSE coalesce(r.ct, '') END AS clean_text,
+        |  CASE WHEN d.doc_id IS NULL OR d.text IS NULL THEN NULL
+        |       ELSE coalesce(s.n_spans, CAST(0 AS BIGINT)) END AS n_spans,
+        |  CASE WHEN d.doc_id IS NULL OR d.text IS NULL THEN NULL
+        |       ELSE coalesce(s.n_removed, CAST(0 AS BIGINT)) END
+        |    AS n_removed_chars
+        |FROM d
+        |LEFT JOIN spans s ON d.doc_id = s.doc_id
+        |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin
   )
 }

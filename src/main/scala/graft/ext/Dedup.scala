@@ -1136,17 +1136,22 @@ object Dedup {
     * intervals — all narrow; text itself never shuffles. Digests are
     * md5, so an external SQL oracle replays every stage exactly.
     */
-  def duplicatedSpanStats(df: DataFrame, id: String, text: String,
-                          k: Int, stride: Int = 1): DataFrame = {
+  /** The (id, pos, digest) window stream shared by span MEASUREMENT
+    * ([[duplicatedSpanStats]]) and span REMOVAL
+    * ([[TextAnalysis.stripDuplicatedSpans]]): one row per sampled
+    * window start, content-defined sampling at `stride > 1` (digest ≡
+    * 0 mod stride — alignment-independent, see the stats scaladoc).
+    * Null-id docs are excluded — per-doc attribution needs an identity,
+    * and pooling all null-id docs into one pseudo-document would
+    * cross-contaminate their coverage. Eagerly checkpointed: it feeds
+    * both the digest counts and the survivor semi-join of one action
+    * (the multi-consumer rule, SCALE.md round 7).
+    */
+  private[ext] def windowDigestStream(df: DataFrame, id: String,
+                                      text: String, k: Int,
+                                      stride: Int): DataFrame = {
     require(k >= 2, s"window must be >= 2 chars, got $k")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    // Null-id docs are EXCLUDED from the span analysis and reported
-    // with NULL stats, not zeros: per-doc attribution needs an
-    // identity, and pooling all null-id docs into one pseudo-document
-    // would cross-contaminate their coverage (one null-id doc's spans
-    // inflating another's dup_frac past 1.0). NULL ≠ clean — a
-    // downstream gate must resolve ids upstream, not wave these
-    // through.
     val digAll = df
       .select(col(id).as("id"), col(text).as("t"))
       .filter(col("id").isNotNull && length(col("t")) >= k)
@@ -1155,16 +1160,37 @@ object Dedup {
         col("t"))
       .select(col("id"), col("pos"),
         md5(col("t").substr(col("pos"), lit(k))).as("d"))
-    val dig = (if (stride <= 1) digAll
+    (if (stride <= 1) digAll
       else digAll.filter(
         pmod(conv(substring(col("d"), 1, 8), 16, 10).cast(LongType),
           lit(stride.toLong)) === 0))
       .localCheckpoint(eager = true) // feeds counts + the semi-join back
+  }
+
+  /** Survivor positions of [[windowDigestStream]]: the (id, pos) rows
+    * whose window content occurs ≥2 times corpus-wide. The count
+    * collapse is partial-aggregated on the 8-byte-prefix-comparable
+    * digest; the join back is a semi-join on the same narrow stream.
+    */
+  private[ext] def duplicatedWindowPositions(dig: DataFrame): DataFrame = {
     val dupDigests = dig.groupBy("d").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("d")
+    dig.join(dupDigests, Seq("d"), "left_semi")
+  }
+
+  def duplicatedSpanStats(df: DataFrame, id: String, text: String,
+                          k: Int, stride: Int = 1): DataFrame = {
+    // Null-id docs are EXCLUDED from the span analysis and reported
+    // with NULL stats, not zeros: per-doc attribution needs an
+    // identity, and pooling all null-id docs into one pseudo-document
+    // would cross-contaminate their coverage (one null-id doc's spans
+    // inflating another's dup_frac past 1.0). NULL ≠ clean — a
+    // downstream gate must resolve ids upstream, not wave these
+    // through.
+    val dig = windowDigestStream(df, id, text, k, stride)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
-    val perDoc = dig.join(dupDigests, Seq("d"), "left_semi")
+    val perDoc = duplicatedWindowPositions(dig)
       .withColumn("prev", lag("pos", 1).over(w))
       .withColumn("add",
         when(col("prev").isNull, lit(k))

@@ -292,6 +292,90 @@ object TextAnalysis {
       .select(col(id), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Duplicated-span REMOVAL — the deletion half of ExactSubstr dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"), completing [[graft.ext.Dedup.duplicatedSpanStats]]'
+    * measurement: every character inside a length-`k` window whose
+    * content occurs ≥2 times corpus-wide is CUT from the document, and
+    * the unique remainder is reassembled in order, byte-identical.
+    * Output keeps one row per input doc: `clean_text`, `n_spans`
+    * (merged disjoint removed intervals), `n_removed_chars`.
+    *
+    * `stride = 1` is exact removal. At corpus scale pass `stride > 1`:
+    * the same content-defined window sampling as the stats op (digest ≡
+    * 0 mod stride — alignment-independent, so a copied span samples the
+    * SAME windows in every document), making removal a deterministic
+    * LOWER BOUND — sampled duplicated windows are cut, a few edge chars
+    * of a long duplicated span may survive. Both settings replay
+    * exactly in an external SQL oracle.
+    *
+    * Scale shape: the position stream, digest-count collapse, and
+    * survivor semi-join are [[graft.ext.Dedup.windowDigestStream]] /
+    * [[graft.ext.Dedup.duplicatedWindowPositions]] — narrow (id, pos,
+    * digest) rows, text never rides them. Positions merge to disjoint
+    * intervals with one lag + running-count window (same-length
+    * intervals have monotone ends, so `pos > lag(pos) + k` IS the gap
+    * test), collapse to one interval-array row per affected doc, and
+    * the single text-bearing stage is the final id-equi join of docs
+    * against that narrow per-doc array — the same one-join cost class
+    * as writing the rewritten corpus, which IS the output. Reassembly
+    * is an `aggregate` fold over the per-doc interval array (data-
+    * dependent length, so interpreted — but it runs per DOC over a
+    * handful of intervals, never per char; the per-char work stays in
+    * the codegen'd digest scan).
+    *
+    * Null-id docs pass through unjudged (text unchanged, NULL stats —
+    * the [[graft.ext.Dedup.duplicatedSpanStats]] attribution rule);
+    * null-text docs keep NULL text with NULL stats. NULL ≠ clean.
+    */
+  def stripDuplicatedSpans(df: DataFrame, id: String, text: String,
+                           k: Int, stride: Int = 1): DataFrame = {
+    val dig = Dedup.windowDigestStream(df, id, text, k, stride)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val iv = Dedup.duplicatedWindowPositions(dig)
+      .withColumn("brk",
+        when(lag("pos", 1).over(w).isNull, 1)
+          .when(col("pos") > lag("pos", 1).over(w) + lit(k), 1)
+          .otherwise(0))
+      // explicit ROWS frame: the default RANGE frame shares one
+      // cumulative value across sort-key peers (CLAUDE.md)
+      .withColumn("grp", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("id", "grp")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k)).as("e"))
+    val perDoc = iv.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s")).cast(LongType)).as("n_removed"))
+    val joined = df.select(col(id).as("id"), col(text).as("t"))
+      .join(perDoc.withColumnRenamed("id", "__did"),
+        col("id") === col("__did"), "left_outer")
+    // order-preserving reassembly: cursor walks the gaps between the
+    // sorted disjoint intervals, then the tail past the last one
+    val rebuilt = aggregate(
+      col("ivs"),
+      struct(lit(1).as("cur"), lit("").as("acc")),
+      (a, s) => struct(
+        s.getField("e").as("cur"),
+        concat(a.getField("acc"),
+          col("t").substr(a.getField("cur"),
+            s.getField("s") - a.getField("cur"))).as("acc")),
+      a => concat(a.getField("acc"),
+        col("t").substr(a.getField("cur"),
+          length(col("t")) - a.getField("cur") + 1)))
+    val unjudged = col("id").isNull || col("t").isNull
+    joined.select(col("id").as(id),
+      when(unjudged, col("t"))
+        .otherwise(coalesce(rebuilt, col("t"))).as("clean_text"),
+      when(unjudged, lit(null).cast(LongType))
+        .otherwise(coalesce(col("n_spans"), lit(0L))).as("n_spans"),
+      when(unjudged, lit(null).cast(LongType))
+        .otherwise(coalesce(col("n_removed"), lit(0L)))
+        .as("n_removed_chars"))
+  }
+
   // --------------------------------------------------------------------
   // PII scrubbing + repetition filters
   // --------------------------------------------------------------------

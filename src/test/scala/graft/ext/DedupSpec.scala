@@ -530,6 +530,93 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stripDuplicatedSpans: planted cross-doc span vanishes from both " +
+      "docs, unique text survives byte-identical") {
+    val shared = "0123456789abcdefghij" // 20 chars
+    val u1a = "UNIQUE-HEAD-ONE:"
+    val u1b = ":TAIL-ONE-UNIQ"
+    val u2 = "second doc own words "
+    val df = Seq(
+      (1L, u1a + shared + u1b),
+      (2L, u2 + shared),
+      (3L, "completely different text here!") // clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripDuplicatedSpans(df, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // windows straddling the unique/shared boundary occur once, so the
+    // removed union is EXACTLY the shared 20 chars in each doc
+    assert(out(1L).getString(1) === u1a + u1b)
+    assert(out(1L).getLong(2) === 1L && out(1L).getLong(3) === 20L)
+    assert(out(2L).getString(1) === u2)
+    assert(out(2L).getLong(2) === 1L && out(2L).getLong(3) === 20L)
+    assert(out(3L).getString(1) === "completely different text here!")
+    assert(out(3L).getLong(2) === 0L && out(3L).getLong(3) === 0L)
+  }
+
+  test("stripDuplicatedSpans: disjoint spans keep the gap; self-repeating " +
+      "doc empties; accounting matches lengths") {
+    val s1 = "AAAABBBBCCCCDDDD" // 16 chars, no internal 10-gram repeat
+    val s2 = "WWWWXXXXYYYYZZZZ"
+    val df = Seq(
+      (1L, s1 + "-middle-keep-" + s2),
+      (2L, s1 + "||||" + s2), // same spans, different gap
+      (3L, "aaaaaaaaaaaaaaa")  // 15-char self-run: every window repeats
+    ).toDF("doc_id", "text")
+    val texts = Map(1L -> (s1 + "-middle-keep-" + s2),
+      2L -> (s1 + "||||" + s2), 3L -> "aaaaaaaaaaaaaaa")
+    val out = TextAnalysis.stripDuplicatedSpans(df, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "-middle-keep-")
+    assert(out(1L).getLong(2) === 2L && out(1L).getLong(3) === 32L)
+    assert(out(2L).getString(1) === "||||")
+    assert(out(3L).getString(1) === "")
+    assert(out(3L).getLong(2) === 1L && out(3L).getLong(3) === 15L)
+    // removal accounting: chars removed == length delta, every doc
+    out.foreach { case (id, r) =>
+      assert(texts(id).length - r.getString(1).length === r.getLong(3),
+        s"doc $id accounting")
+    }
+  }
+
+  test("stripDuplicatedSpans: null-id and null-text docs pass through " +
+      "unjudged (NULL stats, text unchanged)") {
+    val run = "bbbbbbbbbbbbbbbbbbbbbbbbbbbbbb"
+    val df = Seq(
+      (Option.empty[Long], Some(run)),
+      (Some(1L), Option.empty[String]),
+      (Some(2L), Some("plain unique attributable text"))
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.stripDuplicatedSpans(df, "doc_id", "text", k = 10)
+      .collect()
+    val nullId = rows.find(_.isNullAt(0)).get
+    assert(nullId.getString(1) === run) // unchanged, even though self-dup
+    assert(nullId.isNullAt(2) && nullId.isNullAt(3))
+    val nullText = rows.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(nullText.isNullAt(1) && nullText.isNullAt(2) && nullText.isNullAt(3))
+    val judged = rows.find(r => !r.isNullAt(0) && r.getLong(0) == 2L).get
+    assert(judged.getString(1) === "plain unique attributable text")
+    assert(judged.getLong(2) === 0L)
+  }
+
+  test("stripDuplicatedSpans stride > 1 removes a subset of exact removal") {
+    val shared = "the exact same forty characters repeated" // 40 chars
+    val df = Seq((1L, shared + " then doc one tail"),
+      (2L, "doc two head then " + shared)).toDF("doc_id", "text")
+    val exact = TextAnalysis.stripDuplicatedSpans(df, "doc_id", "text",
+        k = 10).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val strided = TextAnalysis.stripDuplicatedSpans(df, "doc_id", "text",
+        k = 10, stride = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(strided(id)._2 > 0L, "strided scrub must still cut the span")
+      assert(strided(id)._2 <= exact(id), "strided removal is a lower bound")
+      // the lower-bound scrub still reassembles consistently
+      assert(strided(id)._1.length === 58 - strided(id)._2,
+        s"doc $id length accounting")
+    }
+  }
+
   test("cosine pairs: identical, near, orthogonal vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
