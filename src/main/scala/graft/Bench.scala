@@ -54,6 +54,19 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // Session hygiene OUTSIDE the timed window: eager localCheckpoint
+      // blocks from finished queries linger until a driver GC notices
+      // them, occupying storage memory and dragging successors away
+      // from their isolated cost (q39 measured 54.9 s mid-board vs
+      // 35.3 s solo on the same code, machine, and heap). Clearing
+      // makes each line approximate a fresh-session run — the cluster
+      // reality, where every query is its own app. Safe by contract:
+      // localCheckpoint truncates lineage, so any cross-query reuse of
+      // a cleared block would already be a bug (the memoized trainer
+      // state is driver-side arrays, never frames).
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       val v0 = vol.settled
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -138,6 +151,9 @@ object Bench {
     val rescued: Map[String, Double] = suspects.map { n =>
       val fn = SparkEntry.queries(n)
       val ts = (1 to 2).map { _ =>
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
