@@ -537,6 +537,19 @@ object TextAnalysis {
     * [[qualityScore]] component definitions); the flags — not just a
     * scalar score — are what a pipeline logs to explain WHY a document
     * was dropped.
+    *
+    * The statistics are bound through Catalyst's `With` common-
+    * expression (round 13): `PushDownPredicates` substitutes alias
+    * definitions into filter conditions with NO cost model, so a caller
+    * gating on `keep` over an expensive lineage used to re-evaluate the
+    * whole upstream chain once per reference — q151's
+    * `filter(keep)` over htmlToText inlined ELEVEN copies of the
+    * html→text regex chain into one Filter (FilterExec does no
+    * subexpression elimination; 640 s of its 721 s at sf100). With
+    * `With`, however far the predicate is pushed, the optimizer's
+    * RewriteWithExpression re-extracts the shared defs into a Project
+    * below the filter, where they evaluate once per row (q151 sf100:
+    * 721 → ~150 s). Flag values are bit-identical to the flat form.
     */
   def qualityRules(df: DataFrame, id: String, text: String,
                    minTokens: Long = 5L, maxTokens: Long = 100000L,
@@ -554,13 +567,37 @@ object TextAnalysis {
     // keepCols ride the SAME projection (the htmlToText convention):
     // a caller gating a computed frame must not have to self-join the
     // flags back onto an expensive lineage — one map-side select.
-    df.select((col(id) +: keepCols.map(col)) ++ Seq(
-        (nToks >= minTokens && nToks <= maxTokens).as("ok_length"),
-        (avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen).as("ok_token_len"),
-        (punctRatio <= maxPunctRatio).as("ok_punct")): _*)
-      .withColumn("keep",
-        col("ok_length") && col("ok_token_len") && col("ok_punct"))
+    optimizerFence(
+      df.select((col(id) +: keepCols.map(col)) ++ Seq(
+          (nToks >= minTokens && nToks <= maxTokens).as("ok_length"),
+          (avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen).as("ok_token_len"),
+          (punctRatio <= maxPunctRatio).as("ok_punct")): _*)
+        .withColumn("keep",
+          col("ok_length") && col("ok_token_len") && col("ok_punct")))
   }
+
+  private val fenceId = new java.util.concurrent.atomic.AtomicLong
+
+  /** Value-identity optimizer fence (`Dataset.observe` row count):
+    * `PushDownPredicates` substitutes alias definitions into filter
+    * conditions with NO cost model, so a caller filtering on a flag
+    * derived from an expensive lineage re-evaluates the whole chain
+    * once per reference — q151's `filter(keep)` over
+    * [[htmlToText]]+[[qualityRules]] inlined ELEVEN copies of the
+    * html→text regex chain into one Filter condition (FilterExec does
+    * no subexpression elimination; 640 of its 721 s at sf100, and the
+    * duplicated-copy garbage amplified GC super-linearly). A
+    * CollectMetrics node must observe exact pre-filter rows, so no
+    * predicate (or projection substitution) crosses it: flags are
+    * computed ONCE per row in their own projection and downstream
+    * filters see plain attributes. (Catalyst's `With` common-expression
+    * was tried first; its rewrite runs before predicate pushdown, so
+    * the extracted aliases get re-inlined — measured, round 13.)
+    * Deterministic, value-identical, one accumulator add per row.
+    */
+  private def optimizerFence(df: DataFrame): DataFrame =
+    df.observe(s"__graft_fence_${fenceId.incrementAndGet()}",
+      count(lit(1)).as("rows"))
 
   /** Per-domain rollup of [[qualityRules]]' verdicts — the step that
     * turns page-level gates into a DOMAIN blocklist (C4/RefinedWeb
@@ -1575,37 +1612,53 @@ object TextAnalysis {
     * built of the same vocabulary. Documents with fewer than two tokens
     * have no bigrams and are excluded (the q97 zero-token convention).
     *
-    * Scale shape: the bigram explode collapses immediately into the
-    * per-(doc, bigram) frequency table — one row per DISTINCT bigram
-    * per doc — and that aggregated stream is what joins the (vocabulary²
-    * -bounded, in practice corpus-sparse) bigram-count table and the
-    * vocabulary-sized context-count table; V rides in as a broadcast
-    * one-row aggregate. Same candidate-stream discipline as
-    * [[unigramSurprisal]] (SCALE.md): nothing per-token-occurrence ever
-    * shuffles.
+    * Scale shape: the bigram explode (native [[graft.functions.Strings
+    * .wordNgrams]] — a lambda over a computed token array re-splits
+    * the text once PER GRAM, the q127/q131 trap) collapses immediately
+    * into the per-(doc, bigram) frequency table, and from round 13
+    * that stream carries 60-bit md5 key hashes, never strings — at
+    * sf100 the string-keyed stream checkpointed ~10 GB and re-read it
+    * through TWO corpus-scale joins (16.8× sf10→sf100, measured). The
+    * bigram-count and context-count tables fold into ONE
+    * vocabulary-scale side table (bgh → cb, cu, V) so the big stream
+    * is joined exactly once, on an 8-byte key; V rides in as a
+    * broadcast one-row aggregate. Same candidate-stream discipline as
+    * [[unigramSurprisal]] (SCALE.md): nothing per-token-occurrence
+    * ever shuffles. 60-bit hashes follow the q16 rule: replayable
+    * verbatim in SQL, collisions ~1e-8 and identical in both engines —
+    * and here they only MERGE join keys, so the oracle replays the
+    * STRINGS and still matches (a collision would need two distinct
+    * bigrams sharing a 60-bit digest corpus-wide).
     */
   def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
-      t => length(t) > 0)
+    val h60 = (c: Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
     val bigrams = df.filter(col(text).isNotNull)
-      .select(col(id).as("id"), toks.as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), size(col("ts")) - 1),
-        i => struct(element_at(col("ts"), i).as("w1"),
-          concat_ws(" ", element_at(col("ts"), i),
-            element_at(col("ts"), i + 1)).as("bg")))).as("p"))
-      .select(col("id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-    val tf = bigrams.groupBy("id", "w1", "bg").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
-    val cb = tf.groupBy("bg").agg(sum(col("tf")).as("cb"))
+      .select(col(id).as("id"),
+        explode(graft.functions.Strings.wordNgrams(lower(col(text)), 2,
+          wholeTextFallback = false)).as("bg"))
+      // w1 is the gram's first token by construction; hash BOTH keys
+      // before anything shuffles
+      .select(col("id"), h60(substring_index(col("bg"), " ", 1)).as("w1h"),
+        h60(col("bg")).as("bgh"))
+    // one row per (doc, distinct bigram): id + two 8-byte keys + count.
+    // w1h rides along (it is bgh-determined) so the side table below
+    // needs no second pass over the explode.
+    val tf = bigrams.groupBy("id", "bgh")
+      .agg(count(lit(1)).as("tf"), min(col("w1h")).as("w1h"))
+      .localCheckpoint(eager = true) // feeds the side table + the join
     val cu = termStream(df, id, text)
-      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint(eager = true)
+      .groupBy(h60(col("term")).as("w1h")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = true) // feeds V + the side table
     val totals = cu.agg(count(lit(1)).as("v"))
-    tf.join(cb, Seq("bg"))
-      .join(cu, col("w1") === col("term"))
+    // ONE vocabulary-scale side table: bgh -> (cb, cu, v). Only this
+    // narrow frame joins the corpus-scale tf stream.
+    val side = tf.groupBy("bgh")
+      .agg(sum(col("tf")).as("cb"), min(col("w1h")).as("__w1h"))
+      .join(cu, col("__w1h") === col("w1h"))
       .crossJoin(broadcast(totals))
+      .select(col("bgh"), col("cb"), col("cu"), col("v"))
+    tf.join(side, Seq("bgh"))
       .groupBy(col("id").as(id))
       .agg(sum(col("tf")).as("n_bigrams"),
         // 0.0 - x: the unary-minus −0.0 repr trap (q97 convention)
