@@ -64,8 +64,11 @@ object Bench {
       // localCheckpoint truncates lineage, so any cross-query reuse of
       // a cleared block would already be a bug (the memoized trainer
       // state is driver-side arrays, never frames).
+      // blocking=true: block removal runs OUTSIDE the timed window by
+      // construction, so paying for it here is free — blocking=false
+      // let removal/bookkeeping overlap the next measured query.
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       val v0 = vol.settled
       val t0 = System.nanoTime()
@@ -134,9 +137,17 @@ object Bench {
     // detail for the SAME sf dir is re-run solo (two more samples,
     // post-JIT) and the board takes the overall min; re-run names are
     // recorded so an artifact says which lines needed rescue.
+    // The baseline default is PER-SF: the sf0.1→sf1→sf10 board sequence
+    // used to leave a single shared BENCH_DETAIL.json holding the last
+    // sf, silently disabling the guard for every other sf. The per-SF
+    // file is also what this run writes, so consecutive same-sf runs
+    // guard each other with no env vars. A run with no matching
+    // baseline says so in the artifact instead of pretending it
+    // guarded ("prev_baseline":"none").
+    val sfTag = new java.io.File(sfDir).getName
+    val perSfDetail = s"BENCH_DETAIL.$sfTag.json"
+    val prevFile = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", perSfDetail)
     val prevTimes: Map[String, Double] = try {
-      val prevFile = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL",
-        "BENCH_DETAIL.json")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(new java.io.File(prevFile))
       if (root.path("sf").asText("") == sfDir) {
@@ -146,19 +157,38 @@ object Bench {
           .filter(_._2 > 0).toMap
       } else Map.empty
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val prevBaseline = if (prevTimes.nonEmpty) prevFile else "none"
+    if (prevTimes.isEmpty)
+      System.err.println(s"Bench: no trailing-board baseline matched " +
+        s"$sfDir (looked at $prevFile) — rebench guard is DISABLED " +
+        "for this run.")
     val suspects = minOf2.collect { case (n, t, true)
       if prevTimes.get(n).exists(pv => t > 2.0 * pv) => n }.take(20)
-    val rescued: Map[String, Double] = suspects.map { n =>
+    // Rescue samples carry their own success bit and volume deltas: a
+    // sample that THROWS fast must not min into the board (an artifact
+    // would report a time for an execution that never completed), and
+    // rescue-run spill must be attributed — a board must not claim
+    // zero spill when the runs that produced its times spilled.
+    var rescueSpill = 0L
+    var rescueShuffle = 0L
+    val rescued: Map[String, Double] = suspects.flatMap { n =>
       val fn = SparkEntry.queries(n)
-      val ts = (1 to 2).map { _ =>
+      val okTimes = (1 to 2).flatMap { _ =>
         spark.sparkContext.getPersistentRDDs.valuesIterator
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
+        val v0 = vol.settled
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val v1 = vol.settled
+        rescueShuffle += v1._2 - v0._2
+        rescueSpill += v1._3 - v0._3
+        if (ok) Some(dt) else None
       }
-      n -> ts.min
+      // both rescue samples failed → keep the pass-measured time
+      okTimes.minOption.map(n -> _)
     }.toMap
     val results = minOf2.map { case (n, t, ok) =>
       (n, math.min(t, rescued.getOrElse(n, t)), ok) }
@@ -200,20 +230,20 @@ object Bench {
     // tail window the driver keeps always ends in one complete,
     // parseable JSON line (the per-query map can never fit in 2000
     // chars, so the compact line carries only board-level scalars).
-    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"rebenched":$rebenchedJson}"""
+    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"rebenched":$rebenchedJson,"rescue_shuffle_write_bytes":$rescueShuffle,"rescue_spill_bytes":$rescueSpill,"prev_baseline":"$prevBaseline"}"""
     println(detail)
     // Default detail path is a COMMITTED repo file (target/ is
     // gitignored, so round 11's per-query detail never reached the
-    // graded artifacts — only the truncated stdout tail did).
-    val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_DETAIL.json")
+    // graded artifacts — only the truncated stdout tail did), and
+    // per-SF so it doubles as the next same-sf run's rebench baseline.
+    val sideFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", perSfDetail)
     try {
       val p = java.nio.file.Paths.get(sideFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"n_rebenched":${suspects.size},"detail_file":"$sideFile"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"n_rebenched":${suspects.size},"rescue_spill_bytes":$rescueSpill,"detail_file":"$sideFile"}""")
     spark.stop()
   }
 }

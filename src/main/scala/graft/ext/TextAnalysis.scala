@@ -594,6 +594,19 @@ object TextAnalysis {
     * was tried first; its rewrite runs before predicate pushdown, so
     * the extracted aliases get re-inlined — measured, round 13.)
     * Deterministic, value-identical, one accumulator add per row.
+    *
+    * Restrictions (by construction of CollectMetrics):
+    *  - A fenced frame may NOT be embedded in a scalar/IN subquery
+    *    expression (Spark rejects observed metrics inside subqueries
+    *    with an AnalysisException). Callers needing that must join
+    *    against the fenced frame instead — same semantics, and a join
+    *    keeps the fence.
+    *  - Each call registers one session-lifetime named accumulator on
+    *    the driver (hence the counter: observe requires unique names
+    *    per plan). One-shot pipelines pay O(queries) of these —
+    *    harmless. ITERATIVE per-round callers must not re-fence inside
+    *    the loop; fence once outside, or pin the loop state via
+    *    PinnedLoop (which cuts lineage and with it the fence node).
     */
   private def optimizerFence(df: DataFrame): DataFrame =
     df.observe(s"__graft_fence_${fenceId.incrementAndGet()}",

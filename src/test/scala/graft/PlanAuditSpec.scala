@@ -399,6 +399,48 @@ class PlanAuditSpec extends SparkSpec {
       s"the digest agg must stay hash-based (no struct-min sort):\n$p")
   }
 
+  // Formatted explain = tree section + one "(N) Operator" detail block
+  // per node; this splits out the detail blocks so a test can assert on
+  // ONE operator's expressions (e.g. a Filter's condition) instead of
+  // the whole plan string.
+  private def detailBlocks(p: String): Seq[String] =
+    p.split("\n(?=\\(\\d+\\) )").toSeq
+
+  test("q151/q103 observe fence: the quality-flag chain is NEVER " +
+      "re-inlined into a Filter condition (the sf100 11-copy blowup)") {
+    // Round 13's one genuine 100x defect: PushDownPredicates substitutes
+    // alias definitions into filter conditions with no cost model, so
+    // filter(keep) over qualityRules re-evaluated the html→text regex
+    // chain ELEVEN times per row (640 of q151's 721 s at sf100). The
+    // fence is a CollectMetrics node predicates cannot cross. The scan/
+    // join/shuffle pins above CANNOT catch a recurrence — re-inlining
+    // duplicates expressions INSIDE the single Filter node — so this
+    // test pins the fix directly: (a) the fence node is present, (b) no
+    // physical Filter condition contains the chain's signature
+    // fragment, (c) the signature's total occurrence count stays at the
+    // compute-once level. If a Spark upgrade starts pushing predicates
+    // through CollectMetrics, this fails in CI, not at sf100.
+    val cases = Seq(
+      // (query, signature fragment unique to its expensive chain)
+      ("q151_warc_curation", "<script"),        // htmlToText script-strip
+      ("q103_curation", "[^a-zA-Z0-9 "))        // qualityRules punct class
+    for ((q, sig) <- cases) {
+      val p = plan(q)
+      assert(p.contains("CollectMetrics"),
+        s"$q: the optimizer fence (CollectMetrics) is gone from the plan")
+      val filters = detailBlocks(p)
+        .filter(_.matches("(?s)\\(\\d+\\) Filter(\\s|\\[).*"))
+      assert(filters.nonEmpty, s"$q: expected Filter detail blocks")
+      for (f <- filters)
+        assert(!f.contains(sig),
+          s"$q: a Filter condition contains the '$sig' chain — " +
+            s"predicate re-inlining is back:\n$f")
+      val n = p.sliding(sig.length).count(_ == sig)
+      assert(n <= 4, s"$q: '$sig' appears $n times in the plan " +
+        s"(compute-once level is <=4) — the chain is being duplicated")
+    }
+  }
+
   test("q135 (fuzzy join): blocking plans as an equi hash join, " +
       "never a cartesian distance sweep") {
     val p = plan("q135_fuzzy_join")
