@@ -406,6 +406,20 @@ object SparkEntry {
           mode = graft.ext.Dedup.ShingleMode.Char, charK = 5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
 
+    // --- Dedup: the LSH OPERATING-POINT RECOMMENDER — closes the
+    // q125/q126 tuning loop by choosing (bands, width) from the
+    // measured bucket histogram + the S-curve at the target tau,
+    // BEFORE any pair is generated. Run here at q127's char-shingle
+    // config: the word-mode 16×4 point (and 32×2) must come back
+    // infeasible (candidate flood — the round-10 74 GB spill class)
+    // with 8×8 recommended. Histogram arithmetic is exact integers,
+    // S-curve cells are snapped plan-time constants — fully oracled.
+    "q175_lsh_recommend" -> ((s, dir) =>
+      graft.ext.Dedup.lshAutoRecommend(Tables.documents(s, dir), "doc_id",
+        "text", tau = 0.8, numHashes = 64, bandsGrid = Seq(8, 16, 32),
+        mode = graft.ext.Dedup.ShingleMode.Char, charK = 5,
+        recallFloor = 0.7, maxPairsPerDoc = 10.0)),
+
     // --- URL canonicalization + registrable domain (the op a crawl
     // corpus needs BEFORE the q123 domain quota makes sense): messy
     // deterministic URLs synthesized from stable columns in BOTH
@@ -3365,6 +3379,64 @@ object SparkEntry {
     s"WITH ${lshAuditCoreCtes()},\n$ctes\n$sels"
   }
 
+  /** q175's oracle: full replay of [[graft.ext.Dedup.lshAutoRecommend]]
+    * at the q127 char-shingle config — signatures from the shared CTEs,
+    * one banding histogram per grid entry (pair volume Σ c·(c−1)//2 in
+    * exact integers), S-curve cells via DuckDB pow + the floor-snap
+    * (same IEEE-exact snap as the engine's plan-time constants), and
+    * the same (feasible desc, candidates asc, bands asc) rank for the
+    * recommendation. */
+  private def lshRecommendOracleSql(tau: Double, grid: Seq[Int],
+                                    recallFloor: Double,
+                                    maxPairsPerDoc: Double): String = {
+    val ps = graft.ext.Dedup.minhashParams(64).zipWithIndex
+      .map { case ((a, c), i) => s"($i, $a, $c)" }.mkString(", ")
+    val cfgs = grid.sorted.map { b =>
+      val w = 64 / b
+      s"""banded$b AS (
+         |  SELECT id, b, array_to_string(list_slice(sig, b*$w + 1, b*$w + $w), ',') AS bucket
+         |  FROM sig, range(0, $b) AS t(b)),
+         |hist$b AS (SELECT count(*) AS c FROM banded$b GROUP BY b, bucket),
+         |cfg$b AS (
+         |  SELECT CAST($b AS INT) AS bands, CAST($w AS INT) AS width,
+         |    floor((1 - pow(1 - pow($tau, $w), $b)) * 1e6 + 0.5) / 1e6 AS p_at_tau,
+         |    floor(pow(1.0 / $b, 1.0 / $w) * 1e6 + 0.5) / 1e6 AS s_mid,
+         |    (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+         |     FROM hist$b) AS predicted_candidates)""".stripMargin
+    }
+    s"""WITH $CharShingleShCtes,
+       |params(i, a, c) AS (VALUES $ps),
+       |hv AS (
+       |  SELECT sh.doc_id AS id, p.i,
+       |    min((p.a * (('0x' || substr(md5(sh.s), 1, 8))::BIGINT
+       |                % ${graft.ext.Dedup.MinhashPrime}) + p.c)
+       |        % ${graft.ext.Dedup.MinhashPrime}) AS mh
+       |  FROM sh CROSS JOIN params p GROUP BY 1, 2),
+       |sig AS (SELECT id, list(mh ORDER BY i) AS sig FROM hv GROUP BY id),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sig),
+       |${cfgs.mkString(",\n")},
+       |allc AS (${grid.sorted.map(b => s"SELECT * FROM cfg$b")
+            .mkString("\nUNION ALL\n")}),
+       |feat AS (
+       |  SELECT bands, width, p_at_tau, s_mid, predicted_candidates, n_docs,
+       |    CASE WHEN n_docs > 0
+       |      THEN CAST(predicted_candidates AS DOUBLE) / n_docs
+       |      ELSE 0.0 END AS pairs_per_doc
+       |  FROM allc CROSS JOIN nd),
+       |scored AS (
+       |  SELECT *, CAST(p_at_tau >= $recallFloor
+       |      AND pairs_per_doc <= $maxPairsPerDoc AS INT) AS feasible
+       |  FROM feat),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY feasible DESC,
+       |    predicted_candidates ASC, bands ASC) AS r
+       |  FROM scored)
+       |SELECT bands, width, p_at_tau, s_mid, predicted_candidates, n_docs,
+       |  pairs_per_doc, feasible,
+       |  CAST(feasible = 1 AND r = 1 AS INT) AS recommended
+       |FROM rk ORDER BY bands""".stripMargin
+  }
+
   /** q16's pair SQL, shared with q77's recursive-closure oracle (which
     * restricts the doc set via `extraWhere`). */
   /** Shared CTE block for the q118/q119 oracles: the DSIR per-doc
@@ -5205,6 +5277,8 @@ object SparkEntry {
     "q129_url_canonical" -> urlCanonicalOracleSql(),
     "q125_lsh_audit" -> lshAuditOracleSql(),
     "q126_lsh_tuning_grid" -> lshAuditGridOracleSql(Seq(8, 16, 32)),
+    "q175_lsh_recommend" -> lshRecommendOracleSql(tau = 0.8,
+      grid = Seq(8, 16, 32), recallFloor = 0.7, maxPairsPerDoc = 10.0),
     "q89_incremental_minhash" ->
       // identical sketch replay, restricted to pairs touching the
       // doc_id % 10 = 7 batch slice

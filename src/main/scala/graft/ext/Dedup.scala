@@ -892,6 +892,93 @@ object Dedup {
         (col("n_buckets") * col("bsz") * (col("bsz") - 1) / 2).cast("long"))
       .orderBy(col("bsz").desc)
 
+  /** Closes the LSH tuning loop [[lshBucketHistogram]] /
+    * [[lshRecallAuditGrid]] only diagnose: given a target `tau` and a
+    * banding grid, recommend the (bands, width) operating point BEFORE
+    * any pair is generated — the round-10 74 GB spill (char shingles
+    * run at the word-mode 16×4 point) was detectable from exactly this
+    * arithmetic, so this operator exists to PREVENT that class of
+    * misconfiguration rather than post-mortem it.
+    *
+    * Per grid config b (width r = numHashes/b), one output row:
+    *  - `p_at_tau` = 1 − (1 − tau^r)^b — the S-curve collision
+    *    probability for a TRUE pair sitting exactly at the threshold
+    *    (pairs above tau collide with higher probability, so this is
+    *    the candidate-recall floor of the config). Plan-time constant.
+    *  - `s_mid` = (1/b)^(1/r) — the S-curve midpoint, where collision
+    *    probability crosses ~1−1/e; a midpoint far below tau means the
+    *    config admits a sea of sub-threshold junk.
+    *  - `predicted_candidates` = Σ over (band, bucket) of c·(c−1)/2
+    *    from the MEASURED bucket histogram — the exact pair volume the
+    *    banding join will generate (pre-distinct: the join's shuffle
+    *    and compare cost, which is what floods), priced as one banding
+    *    aggregation per config, never the pairs themselves.
+    *  - `pairs_per_doc`, `feasible` (= p_at_tau ≥ recallFloor AND
+    *    pairs_per_doc ≤ maxPairsPerDoc, as int), and `recommended` —
+    *    the feasible config with the fewest predicted candidates
+    *    (ties: fewer bands). All-infeasible grids return all-zero
+    *    `recommended`: the caller must widen the grid or raise the
+    *    cap, not silently run a flooding config.
+    *
+    * S-curve probabilities are snapped to 6 dp via floor(x·1e6+0.5)
+    * (the cross-engine pow rule); histogram arithmetic is exact
+    * integers; pairs_per_doc is one exact-int IEEE division — so a SQL
+    * oracle replays every cell bit-for-bit. Signatures are computed
+    * once and eagerly checkpointed (grid-many sibling consumers of one
+    * action — the SCALE.md multi-consumer rule). The rank window is
+    * single-partition but grid-sized (≤ a handful of rows) by
+    * construction.
+    */
+  def lshAutoRecommend(df: DataFrame, id: String, text: String, tau: Double,
+                       numHashes: Int = 64,
+                       bandsGrid: Seq[Int] = Seq(8, 16, 32),
+                       ngram: Int = 3,
+                       mode: ShingleMode = ShingleMode.Word,
+                       charK: Int = 5,
+                       recallFloor: Double = 0.7,
+                       maxPairsPerDoc: Double = 10.0): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0, 1)")
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      "recallFloor must be in (0, 1]")
+    require(maxPairsPerDoc > 0.0, "maxPairsPerDoc must be positive")
+    require(bandsGrid.nonEmpty && bandsGrid.distinct.size == bandsGrid.size,
+      "bandsGrid must be non-empty with distinct entries")
+    bandsGrid.foreach(b => require(b > 0 && numHashes % b == 0,
+      s"bands ($b) must divide numHashes ($numHashes)"))
+    val snap6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val sigs = minhashSignatures(df, id, text, ngram, numHashes, mode, charK)
+      .localCheckpoint(eager = true)
+    val nd = sigs.agg(count(lit(1)).as("n_docs"))
+    val perCfg = bandsGrid.sorted.map { b =>
+      val r = numHashes / b
+      val pAtTau = snap6(1.0 - math.pow(1.0 - math.pow(tau, r), b))
+      val sMid = snap6(math.pow(1.0 / b, 1.0 / r))
+      lshCandidateInput(sigs.select(col("id"), col("sig")), b)
+        .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast(LongType)),
+          lit(0L)).as("predicted_candidates"))
+        .select(lit(b).as("bands"), lit(r).as("width"),
+          lit(pAtTau).as("p_at_tau"), lit(sMid).as("s_mid"),
+          col("predicted_candidates"))
+    }.reduce(_ union _)
+    // one-row extent pattern: the doc count crossJoins (broadcast) onto
+    // the grid-sized config table — no collect
+    val scored = perCfg.crossJoin(nd)
+      .withColumn("pairs_per_doc",
+        when(col("n_docs") > 0, col("predicted_candidates").cast(DoubleType)
+          / col("n_docs").cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("feasible",
+        (col("p_at_tau") >= recallFloor &&
+          col("pairs_per_doc") <= maxPairsPerDoc).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("feasible").desc, col("predicted_candidates").asc, col("bands").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .withColumn("recommended",
+        (col("feasible") === 1 && col("__r") === 1).cast("int"))
+      .drop("__r")
+      .orderBy(col("bands"))
+  }
+
   /** LSH skew guard shared by every banding consumer: drop (band,
     * bucket) groups larger than `cap` — a bucket with b members emits
     * b²/2 pairs, so one degenerate bucket turns candidates quadratic. */

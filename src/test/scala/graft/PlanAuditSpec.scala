@@ -157,7 +157,10 @@ class PlanAuditSpec extends SparkSpec {
       "q163_share_drift", "q164_hard_negatives",
       // q165/q166: the one-row totals aggregate crossJoins (broadcast)
       // onto the class/bin table — the q113 identity shape again
-      "q165_t_closeness", "q166_numeric_drift")
+      "q165_t_closeness", "q166_numeric_drift",
+      // q175: the one-row doc-count aggregate crossJoins (broadcast)
+      // onto the grid-sized config table (≤ a handful of rows)
+      "q175_lsh_recommend")
 
   test("q171 (link graph): map-side extraction feeding one " +
       "aggregation pair, no join anywhere") {

@@ -1096,6 +1096,58 @@ class DedupSpec extends SparkSpec {
       s"one auto call must find the English AND the CJK pair: $pairs")
   }
 
+  test("lshAutoRecommend: the word-mode 16×4 point on char shingles is " +
+      "rejected (candidate flood), the q127 8×8 point is recommended") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => sqlSum}
+    // The round-10 74 GB spill corpus shape in miniature: unrelated
+    // documents whose char-5-gram Jaccard runs ~0.5 (a long shared
+    // boilerplate span + a unique pseudo-random tail), far below the
+    // tau=0.8 dup threshold but far above word-trigram background.
+    // At 16 bands × width 4 the S-curve admits ~60% of ALL pairs as
+    // candidates (flood); at 8 × 8 it admits ~2%.
+    val shared = "the quick brown fox jumps over the lazy dog while " +
+      "autumn leaves drift across the quiet village square and distant " +
+      "bells ring softly through the evening mist above the harbor as " +
+      "fishermen mend their nets beside weathered boats and children " +
+      "chase gulls along the shore before supper"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def tail(i: Int): String = (0 until 5).map { j =>
+      md.digest(s"tail:$i:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }.mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, s"$shared ${tail(i)}"))
+      .toDF("doc_id", "text")
+    val rec = Dedup.lshAutoRecommend(docs, "doc_id", "text", tau = 0.8,
+        numHashes = 64, bandsGrid = Seq(8, 16, 32),
+        mode = Dedup.ShingleMode.Char, charK = 5,
+        recallFloor = 0.7, maxPairsPerDoc = 2.0)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rec.keySet === Set(8, 16, 32), "one row per grid config")
+    val (r8, r16, r32) = (rec(8), rec(16), rec(32))
+    // S-curve recall floors at tau=0.8: all three configs clear 0.7
+    assert(r8.getDouble(2) === 0.769889 && r16.getDouble(2) > 0.99,
+      s"p_at_tau cells: ${r8.getDouble(2)}, ${r16.getDouble(2)}")
+    // the flood: 16×4 and 32×2 blow the pairs-per-doc cap, 8×8 doesn't
+    assert(r16.getInt(7) === 0 && r32.getInt(7) === 0,
+      s"word-mode banding must be INFEASIBLE on char shingles: " +
+        s"16→${r16.getDouble(6)} 32→${r32.getDouble(6)} pairs/doc")
+    assert(r8.getInt(7) === 1 && r8.getInt(8) === 1,
+      s"the q127 8×8 operating point must be recommended: " +
+        s"${r8.getDouble(6)} pairs/doc")
+    assert(Seq(r8, r16, r32).map(_.getInt(8)).sum === 1,
+      "exactly one recommended config")
+    assert(r16.getDouble(6) > r8.getDouble(6) * 5,
+      "the flood must be an order-of-magnitude call, not a margin call")
+    // predicted volume is exactly the bucket histogram's pair sum
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 64, mode = Dedup.ShingleMode.Char, charK = 5)
+    val histPairs = Dedup.lshBucketHistogram(sigs, 16)
+      .agg(sqlSum(col("pairs"))).as[Long].head()
+    assert(r16.getLong(4) === histPairs,
+      "predicted_candidates must equal the histogram pair sum")
+  }
+
   test("crossContainmentGate: subset batch docs gate, undecidables keep a null-partner row") {
     import spark.implicits._
     val catalog = Seq(
