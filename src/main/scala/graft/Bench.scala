@@ -209,6 +209,18 @@ object Bench {
     val qs = results.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
+    // Per-query pass1/pass2 samples ride the detail artifact so a high
+    // pass_ratio is auditable line-by-line: a uniformly loaded pass 1
+    // shows every min coming from pass 2 (pass 1 provably irrelevant
+    // to the board), while a genuine regression shows BOTH samples
+    // high. Without these, a 1.7x gate ratio can only be argued from
+    // totals (rounds 12-13 both carried that argument unprovably).
+    def passJson(p: Seq[(String, Double, Boolean, (Long, Long, Long))]) =
+      p.map { case (k, t, ok, _) =>
+        s"\"" + k + "\":" + (if (ok) t.toString else "-1") }
+        .mkString("{", ",", "}")
+    val q1 = passJson(p1)
+    val q2 = passJson(p2)
     val total = results.filter(_._3).map(_._2).sum
     // Data-volume board from pass 2 (same plans, post-JIT; shuffle
     // volume is plan-determined, not load-determined — identical across
@@ -230,7 +242,7 @@ object Bench {
     // tail window the driver keeps always ends in one complete,
     // parseable JSON line (the per-query map can never fit in 2000
     // chars, so the compact line carries only board-level scalars).
-    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"rebenched":$rebenchedJson,"rescue_shuffle_write_bytes":$rescueShuffle,"rescue_spill_bytes":$rescueSpill,"prev_baseline":"$prevBaseline"}"""
+    val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir","shuffle_write_bytes":$sw,"spill_bytes":$sp,"queries":$qs,"pass1_sec":$q1,"pass2_sec":$q2,"shuffle_write_total":$shuffleTotal,"spill_total":$spillTotal,"value":$total,"failed":$failed,"pass1_total_sec":${f"$t1%.3f"},"pass2_total_sec":${f"$t2%.3f"},"pass_ratio":${f"$ratio%.3f"},"load_flagged":$loadFlagged,"rebenched":$rebenchedJson,"rescue_shuffle_write_bytes":$rescueShuffle,"rescue_spill_bytes":$rescueSpill,"prev_baseline":"$prevBaseline"}"""
     println(detail)
     // Default detail path is a COMMITTED repo file (target/ is
     // gitignored, so round 11's per-query detail never reached the
