@@ -70,6 +70,13 @@ object SparkEntry {
   /** (weights, bias) — q173 audits the same scorer per language; the
     * oracle replays scoring + the integer rank-AUC fold per group. */
   @volatile private var biasLr173: Option[(Array[Double], Double)] = None
+  /** (rank, left, right) trained merges — q176 encodes the corpus with
+    * the in-engine-trained BPE merge table and the oracle replays the
+    * ENCODE fold merge-for-merge from the captured merges (one
+    * `replace` per rank over a noncharacter-separated symbol string —
+    * SQL replace is the same non-overlapping left-to-right pass as the
+    * trainer's applyMerge). */
+  @volatile private var bpeMerges176: Option[Seq[(Int, String, String)]] = None
 
   /** Deterministic-trainer memo: every trainer here is a pure function
     * of (data dir, params) — seeded KMeans over a seeded hash-sample —
@@ -1189,6 +1196,31 @@ object SparkEntry {
     "q82_bpe" -> ((s, dir) =>
       graft.ext.TextAnalysis.bpeInvariantSummary(
         Tables.documents(s, dir), "doc_id", "text", numMerges = 4)),
+
+    // --- Tokenizer APPLICATION + multilingual fertility audit: the
+    // trained merge table ENCODES the corpus (the trainer's own fold —
+    // merges in rank order, one non-overlapping left-to-right pass
+    // each), then per language: words, distinct words, chars, BPE
+    // tokens, fertility (tokens/word) and chars/token — the equity
+    // numbers that catch a vocab silently taxing under-represented
+    // languages with 2x sequence length. Training is deterministic, so
+    // the merges are CAPTURED and the oracle replays the encode fold
+    // merge-for-merge (one replace per rank over a noncharacter-
+    // separated symbol string), then the same vocab-keyed aggregation —
+    // a full hash oracle for the encoder, strictly stronger than q82's
+    // invariant summary.
+    "q176_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = memoTrain(s"bpe12:$dir") {
+        graft.ext.TextAnalysis.bpeTrain(docs, "doc_id", "text",
+            numMerges = 12)
+          .orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      }
+      bpeMerges176 = Some(merges)
+      graft.ext.TextAnalysis.bpeFertilityByLang(
+        docs, "text", "lang", merges.map { case (_, l, r) => (l, r) })
+    }),
 
     // --- Boilerplate REMOVAL (q68 surfaces the digests; this is the
     // clean-text output a pipeline actually ships): lines anti-joined
@@ -3534,6 +3566,78 @@ object SparkEntry {
        |  FROM u)""".stripMargin
   }
 
+  /** SQL literal for a BPE symbol: ordinary characters quote directly;
+    * the U+FDD0 end-of-word marker (a Unicode noncharacter — not safe
+    * to embed in SQL source text) splices as chr(64976). */
+  private def bpeSymLit(s: String): String = {
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (c == '\uFDD0') {
+        if (cur.nonEmpty) {
+          pieces += "'" + cur.toString.replace("'", "''") + "'"
+          cur.clear()
+        }
+        pieces += "chr(64976)"
+      } else cur += c
+    }
+    if (cur.nonEmpty) pieces += "'" + cur.toString.replace("'", "''") + "'"
+    if (pieces.isEmpty) "''" else pieces.mkString(" || ")
+  }
+
+  /** q176 replay: the captured merge table as a VALUES relation, the
+    * encode fold as a recursive CTE applying ONE merge rank per step —
+    * `replace` over a chr(64977)-separated (U+FDD1, a second
+    * noncharacter) symbol string IS the trainer's non-overlapping
+    * left-to-right applyMerge pass — then the same vocab-keyed
+    * per-language aggregation and floor-snapped ratios. Initial
+    * symbols are per-codepoint + the chr(64976) marker (the corpus is
+    * ASCII after lower(), so codepoint == grapheme here). */
+  private def bpeFertilityOracleSql(merges: Seq[(Int, String, String)])
+      : String = {
+    require(merges.nonEmpty, "q176 oracle needs at least one merge")
+    val values = merges.map { case (rk, l, r) =>
+      s"($rk, ${bpeSymLit(l)}, ${bpeSymLit(r)})" }.mkString(", ")
+    val nm = merges.size
+    s"""WITH RECURSIVE m(rnk, l, r) AS (VALUES $values),
+       |w AS (
+       |  SELECT lang, unnest(list_filter(string_split_regex(lower(text),
+       |    '[ \\t\\n\\f\\r]+'), x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |wf AS (SELECT lang, word, count(*) AS freq FROM w GROUP BY 1, 2),
+       |init AS (
+       |  SELECT word,
+       |    chr(64977) || array_to_string(
+       |      list_append(regexp_extract_all(word, '.'), chr(64976)),
+       |      chr(64977)) || chr(64977) AS s,
+       |    0 AS rnk
+       |  FROM (SELECT DISTINCT word FROM wf)),
+       |st AS (
+       |  SELECT word, s, rnk FROM init
+       |  UNION ALL
+       |  SELECT st.word,
+       |    replace(st.s, chr(64977) || m.l || chr(64977) || m.r || chr(64977),
+       |      chr(64977) || m.l || m.r || chr(64977)),
+       |    st.rnk + 1
+       |  FROM st JOIN m ON m.rnk = st.rnk),
+       |enc AS (
+       |  SELECT word,
+       |    CAST(length(s) - length(replace(s, chr(64977), '')) - 1 AS BIGINT)
+       |      AS n_tokens
+       |  FROM st WHERE rnk = $nm),
+       |agg AS (
+       |  SELECT wf.lang,
+       |    CAST(sum(wf.freq) AS BIGINT) AS n_words,
+       |    CAST(count(*) AS BIGINT) AS n_distinct_words,
+       |    CAST(sum(wf.freq * length(wf.word)) AS BIGINT) AS n_chars,
+       |    CAST(sum(wf.freq * e.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM wf JOIN enc e USING (word) GROUP BY 1)
+       |SELECT lang, n_words, n_distinct_words, n_chars, n_tokens,
+       |  floor((1.0 * n_tokens / n_words) * 1e6 + 0.5) / 1e6 AS fertility,
+       |  floor((1.0 * n_chars / n_tokens) * 1e6 + 0.5) / 1e6 AS chars_per_token
+       |FROM agg""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Column names/aliases MUST match the Spark output exactly.
@@ -3561,7 +3665,8 @@ object SparkEntry {
     calibLr170.map { case (w, b) =>
       "q170_calibration" -> calibrationOracleSql(w, b) } ++
     biasLr173.map { case (w, b) =>
-      "q173_filter_bias" -> filterBiasOracleSql(w, b) }
+      "q173_filter_bias" -> filterBiasOracleSql(w, b) } ++
+    bpeMerges176.map(m => "q176_bpe_fertility" -> bpeFertilityOracleSql(m))
 
   /** q121 replay: captured centroids → argmin-euclid cell assignment
     * (the q40 CTE), per-member centroid cosine (the engine's exact

@@ -1101,6 +1101,66 @@ object TextAnalysis {
       .toDF(id, "tokens", "n_bpe_tokens")
   }
 
+  /** Per-language tokenizer FERTILITY audit — the multilingual-equity
+    * numbers (tokens/word, chars/token) a tokenizer review reads before
+    * a mixture is budgeted: a language whose fertility runs 2× another's
+    * pays 2× the sequence length for the same text, so a vocab trained
+    * on a skewed mixture silently taxes the under-represented languages.
+    * Output: one row per language — n_words, n_distinct_words, n_chars,
+    * n_tokens (end-of-word marker included, the `</w>` accounting),
+    * fertility = tokens/word, chars_per_token (both floor-snapped).
+    *
+    * Encoding is the trainer's OWN fold — merges in rank order, each a
+    * single non-overlapping left-to-right [[applyMerge]] pass — so the
+    * encoded symbols equal the trainer's final vocab state for every
+    * training word by construction, and an external SQL oracle replays
+    * the fold verbatim: one `replace` per merge over a noncharacter-
+    * separated symbol string (SQL `replace` IS the same left-to-right
+    * non-overlapping pass).
+    *
+    * Scale shape: ONE corpus scan explodes to the (lang, word, freq)
+    * aggregation (vocabulary×languages scale — the [[bpeTrain]]
+    * location rule; eagerly checkpointed because two stages of one
+    * action consume it). The merge fold runs once per DISTINCT word
+    * with a cheap substring guard (a merge whose concatenation is not
+    * a substring of word+marker cannot apply — symbols are contiguous
+    * grapheme runs), and the fertility join is vocab-keyed, never
+    * corpus-keyed.
+    */
+  def bpeFertilityByLang(df: DataFrame, text: String, lang: String,
+                         merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byLang = df
+      .select(col(lang).as("lang"),
+        explode(filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"),
+          t => length(t) > 0)).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val enc = byLang.groupBy("word").agg(count(lit(1)).as("n_langs"))
+      .select(col("word")).as[String]
+      .map { w =>
+        val hay = w + EndOfWord
+        val syms = merges.foldLeft(initialSymbols(w)) { case (s, (l, r)) =>
+          if (hay.contains(l + r)) applyMerge(s, l, r) else s
+        }
+        (w, syms.length.toLong)
+      }
+      .toDF("word", "n_tokens")
+    byLang.join(enc, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("freq") * length(col("word"))).as("n_chars"),
+        sum(col("freq") * col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_distinct_words"),
+        col("n_chars"), col("n_tokens"),
+        graft.functions.Rounding.reprRound6(
+          col("n_tokens") / col("n_words")).as("fertility"),
+        graft.functions.Rounding.reprRound6(
+          col("n_chars") / col("n_tokens")).as("chars_per_token"))
+  }
+
   // --------------------------------------------------------------------
   // Language identification (character n-gram heuristic)
   // --------------------------------------------------------------------

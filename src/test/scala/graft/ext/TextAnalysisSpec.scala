@@ -195,6 +195,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(11L) === Seq.empty)        // null text -> no tokens
   }
 
+  test("bpeFertilityByLang: encode fold matches training state, marker accounting") {
+    val df = Seq(
+      (1L, "low low low lower lowest", "en"),
+      (2L, "low low", "de")).toDF("doc_id", "text", "lang")
+    // union corpus: freq(low)=5 -> merges (l,o), (lo,w), (low,</w>)
+    val merges = TextAnalysis.bpeTrain(df, "doc_id", "text", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bpeFertilityByLang(df, "text", "lang", merges)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    // en: low x3 (1 token each), lower = low|e|r|</w> (4), lowest =
+    // low|e|s|t|</w> (5) — the </w> marker rides the token count
+    assert(en.getAs[Long]("n_words") === 5L)
+    assert(en.getAs[Long]("n_distinct_words") === 3L)
+    assert(en.getAs[Long]("n_chars") === 20L)
+    assert(en.getAs[Long]("n_tokens") === 12L)
+    assert(en.getAs[Double]("fertility") ===
+      math.floor(12.0 / 5 * 1e6 + 0.5) / 1e6)
+    assert(en.getAs[Double]("chars_per_token") ===
+      math.floor(20.0 / 12 * 1e6 + 0.5) / 1e6)
+    // de: both words fully merge to the single low</w> token — the
+    // SAME distinct-word encode serves both language rows
+    val de = out("de")
+    assert(de.getAs[Long]("n_words") === 2L)
+    assert(de.getAs[Long]("n_distinct_words") === 1L)
+    assert(de.getAs[Long]("n_tokens") === 2L)
+    assert(de.getAs[Double]("fertility") === 1.0)
+  }
+
   test("packGreedy: zero-token doc cannot share a pack with an oversize doc") {
     val df = Seq(
       (1L, "", "en"),                       // 0 tokens
