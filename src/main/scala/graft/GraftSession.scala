@@ -23,11 +23,24 @@ object GraftSession {
   /** Shared tuning applied to any builder. zstd parquet output: at a
     * 100 TB lake the scan is IO-bound, so zstd's materially better
     * ratio at near-snappy speed means fewer bytes read AND stored —
-    * Spark 4 bundles the codec, nothing to install. */
+    * Spark 4 bundles the codec, nothing to install.
+    *
+    * AQE initial partition count = 256 (the round-14 sf100 lesson): a
+    * fixed `shuffle.partitions` is a CEILING — AQE can coalesce below
+    * it but never split above it (skew-join splitting aside), so at
+    * 1000x the oracle SF every multi-GB shuffle was crammed into 32
+    * reducers, hash-agg/sort buffers blew execution memory, and q107
+    * went 23.7x for 10x data on 13 GB of spill. A high initial count
+    * with `parallelismFirst` (Spark's default) keeps small-SF behavior
+    * unchanged — AQE coalesces back to the default parallelism, never
+    * below it — while big shuffles keep up to 256 reducers and stay
+    * in memory. On a real cluster this scales with executor count;
+    * 256 is the right headroom for one 32-core node. */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
 
   /** Local development/test session: `local[cores]`, shuffle partitions
     * = cores, UI off.
@@ -46,6 +59,8 @@ object GraftSession {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.conf.set("spark.sql.parquet.compression.codec", "zstd")
         s.conf.set("spark.sql.shuffle.partitions", cores.toString)
+        s.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         GraftExtensions.install(s)
         s
       case None =>

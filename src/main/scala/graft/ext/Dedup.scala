@@ -1769,51 +1769,70 @@ object Dedup {
                          dim: Int = 64,
                          maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.Vectors
-    val rawBuckets = Similarity.signLshBuckets(df, id, vec, tables, nPlanes, dim)
+    // Score INSIDE the bucket join — the round-14 sf100 lesson. Sign-LSH
+    // at constant occupancy pairs a linear-in-n but NOISE-DOMINATED
+    // candidate stream (random vectors agree on nPlanes sign bits often
+    // enough that most collisions fail the tau filter: 518M candidates
+    // at 2M vectors, 16 tables, occupancy ~16 — measured at sf100).
+    // The previous shape deduped the narrow candidate stream FIRST and
+    // then attached both 256 B vectors by id via two shuffle joins; the
+    // attach traffic (|distinct candidates| × ~520 B, tens of GB at
+    // sf100) spilled past execution memory and filled the disk. Here
+    // the vectors arrive WITH their banded rows — a map-side projection
+    // of the scan, zero extra shuffle to build — so the (table, bucket)
+    // self-join co-locates both vectors, the cosine is computed and
+    // thresholded immediately, and only SURVIVORS (true near-dups, the
+    // tiny tail) reach the distinct. Cosine is computed once per
+    // collision instead of once per distinct pair (~16x more dots) —
+    // dim-length codegen'd multiply-adds, orders cheaper than shuffling
+    // vector payloads. Output is identical: same pairs, same cosine
+    // (vec_dot's accumulation order is fixed), distinct-after-score =
+    // score-after-distinct.
+    val ps = Similarity.md5SignPlanes(tables, nPlanes, dim)
+    // null vectors keep the historical contract (bucket 0 per table;
+    // their cosine is null and the tau filter drops them — same rows
+    // the narrow-candidate shape produced)
+    val zeros = array(Seq.fill(tables)(lit(0L)): _*)
+    val wide = df.select(col(id).as("id"), col(vec).as("vraw"),
+        // vec_dot/vec_norm widen float elements in-loop — vectors ride
+        // in STORED width; the cast below feeds only the bucket hash
+        Vectors.norm(col(vec).cast("array<double>")).as("norm"),
+        posexplode(coalesce(
+          Vectors.signLshBuckets(col(vec).cast("array<double>"), ps), zeros)))
+      .toDF("id", "vraw", "norm", "table", "bucket")
     // the LSH skew guard (capBuckets' shape, keyed on (table, bucket)):
     // a near-constant embedding shared by a large corpus fraction lands
     // its whole cluster in ONE bucket per table — b members emit b²/2
     // candidates, so one degenerate direction turns the stream
-    // quadratic; an over-cap bucket carries no discriminative signal
-    // EAGER checkpoint (the multi-consumer rule, SCALE.md round 7):
-    // the cap aggregation and both candidate join sides consume the
-    // bucket scan — the narrow (id, table, bucket) frame materializes
-    // once; the WIDE vector frame below stays un-checkpointed on
-    // purpose (recomputing a map-side projection beats materializing
-    // the corpus' vectors at scale)
-    val bucketsCk = rawBuckets.localCheckpoint(eager = true)
-    val buckets = maxBucketSize match {
+    // quadratic; an over-cap bucket carries no discriminative signal.
+    // The DROP set (buckets over cap) is tiny by construction — the
+    // complement of the old keep-semi-join — so it broadcasts and the
+    // cap stays map-side; its count aggregation re-derives the NARROW
+    // banding (column pruning drops vraw under the agg), which beats
+    // materializing or shuffling the wide frame at any corpus size.
+    val banded = maxBucketSize match {
       case Some(cap) =>
-        val keep = bucketsCk.groupBy("table", "bucket")
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+        val drop = wide.select("table", "bucket")
+          .groupBy("table", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > cap)
           .select("table", "bucket")
-        bucketsCk.join(keep, Seq("table", "bucket"), "left_semi")
-      case None => bucketsCk
+        wide.join(broadcast(drop), Seq("table", "bucket"), "left_anti")
+      case None => wide
     }
-    val cand = buckets.select(col("id").as("id_a"), col("table"), col("bucket"))
-      .join(buckets.select(col("id").as("id_b"), col("table"), col("bucket")),
-        Seq("table", "bucket"))
+    val l = banded.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("vraw").as("v_a"), col("norm").as("n_a"))
+    val r = banded.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("vraw").as("v_b"), col("norm").as("n_b"))
+    l.join(r, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // the vectors ride the candidate joins in their STORED width (the
-    // sf10 run measured this join pair as the board's dominant shuffle
-    // + spill: float32 embeddings pre-cast to double doubled every
-    // candidate row to 512 B for no precision gain — the cast is exact
-    // wherever it happens, so it happens AFTER the shuffles, per row)
-    val v = df.select(col(id).as("id"), col(vec).as("vraw"))
-      .withColumn("norm", Vectors.norm(col("vraw").cast("array<double>")))
-    cand
-      .join(v.select(col("id").as("id_a"), col("vraw").as("v_a"), col("norm").as("n_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vraw").as("v_b"), col("norm").as("n_b")), "id_b")
       .withColumn("cosine",
-        // vec_dot widens float elements in-loop — no cast allocation
-        // on the candidate hot path, bit-identical result
         Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       // threshold on the ROUNDED value (CLAUDE.md): a pair within ulps
       // of tau must land on the same side in every engine — downstream
       // closures amplify a one-edge divergence into whole-cluster drift
       .filter(round(col("cosine"), 6) >= tau)
       .select("id_a", "id_b", "cosine")
+      .distinct()
   }
 
   // --------------------------------------------------------------------
