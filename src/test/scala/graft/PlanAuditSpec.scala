@@ -96,6 +96,25 @@ class PlanAuditSpec extends SparkSpec {
       s"blocked cosine must not degrade to a nested loop:\n$p")
   }
 
+  test("q19/q104: cosine scores INSIDE the bucket join — no id-keyed " +
+       "vector-attach joins after the candidate stream (round-14 sf100 pin)") {
+    // The narrow-candidates-then-attach shape shuffled |distinct
+    // candidates| x ~520 B of vector payload and died on spill at
+    // sf100 (518M candidates at 2M vectors). The fixed shape has
+    // exactly ONE shuffled join — the (table, bucket) self-join whose
+    // rows already carry their vectors map-side — plus at most the
+    // broadcast ANTI join of the over-cap drop set. A reappearing
+    // id_a/id_b-keyed equi-join means the payload attach is back.
+    // (q19 is the pure cosinePairsBlocked plan; q104 stacks CC + the
+    // survivor join downstream, so only q19 pins the operator shape.)
+    val p = plan("q19_cosine_pairs")
+    val shuffledJoins =
+      p.split("SortMergeJoin").length - 1 + p.split("ShuffledHashJoin").length - 1
+    assert(shuffledJoins <= 1,
+      s"q19: expected at most ONE shuffled join (the bucket self-join); " +
+        s"an id-keyed vector attach has returned:\n$p")
+  }
+
   // Queries where a nested-loop operator is the intended, bounded design
   // (not an O(n²)-rows scale risk) — each with the reason it is safe:
   //  - q72_cross: the deliberate region×nation dimension grid (5×25 rows).
