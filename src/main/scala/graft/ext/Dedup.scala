@@ -547,6 +547,9 @@ object Dedup {
           .cast("long").as("tok"))
       .localCheckpoint(eager = true)
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    // pref/vtoks split: candidate prefixes in rarest-first order, the
+    // full set value-sorted for the codegen'd merge-scan verify (see
+    // jaccardPairsPrefix; round-14 optimization)
     val ordered = t.join(dfreq, Seq("tok"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
@@ -554,16 +557,18 @@ object Dedup {
       .withColumn("n", size(col("toks")))
       .withColumn("plen",
         (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+      .select(col("id"), slice(col("toks"), lit(1), col("plen")).as("pref"),
+        array_sort(col("toks")).as("vtoks"), col("n"))
       .localCheckpoint(eager = true) // prefixes + both verify sides
     val prefixes = ordered.select(col("id").as("id_inner"),
-      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+      explode(col("pref")).as("tok"))
     val cand = prefixes
       .join(t.select(col("id").as("id_outer"), col("tok")), Seq("tok"))
       .filter(col("id_inner") =!= col("id_outer"))
       .select("id_inner", "id_outer").distinct()
     val setsI = ordered.select(col("id").as("id_inner"),
-      col("toks").as("toks_i"), col("n").as("n_i"))
-    val setsO = ordered.select(col("id").as("id_outer"), col("toks").as("toks_o"))
+      col("vtoks").as("toks_i"), col("n").as("n_i"))
+    val setsO = ordered.select(col("id").as("id_outer"), col("vtoks").as("toks_o"))
     // the verify attach BROADCASTS the array frame deliberately: this
     // op's contract is the bounded-slice exact twin (LSH is the corpus
     // path), and attaching the second array side through a shuffle
@@ -575,8 +580,8 @@ object Dedup {
     cand.join(broadcast(setsI), Seq("id_inner"))
       .join(broadcast(setsO), Seq("id_outer"))
       .withColumn("containment",
-        size(array_intersect(col("toks_i"), col("toks_o"))).cast(DoubleType) /
-          col("n_i"))
+        graft.functions.Arrays.sortedIntersectCount(
+          col("toks_i"), col("toks_o")).cast(DoubleType) / col("n_i"))
       .filter(col("containment") >= tau)
       .select("id_inner", "id_outer", "containment")
   }
@@ -633,10 +638,15 @@ object Dedup {
           case (Some(a), Some(b)) => math.min(a, b)
           case (a, b) => a.orElse(b).get
         }
+        // vocabulary-scale; PINNED so the union-wide tokenize+count
+        // runs once, not once per semi-join consumer (round-14: the
+        // unpinned subtree re-tokenized BOTH corpora inside each side's
+        // lineage — the multi-consumer rule, SCALE.md round 7)
         val keep = tb0.select("tok").unionByName(tc0.select("tok"))
           .groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") <= lit(bound))
           .select("tok")
+          .localCheckpoint(eager = true)
         (tb0.join(keep, Seq("tok"), "left_semi"),
           tc0.join(keep, Seq("tok"), "left_semi"))
       }
@@ -655,9 +665,14 @@ object Dedup {
       .withColumn("containment", col("inter").cast(DoubleType) / col("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bid")
       .orderBy(col("containment").desc, col("cid").asc)
+    // batch-scale (one row per batch doc with a candidate); PINNED so
+    // the final left-outer's broadcast build does not re-execute the
+    // corpus-scale candidate join a second time (round-14: measured as
+    // a byte-identical duplicate of the inter stage, ~2x the op)
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("bid"), col("cid").as("catalog_id"), col("containment"))
+      .localCheckpoint(eager = true)
     // the verdict universe keeps the id's ORIGINAL type — a cast here
     // would silently empty the join against the token stream's ids
     // for any non-long id column
@@ -707,6 +722,12 @@ object Dedup {
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc shingles ordered (df asc, tok asc); full array kept for
     // exact verification, prefix exploded for candidate generation
+    // pref = the df-ascending prefix (candidate generation); vtoks =
+    // the SAME set VALUE-sorted, so the verify intersection runs as a
+    // codegen'd zero-allocation merge scan (sorted_intersect_count)
+    // instead of array_intersect's per-pair hash set + materialized
+    // result array (~16 µs/pair measured on the sf0.1 verify stage,
+    // which AQE coalesces to 2-3 tasks; round-14 optimization)
     val ordered = t.join(dfreq, Seq("tok"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("sorted"))
@@ -714,16 +735,17 @@ object Dedup {
       .withColumn("n", size(col("toks")))
       .withColumn("plen",
         (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+      .select(col("id"), slice(col("toks"), lit(1), col("plen")).as("pref"),
+        array_sort(col("toks")).as("vtoks"), col("n"))
       .localCheckpoint(eager = true)
-    val prefixes = ordered.select(col("id"), col("n"),
-      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val prefixes = ordered.select(col("id"), explode(col("pref")).as("tok"))
     val a = prefixes.select(col("id").as("id_a"), col("tok"))
     val b = prefixes.select(col("id").as("id_b"), col("tok"))
     val cand = a.join(b, a("tok") === b("tok") && a("id_a") < b("id_b"))
       .select("id_a", "id_b").distinct()
-    val setsA = ordered.select(col("id").as("id_a"), col("toks").as("toks_a"),
+    val setsA = ordered.select(col("id").as("id_a"), col("vtoks").as("toks_a"),
       col("n").as("n_a"))
-    val setsB = ordered.select(col("id").as("id_b"), col("toks").as("toks_b"),
+    val setsB = ordered.select(col("id").as("id_b"), col("vtoks").as("toks_b"),
       col("n").as("n_b"))
     // deliberate broadcast of the array frame — the bounded-slice
     // exact-twin contract (see containmentPairsPrefix): shuffling the
@@ -732,7 +754,8 @@ object Dedup {
     // crosses the broadcast threshold and flips BHJ -> SMJ
     cand.join(broadcast(setsA), Seq("id_a"))
       .join(broadcast(setsB), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        graft.functions.Arrays.sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -999,8 +1022,11 @@ object Dedup {
     * (and replayed verbatim by the q17/q89 oracles). */
   private def estimatePairs(cand: DataFrame, sigs: DataFrame,
                             tau: Double): DataFrame = {
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      b => b)).cast(DoubleType) / size(col("sig_a")).cast(DoubleType)
+    // codegen'd positional agreement count — the zip_with/filter HOF
+    // formulation evaluated interpreted (2·numHashes lambda calls + two
+    // intermediate arrays per CANDIDATE PAIR; round-14 optimization)
+    val est = graft.functions.Arrays.eqCount(col("sig_a"), col("sig_b"))
+      .cast(DoubleType) / size(col("sig_a")).cast(DoubleType)
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
