@@ -530,21 +530,21 @@ object Dedup {
                              mode: ShingleMode = ShingleMode.Word,
                              charK: Int = 5): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
-    // Shingles ride as 60-BIT HASHES (15 md5 hex digits — the q17
-    // trick, so any SQL engine regenerates the identical values), not
-    // strings: the candidate join keys, the sorted per-doc arrays, and
-    // the verification intersect all shrink from ~24-byte shingle
-    // strings to 8-byte longs, which is where this operator's shuffle
-    // bytes live. Intersection SIZES are what containment needs, and a
-    // 60-bit space makes a corpus-wide collision ~1e-8 at 10⁷ distinct
-    // shingles — identically in every engine, so oracle compares stay
-    // exact. The guarded stream feeds dfreq + the per-doc arrays + the
-    // outer join side — checkpoint once (multi-consumer rule).
+    // Shingles ride as 64-bit xxhash64 keys, not strings: the
+    // candidate join keys, the sorted per-doc arrays, and the
+    // verification intersect all shrink from ~24-byte shingle strings
+    // to 8-byte longs, which is where this operator's shuffle bytes
+    // live. Intersection SIZES are what containment needs, so hashes
+    // only MERGE keys — the oracle replays the strings and any
+    // collision-free hash yields identical counts (round 14 swapped
+    // the 60-bit md5-hex chain: hex alloc + base-16 parse per shingle
+    // occurrence was pure map-side CPU at 100 TB, and 64-bit keys cut
+    // collision odds 16x). The guarded stream feeds dfreq + the
+    // per-doc arrays + the outer join side — checkpoint once
+    // (multi-consumer rule).
     val t = guardedTokenStream(df, id, text, ngram,
         maxDocFrequency, maxTokenDocs, mode, charK)
-      .select(col("id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10)
-          .cast("long").as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("tok"))
       .localCheckpoint(eager = true)
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
     // pref/vtoks split: candidate prefixes in rarest-first order, the
@@ -650,9 +650,10 @@ object Dedup {
         (tb0.join(keep, Seq("tok"), "left_semi"),
           tc0.join(keep, Seq("tok"), "left_semi"))
       }
+    // 64-bit xxhash64 keys (the jaccardPairsPrefix rationale: hashes
+    // only merge intersection keys, the oracle replays strings)
     def hashed(t: DataFrame) = t.select(col("id"),
-      conv(substring(md5(col("tok")), 1, 15), 16, 10)
-        .cast("long").as("tok"))
+      xxhash64(col("tok")).as("tok"))
     // sizes + the candidate join read the batch stream twice: pin it
     val tb = hashed(tbG).localCheckpoint(eager = true)
     val tc = hashed(tcG)
@@ -703,21 +704,23 @@ object Dedup {
                          mode: ShingleMode = ShingleMode.Word,
                          charK: Int = 5): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
-    // Shingles ride as 60-bit md5-derived hashes from here on (the
+    // Shingles ride as 64-bit xxhash64 keys from here on (the
     // [[containmentPairsPrefix]] rationale: candidate join keys and
     // the verify arrays shrink from ~24-byte strings to 8-byte longs,
-    // which is where this op's shuffle bytes live; the 60-bit space
-    // keeps corpus-wide collisions ~1e-8 and IDENTICAL in any SQL
-    // engine, so oracle compares stay exact). Checkpointed eagerly:
+    // which is where this op's shuffle bytes live). Round 14 swapped
+    // the 60-bit md5-hex-prefix chain for xxhash64: the oracle replays
+    // the shingle STRINGS (hashes only MERGE join/intersect keys, so
+    // any collision-free hash yields identical counts), and the md5
+    // chain paid a hex-string alloc + base-16 parse per shingle
+    // OCCURRENCE — pure map-side CPU at 100 TB. 64-bit keys also cut
+    // collision odds 16x vs the 60-bit space. Checkpointed eagerly:
     // the stream feeds dfreq + the array build, and the arrays feed
     // prefixes + both verify sides (multi-consumer rule).
     val t0 =
       if (mode == ShingleMode.Word && ngram <= 1) tokensDF(df, id, text)
       else shinglesByModeDF(df, id, text, ngram, mode, charK)
         .withColumnRenamed("shingle", "tok")
-    val t = t0.select(col("id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10)
-          .cast("long").as("tok"))
+    val t = t0.select(col("id"), xxhash64(col("tok")).as("tok"))
       .localCheckpoint(eager = true)
     val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc shingles ordered (df asc, tok asc); full array kept for
@@ -808,8 +811,9 @@ object Dedup {
                         mode: ShingleMode = ShingleMode.Word,
                         charK: Int = 5): DataFrame = {
     val sh = shinglesByModeDF(df, id, text, ngram, mode, charK)
-      .withColumn("h", conv(substring(md5(col("shingle")), 1, 8), 16, 10)
-        .cast(LongType) % MinhashPrime)
+      .withColumn("h",
+        graft.functions.Strings.md5SliceLong(col("shingle"), 1, 8)
+          % MinhashPrime)
     val mins: Seq[Column] = minhashParams(numHashes).zipWithIndex.map {
       case ((a, c), i) => min((col("h") * a + c) % MinhashPrime).as(s"h$i")
     }
@@ -1403,8 +1407,8 @@ object Dedup {
     val bounds = filter(
       transform(positions,
         p => struct(p.as("p"),
-          pmod(conv(substring(md5(substr(t, p, lit(w))), 1, 8), 16, 10)
-            .cast(LongType), lit(avgChunk.toLong)).as("m"))),
+          pmod(graft.functions.Strings.md5SliceLong(substr(t, p, lit(w)), 1, 8),
+            lit(avgChunk.toLong)).as("m"))),
       s => s.getField("m") === 0L)
     val cuts = transform(bounds, b => b.getField("p") + (w - 1))
     // starts = 1 :: cuts+1; ends = cuts :: n. Cuts are strictly
@@ -1694,8 +1698,8 @@ object Dedup {
     val toks = df.filter(t.isNotNull)
       .select(col(id).as("id"), explode(feats).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("lo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
-      .withColumn("hi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast(LongType))
+      .withColumn("lo", graft.functions.Strings.md5SliceLong(col("tok"), 1, 8))
+      .withColumn("hi", graft.functions.Strings.md5SliceLong(col("tok"), 9, 8))
     val bitSums: Seq[Column] = (0 until 64).map { j =>
       val bit =
         if (j < 32) shiftright(col("lo"), j)

@@ -232,8 +232,7 @@ object Layout {
     */
   def shardManifest(df: DataFrame, shardCol: String, idCol: String,
                     contentCol: String): DataFrame = {
-    val dig = conv(substring(md5(col(contentCol)), 1, 15), 16, 10)
-      .cast("long")
+    val dig = graft.functions.Strings.md5SliceLong(col(contentCol), 1, 15)
     df.select(col(shardCol).as("shard"), col(idCol).as("id"),
         col(contentCol).as("content"), dig.as("__dig"),
         length(col(contentCol)).as("__nc"))

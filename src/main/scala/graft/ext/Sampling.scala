@@ -395,8 +395,18 @@ object Sampling {
     // window twin (and SQL oracles) treat signed zeros as equal peers
     // broken by key — unnormalized, a group holding both zero signs
     // could select different rows than capPerGroup.
-    override def reduce(b: CapBuf, a: (Long, Double)): CapBuf =
-      CapBuf(trim(b.items :+ ((a._1, a._2 + 0.0))))
+    // trim keeps the buffer sorted by (-p, key): a row that cannot
+    // displace the n-th returns the buffer UNCHANGED — O(1) for the
+    // common case instead of a full re-sort per input row (the
+    // TopKAgg round-14 fast path; selection identical, ties included)
+    override def reduce(b: CapBuf, a: (Long, Double)): CapBuf = {
+      val p = a._2 + 0.0
+      if (b.items.length >= n && {
+        val (wk, wp) = b.items.last
+        p < wp || (p == wp && a._1 >= wk)
+      }) b
+      else CapBuf(trim(b.items :+ ((a._1, p))))
+    }
     override def merge(x: CapBuf, y: CapBuf): CapBuf =
       CapBuf(trim(x.items ++ y.items))
     override def finish(r: CapBuf): CapBuf = r
@@ -454,9 +464,8 @@ object Sampling {
 
   private def aesDraw(keyCol: String, weightCol: String,
                       salt: String, roundTo: Int): Column = {
-    val h = conv(
-      substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
-      16, 10).cast("long")
+    val h = graft.functions.Strings.md5SliceLong(
+      concat(lit(s"$salt:"), col(keyCol).cast("string")), 1, 8)
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1]
     lit(0.0) + round(log(u) / col(weightCol), roundTo)
   }
@@ -527,9 +536,8 @@ object Sampling {
                  roundTo: Int = 6): DataFrame = {
     require(n > 0, "n must be > 0")
     requireFreeColumns(df, "gumbelTopK", "draw")
-    val h = conv(
-      substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8),
-      16, 10).cast("long")
+    val h = graft.functions.Strings.md5SliceLong(
+      concat(lit(s"$salt:"), col(keyCol).cast("string")), 1, 8)
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0) // (0,1) open
     val g = lit(0.0) - log(lit(0.0) - log(u))
     df.filter(col(keyCol).isNotNull && col(logWeightCol).isNotNull)

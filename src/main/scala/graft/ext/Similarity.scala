@@ -111,8 +111,18 @@ object Similarity {
     private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
       s.sortBy { case (i, sc) => (-sc, i) }.take(k)
     override def zero: TopKBuf = TopKBuf(Vector.empty)
+    // trim keeps the buffer sorted by (-score, id), so `items.last` is
+    // the current k-th; a candidate that cannot displace it returns
+    // the buffer UNCHANGED — O(1) for the common case instead of a
+    // full O(k log k) re-sort + Vector alloc per input row (round-14
+    // optimization; selection identical, ties included: an equal-score
+    // higher-id candidate sorts after the k-th and take(k) drops it)
     override def reduce(b: TopKBuf, a: (Long, Long, Double)): TopKBuf =
-      TopKBuf(trim(b.items :+ ((a._2, a._3))))
+      if (b.items.length >= k && {
+        val (wi, ws) = b.items.last
+        a._3 < ws || (a._3 == ws && a._2 >= wi)
+      }) b
+      else TopKBuf(trim(b.items :+ ((a._2, a._3))))
     override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
       TopKBuf(trim(x.items ++ y.items))
     override def finish(r: TopKBuf): TopKBuf = r

@@ -131,7 +131,7 @@ object Sketches {
     * over hashes too), so a collision affects both the sketch and its
     * verification identically — the compare never sees it. */
   private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Strings.md5SliceLong(c, 1, 15)
 
   /** The term-occurrence hash stream of a corpus slice: q58 n-gram
     * semantics (lowercase, `[ \t\n\f\r]+` split, docs shorter than n

@@ -1482,9 +1482,13 @@ object TextAnalysis {
       (length(t) - length(replace(t, lit(ch)))).cast(DoubleType))
     val known = counts.reduce(_ + _)
     val other = (length(t).cast(DoubleType) - known)
-    val all = array((counts :+ other).map(c => c): _*)
     val n = length(t).cast(DoubleType)
-    val entropy = aggregate(all, lit(0.0), (acc, c) =>
+    // UNROLLED static fold (round 14): the array + `aggregate` HOF
+    // evaluated interpreted (38 lambda frames + boxing per document,
+    // the q138 plan-time-constant-length rule); foldLeft replays the
+    // HOF's exact left-to-right IEEE accumulation order, so the
+    // entropy is bit-identical and the SQL oracle still matches
+    val entropy = (counts :+ other).foldLeft(lit(0.0))((acc, c) =>
       acc - when(c > 0, c / n * log(c / n)).otherwise(0.0))
     // NULL text stays NULL (a missing doc is not a single-symbol run —
     // 0.0 is the exact low-entropy band the gibberish gate flags);
@@ -1518,7 +1522,11 @@ object TextAnalysis {
     * occurrences.
     */
   def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val tf = termFrequencies(df, id, text)
+    // terms ride as 64-bit xxhash64 keys (round 14, the q107 rule):
+    // internal count/join keys only — the oracle replays the strings
+    val tf = termStream(df, id, text)
+      .select(col("id"), xxhash64(col("term")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = true)
     val tc = tf.groupBy("term").agg(sum(col("tf")).as("tc"))
     val totals = tc.agg(sum(col("tc")).as("total"), count(lit(1)).as("v"))
@@ -1597,9 +1605,16 @@ object TextAnalysis {
     */
   def crossCorpusSurprisal(target: DataFrame, reference: DataFrame,
                            id: String, text: String): DataFrame = {
-    val tf = termFrequencies(target, id, text)
+    // terms ride as 64-bit xxhash64 keys (round 14, the q107 rule):
+    // they only MERGE count/join keys — the oracle replays the strings
+    // — so the corpus-scale (doc, term) stream aggregates and joins on
+    // 8-byte longs instead of term strings
+    val th = (c: Column) => xxhash64(c).as("term")
+    val tf = termStream(target, id, text)
+      .select(col("id"), th(col("term")))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val rc = termStream(reference, id, text)
-      .groupBy("term").agg(count(lit(1)).as("rc"))
+      .groupBy(th(col("term"))).agg(count(lit(1)).as("rc"))
       .localCheckpoint(eager = true) // feeds the join + the totals
     val totals = rc.agg(sum(col("rc")).as("total"), count(lit(1)).as("v"))
     tf.join(rc, Seq("term"), "left_outer")
@@ -1641,12 +1656,19 @@ object TextAnalysis {
   def importanceWeights(pool: DataFrame, target: DataFrame,
                         reference: DataFrame,
                         id: String, text: String): DataFrame = {
-    val tf = termFrequencies(pool, id, text)
+    // terms ride as 64-bit xxhash64 keys (round 14, the q107 rule):
+    // they only MERGE count/join keys — the oracle replays the strings
+    // — so the corpus-scale (doc, term) stream aggregates and joins on
+    // 8-byte longs instead of term strings
+    val th = (c: Column) => xxhash64(c).as("term")
+    val tf = termStream(pool, id, text)
+      .select(col("id"), th(col("term")))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val tc = termStream(target, id, text)
-      .groupBy("term").agg(count(lit(1)).as("tc"))
+      .groupBy(th(col("term"))).agg(count(lit(1)).as("tc"))
       .localCheckpoint(eager = true) // feeds the join + its totals
     val rc = termStream(reference, id, text)
-      .groupBy("term").agg(count(lit(1)).as("rc"))
+      .groupBy(th(col("term"))).agg(count(lit(1)).as("rc"))
       .localCheckpoint(eager = true)
     val tTot = tc.agg(sum(col("tc")).as("tt"), count(lit(1)).as("tv"))
     val rTot = rc.agg(sum(col("rc")).as("rt"), count(lit(1)).as("rv"))
@@ -1689,23 +1711,25 @@ object TextAnalysis {
     * .wordNgrams]] — a lambda over a computed token array re-splits
     * the text once PER GRAM, the q127/q131 trap) collapses immediately
     * into the per-(doc, bigram) frequency table, and from round 13
-    * that stream carries 60-bit md5 key hashes, never strings — at
-    * sf100 the string-keyed stream checkpointed ~10 GB and re-read it
+    * that stream carries 64-bit key hashes (xxhash64 since round 14;
+    * 60-bit md5-hex before), never strings — at sf100 the
+    * string-keyed stream checkpointed ~10 GB and re-read it
     * through TWO corpus-scale joins (16.8× sf10→sf100, measured). The
     * bigram-count and context-count tables fold into ONE
     * vocabulary-scale side table (bgh → cb, cu, V) so the big stream
     * is joined exactly once, on an 8-byte key; V rides in as a
     * broadcast one-row aggregate. Same candidate-stream discipline as
     * [[unigramSurprisal]] (SCALE.md): nothing per-token-occurrence
-    * ever shuffles. 60-bit hashes follow the q16 rule: replayable
-    * verbatim in SQL, collisions ~1e-8 and identical in both engines —
-    * and here they only MERGE join keys, so the oracle replays the
-    * STRINGS and still matches (a collision would need two distinct
-    * bigrams sharing a 60-bit digest corpus-wide).
+    * ever shuffles. The hashes only MERGE join keys, so the oracle
+    * replays the STRINGS and still matches (a collision would need
+    * two distinct bigrams sharing a 64-bit digest corpus-wide).
     */
   def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val h60 = (c: Column) =>
-      conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    // 64-bit xxhash64 keys (round 14; was a 60-bit md5-hex chain): the
+    // hashes only MERGE join keys — the oracle replays the strings —
+    // and the md5 form paid a hex alloc + base-16 parse per bigram
+    // OCCURRENCE, twice (w1h + bgh): pure map-side CPU at 100 TB
+    val h60 = (c: Column) => xxhash64(c)
     val bigrams = df.filter(col(text).isNotNull)
       .select(col(id).as("id"),
         explode(graft.functions.Strings.wordNgrams(lower(col(text)), 2,
@@ -1760,7 +1784,7 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = filter(split(lower(col(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
     val tokHash = (t: Column) =>
-      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast(LongType), lit(FpMod))
+      pmod(graft.functions.Strings.md5SliceLong(t, 1, 8), lit(FpMod))
     val fp = aggregate(
       toks,
       lit(0L),

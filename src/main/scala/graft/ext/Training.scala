@@ -254,8 +254,8 @@ object Training {
     * verbatim in any SQL engine. */
   def foldColumn(id: org.apache.spark.sql.Column, k: Int,
                  salt: String = "cv"): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))),
-      1, 15), 16, 10).cast("long"), lit(k.toLong))
+    pmod(graft.functions.Strings.md5SliceLong(
+      concat(lit(s"$salt:"), id.cast("string")), 1, 15), lit(k.toLong))
 
   /** Seeded k-fold cross-validation of [[trainLogReg]]: train on the
     * k−1 complement of each fold, return the k models for the caller

@@ -304,8 +304,79 @@ final case class TokenStats(child: Expression, stopwords: Seq[String])
     copy(child = newChild)
 }
 
+/** Shared per-thread MD5 instance for [[Md5SliceLong]] — `getInstance`
+  * per row is what Spark's own `md5()` pays via commons-codec; the
+  * ThreadLocal amortizes it across a task's rows. */
+private[functions] object Md5Loops {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The long value of hex digits [startDigit, startDigit+nDigits) of
+    * md5(s), 1-based — bit-identical to
+    * `conv(substring(md5(s), startDigit, nDigits), 16, 10)` without
+    * materializing the 32-char hex string or re-parsing it. */
+  def sliceLong(s: UTF8String, startDigit: Int, nDigits: Int): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = startDigit - 1
+    val end = i + nDigits
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}
+
+/** `conv(substring(md5(s), start, n), 16, 10)` as ONE expression on the
+  * digest bytes (codegen'd): the md5-prefix derivation every
+  * replayable hash family here uses (minhash base hash, simhash bit
+  * source, deterministic draws) paid a 32-char hex UTF8String
+  * allocation plus a base-16 string parse per ROW on top of the digest
+  * itself; this computes the identical long straight from the digest
+  * nibbles. Values are pinned bit-identical to the chain it replaces
+  * (StringsSpec), so every md5-replaying SQL oracle still matches.
+  * `nDigits` ≤ 15 keeps the value inside a non-negative long (16
+  * digits could set the sign bit — and the conv-chain it mirrors
+  * parses 16 digits as an UNSIGNED string, so the two would diverge). */
+final case class Md5SliceLong(child: Expression, startDigit: Int,
+                              nDigits: Int)
+    extends UnaryExpression {
+  require(startDigit >= 1 && nDigits >= 1 && startDigit + nDigits <= 33,
+    s"md5_slice_long: digits [$startDigit, ${startDigit + nDigits}) out of 1..32")
+  require(nDigits <= 15, "md5_slice_long: nDigits must be <= 15 (sign bit)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_slice_long requires a string argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_slice_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Loops.sliceLong(input.asInstanceOf[UTF8String], startDigit, nDigits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Loops$$.MODULE$$.sliceLong(" +
+        s"$c, $startDigit, $nDigits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SliceLong =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the string expressions. */
 object Strings {
+  /** Long value of md5 hex digits [start, start+n), 1-based —
+    * bit-identical to `conv(substring(md5(c), start, n), 16, 10)
+    * .cast("long")` (codegen'd, no hex round-trip). */
+  def md5SliceLong(c: Column, start: Int, n: Int): Column =
+    Bridge.column(Md5SliceLong(Bridge.expression(c), start, n))
   /** Unicode NFC canonicalization of a string column (codegen'd). */
   def nfc(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
