@@ -891,16 +891,16 @@ object Dedup {
     * width would silently skip positions). */
   private def lshCandidateInput(sigsRaw: DataFrame, bands: Int): DataFrame = {
     val sigs = sigsRaw.filter(col("sig").isNotNull)
-    val widthOk = assert_true(size(col("sig")) % bands === 0,
-      lit(s"bands ($bands) must divide the signature length"))
-    val r = size(col("sig")).cast(LongType) / bands
     val extra = sigs.columns.filter(c => c != "id" && c != "sig").map(col)
+    // one codegen'd pass per signature (round 14): the
+    // sequence/slice/cast/array_join chain evaluated interpreted —
+    // bands slice allocs + numHashes long→string casts per DOCUMENT —
+    // and the bucket strings are byte-identical (verbatim band values,
+    // the oracle-replayed keys); the divides check throws inside the
+    // expression, same fail-loud contract as the old assert_true
     sigs.select(Seq(col("id")) ++ extra :+
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => array_join(
-            transform(slice(when(widthOk.isNull, col("sig")),
-                (b * r + 1).cast("int"), r.cast("int")),
-              x => x.cast("string")), ","))): _*)
+        posexplode(graft.functions.Arrays.bandedBucketStrings(
+          col("sig"), bands)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -162,6 +162,74 @@ final case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH band-bucket strings of a signature in ONE pass: for band b
+  * of `bands`, the comma-joined decimal rendering of signature
+  * positions [b·r, (b+1)·r) with r = len/bands — byte-identical to the
+  * `transform(sequence(...), b -> array_join(transform(slice(sig,
+  * b·r+1, r), x -> cast(x as string)), ","))` chain it replaces
+  * (verbatim band VALUES are the oracle-replayed bucket keys, so the
+  * string format is the contract). The chain evaluated interpreted:
+  * per document, bands slice allocations + len long→string casts +
+  * bands array_joins, each through a lambda frame. Here: one loop,
+  * one builder. Throws when `bands` does not divide the length (a
+  * fractional band width would silently skip positions — same
+  * fail-loud contract as the chain's assert_true). Null elements are
+  * rejected (signatures are non-null by construction; array_join
+  * would SKIP them silently). */
+final case class BandedBucketStrings(child: Expression, bands: Int)
+    extends UnaryExpression {
+  require(bands >= 1, "banded_bucket_strings: bands must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayExpressions.requireLongArrays(prettyName, child)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "banded_bucket_strings"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    if (n % bands != 0) {
+      throw new IllegalArgumentException(
+        s"bands ($bands) must divide the signature length")
+    }
+    val r = n / bands
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](bands)
+    val sb = new java.lang.StringBuilder(r * 12)
+    var b = 0
+    var i = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var j = 0
+      while (j < r) {
+        if (sig.isNullAt(i)) {
+          throw new IllegalArgumentException(
+            "banded_bucket_strings: null signature element")
+        }
+        if (j > 0) sb.append(',')
+        sb.append(sig.getLong(i))
+        j += 1; i += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("self", this,
+        classOf[BandedBucketStrings].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BandedBucketStrings =
+    copy(child = newChild)
+}
+
 private[functions] object ArrayExpressions {
   def requireLongArrays(fn: String, exprs: Expression*): TypeCheckResult = {
     val bad = exprs.filterNot(_.dataType match {
@@ -187,4 +255,10 @@ object Arrays {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountExpr(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** The `bands` comma-joined band-value strings of an `array<bigint>`
+    * signature (codegen'd single pass; throws when bands does not
+    * divide the length). */
+  def bandedBucketStrings(sig: Column, bands: Int): Column =
+    Bridge.column(BandedBucketStrings(Bridge.expression(sig), bands))
 }

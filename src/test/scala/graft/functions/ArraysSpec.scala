@@ -69,6 +69,36 @@ class ArraysSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not ascending-sorted")))
   }
 
+  test("banded_bucket_strings equals the sequence/slice/cast/array_join chain") {
+    val df = Seq(
+      (1L, Array(11L, -2L, 3L, 40L, 5L, 6L, 70L, 8L)),
+      (2L, Array(0L, 0L, 0L, 0L, Long.MaxValue, Long.MinValue, 1L, -1L)),
+      (3L, (1L to 64L).toArray)
+    ).toDF("id", "sig")
+    for (bands <- Seq(1, 2, 4, 8)) {
+      val r = size(col("sig")).cast("long") / bands
+      val chain = transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(
+          transform(slice(col("sig"), (b * r + 1).cast("int"), r.cast("int")),
+            x => x.cast("string")), ","))
+      val rows = df.select(col("id"),
+        Arrays.bandedBucketStrings(col("sig"), bands).as("fast"),
+        chain.as("ref")).collect()
+      rows.foreach(r2 => assert(
+        r2.getSeq[String](1) === r2.getSeq[String](2),
+        s"bands=$bands id=${r2.getLong(0)}"))
+    }
+    // non-dividing bands throws (the assert_true contract)
+    val e = intercept[Exception] {
+      Seq((1L, Array(1L, 2L, 3L))).toDF("id", "sig")
+        .select(Arrays.bandedBucketStrings(col("sig"), 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must divide the signature length")))
+  }
+
   test("both survive interpreted (non-codegen) evaluation equally") {
     // force the interpreted path via a config-off session clone
     val s2 = spark.newSession()
