@@ -95,12 +95,17 @@ object SparkEntry {
   private val Planted148 = Seq("spark join", "data table", "big data",
     "fast scan", "hash join", "stream batch", "key value", "slow query")
 
+  /** The q148/q170 truth label as a bare column, so single-pass
+    * consumers (score + label in ONE projection, round 14) and the
+    * training-input frame below can never drift apart. */
+  private def lr148LabelCol: org.apache.spark.sql.Column =
+    arrays_overlap(
+      graft.functions.Strings.wordNgrams(lower(col("text")), 2,
+        wholeTextFallback = false),
+      array(Planted148.map(lit): _*)).cast("int")
+
   private def lr148TruthDF(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      arrays_overlap(
-        graft.functions.Strings.wordNgrams(lower(col("text")), 2,
-          wholeTextFallback = false),
-        array(Planted148.map(lit): _*)).cast("int").as("label"))
+    docs.select(col("doc_id"), lr148LabelCol.as("label"))
 
   /** The q148 trained model, memoized per data dir so q170's
     * calibration audit scores with the SAME weights q148 captured. */
@@ -863,11 +868,19 @@ object SparkEntry {
     "q39_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val surviving = graft.ext.Dedup.exactDedup(docs, "doc_id", "text")
-      val quality = graft.ext.TextAnalysis
-        .qualityScore(surviving, "doc_id", "text")
+      // Round 14: the quality gate rides the survivor projection
+      // (keepCols) instead of a SECOND evaluation of the dedup lineage
+      // plus a corpus-wide doc_id semi-join (4 scans + 3 joins → 2
+      // scans + exactDedup's designed digest semi-join only). Same
+      // rows: the removed join was 1:1 on unique doc_id and the gate
+      // is per-row deterministic. The fence keeps PushDownPredicates
+      // from inlining the token_stats chain 4x into the Filter
+      // condition (measured in the un-fenced plan; FilterExec does no
+      // subexpression elimination — the q151 lesson).
+      graft.ext.TextAnalysis.optimizerFence(
+          graft.ext.TextAnalysis.qualityScore(surviving, "doc_id", "text",
+            keepCols = Seq("lang", "n_chars")))
         .filter(col("quality_score") >= 0.55)
-        .select("doc_id")
-      surviving.join(quality, Seq("doc_id"), "left_semi")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 4).as("avg_chars"))
@@ -1669,15 +1682,26 @@ object SparkEntry {
     // manifest a training run consumes.
     "q103_curation" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val keep = graft.ext.TextAnalysis.qualityRules(docs, "doc_id", "text",
-          minTokens = 10L, maxTokens = 500L, minAvgTokenLen = 2.0,
-          maxAvgTokenLen = 10.0, maxPunctRatio = 0.05)
-        .filter(col("keep")).select("doc_id")
+      // Round 14: q151's audited capstone shape — the gates ride the
+      // fenced flag projection (keepCols) and the survivor's stats ride
+      // the digest agg as plain mins (n_chars = length(text) is digest-
+      // determined by the generator at every SF; min(doc_id) IS the
+      // survivor rule), so the whole pipeline is ONE scan, two narrow
+      // shuffles, ZERO joins — was 4 scans + 3 doc_id joins. Row set
+      // unchanged: gate-then-dedup ≡ the old semi-join-then-dedup (the
+      // joins were 1:1 on unique doc_id).
       // shard keys must exist: null-id docs are assigned ids upstream
       // in a real ingest; here they are gated out explicitly
-      val gated = docs.filter(col("doc_id").isNotNull)
-        .join(keep, Seq("doc_id"), "left_semi")
-      val surv = graft.ext.Dedup.exactDedup(gated, "doc_id", "text")
+      val flagged = graft.ext.TextAnalysis.qualityRules(
+          docs.filter(col("doc_id").isNotNull), "doc_id", "text",
+          minTokens = 10L, maxTokens = 500L, minAvgTokenLen = 2.0,
+          maxAvgTokenLen = 10.0, maxPunctRatio = 0.05,
+          keepCols = Seq("text", "n_chars"))
+        .filter(col("keep"))
+      val surv = flagged
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_chars")).as("n_chars"))
       graft.ext.Sampling.shuffleShards(surv, "doc_id", nShards = 4)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_chars"))
@@ -1881,25 +1905,29 @@ object SparkEntry {
     // flip a count — the rounded-ranking-key rule).
     "q140_classifier_sweep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val scored = graft.ext.TextAnalysis.classifierScores(
-          docs.filter(col("text").isNotNull), "doc_id", "text",
-          weights = graft.functions.HashedNgramScorer.md5Weights(256),
-          bias = -0.05)
-        .select(col("doc_id"),
-          graft.functions.Rounding.reprRound6(col("score")).as("score"))
+      // Round 14: score and truth are BOTH per-row maps of the same
+      // scan, so the snapped score rides qualityRules' fenced flag
+      // projection (keepCols) instead of a corpus-wide doc_id
+      // self-join — ONE scan, zero doc-keyed joins; the fence keeps
+      // the sweep's null filter from re-inlining the classifier dot
+      // product. Row set and every swept value unchanged (the old
+      // inner join was 1:1 on unique doc_id).
+      val scored = docs.filter(col("text").isNotNull)
+        .withColumn("score", graft.functions.Rounding.reprRound6(
+          graft.functions.Classifier.hashedNgramScore(lower(col("text")),
+            graft.functions.HashedNgramScorer.md5Weights(256), -0.05)))
       // maxTokens=60 (NOT q70's 500): at the oracle SFs the corpus is
       // 10-99 tokens/doc, so the 500 cap labels EVERYTHING keep and the
       // sweep's fp/tn columns never exercise — a truth that splits is
       // the point of the report.
-      val truth = graft.ext.TextAnalysis.qualityRules(
-          docs.filter(col("text").isNotNull), "doc_id", "text",
+      val flags = graft.ext.TextAnalysis.qualityRules(
+          scored, "doc_id", "text",
           minTokens = 10L, maxTokens = 60L,
           minAvgTokenLen = 2.0, maxAvgTokenLen = 10.0,
-          maxPunctRatio = 0.05)
-        .select(col("doc_id"), col("keep").as("label"))
+          maxPunctRatio = 0.05, keepCols = Seq("score"))
       graft.ext.TextAnalysis.thresholdSweep(
-          scored.join(truth, Seq("doc_id")), "score", "label",
-          Seq(-0.1, -0.075, -0.05, -0.025, 0.0, 0.025))
+          flags.select(col("score"), col("keep").as("label")),
+          "score", "label", Seq(-0.1, -0.075, -0.05, -0.025, 0.0, 0.025))
         .orderBy("threshold")
     }),
 
@@ -2049,12 +2077,15 @@ object SparkEntry {
       val truth = lr148TruthDF(docs)
       val model = lr148Model(dir, docs, truth)
       trainedLr148 = Some((model.weights, model.bias))
-      graft.ext.TextAnalysis.classifierScores(docs, "doc_id", "text",
-          model.weights, model.bias)
-        .join(truth, Seq("doc_id"))
-        .select(col("doc_id"), col("label"),
-          graft.functions.Rounding.reprRound6(col("score")).as("score"),
-          col("keep").as("pred"))
+      // Round 14: label, score and pred ride ONE map projection (the
+      // q173 convention) instead of re-scanning for the truth frame
+      // and joining on doc_id (1:1 — doc_id unique). The raw score
+      // CSEs into a single evaluation; every value is unchanged.
+      val raw = graft.functions.Classifier.hashedNgramScore(
+        lower(col("text")), model.weights, model.bias)
+      docs.select(col("doc_id"), lr148LabelCol.as("label"),
+        graft.functions.Rounding.reprRound6(raw).as("score"),
+        (raw > 0).cast("int").as("pred"))
     }),
 
     // --- MP4/ISO-BMFF box walk: documents become spec-correct MP4s
@@ -2505,11 +2536,16 @@ object SparkEntry {
       val truth = lr148TruthDF(docs)
       val model = lr148Model(dir, docs, truth)
       calibLr170 = Some((model.weights, model.bias))
-      val scored = graft.ext.TextAnalysis.classifierScores(
-          docs, "doc_id", "text", model.weights, model.bias)
-        .select(col("doc_id"),
-          graft.functions.Rounding.reprRound6(col("score")).as("score"))
-        .join(truth, Seq("doc_id"))
+      // Round 14: single-pass — score and label ride one projection
+      // (the q173 convention) instead of a second scan joined on
+      // doc_id (1:1 — doc_id unique). The optimizer fence keeps
+      // calibrationBins' null filter from re-inlining the classifier
+      // dot product and the n-gram overlap. Values unchanged.
+      val scored = graft.ext.TextAnalysis.optimizerFence(docs.select(
+        graft.functions.Rounding.reprRound6(
+          graft.functions.Classifier.hashedNgramScore(lower(col("text")),
+            model.weights, model.bias)).as("score"),
+        lr148LabelCol.as("label")))
       graft.profile.Profiler.calibrationBins(scored, "score", "label",
         lo = -1.0, hi = 1.0, nBins = 20)
     }),

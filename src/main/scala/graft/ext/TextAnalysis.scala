@@ -49,11 +49,15 @@ object TextAnalysis {
     *  - avg_token_len: chars-in-tokens / tokens
     * score = 0.4·length + 0.3·(1−min(punct·5,1)) + 0.3·min(stop·4,1)
     */
-  def qualityScore(df: DataFrame, id: String, text: String): DataFrame = {
+  def qualityScore(df: DataFrame, id: String, text: String,
+                   keepCols: Seq[String] = Nil): DataFrame = {
     // one native pass (TokenStats) instead of three interpreted HOF
     // passes that each re-split the text; byte-identical counts, so
     // every oracle replay is unchanged. Repeated getFields CSE into
-    // one evaluation inside the projection's codegen.
+    // one evaluation inside the projection's codegen. keepCols ride
+    // the same projection (the qualityRules convention, round 14): a
+    // caller gating on the score must not have to self-join it back
+    // onto the corpus lineage.
     val st = graft.functions.Strings.tokenStats(lower(col(text)), Stopwords)
     val nToks = st.getField("n_tokens").cast(DoubleType)
     val nChars = length(col(text)).cast(DoubleType)
@@ -62,11 +66,11 @@ object TextAnalysis {
     val nStop = st.getField("n_stop").cast(DoubleType)
     val tokChars = st.getField("tok_chars").cast(DoubleType)
     df.select(
-        col(id),
-        nToks.as("n_tokens"),
-        when(nChars > 0, punct / nChars).otherwise(0.0).as("punct_ratio"),
-        when(nToks > 0, nStop / nToks).otherwise(0.0).as("stopword_ratio"),
-        when(nToks > 0, tokChars / nToks).otherwise(0.0).as("avg_token_len"))
+        (col(id) +: keepCols.map(col)) :+
+        nToks.as("n_tokens") :+
+        when(nChars > 0, punct / nChars).otherwise(0.0).as("punct_ratio") :+
+        when(nToks > 0, nStop / nToks).otherwise(0.0).as("stopword_ratio") :+
+        when(nToks > 0, tokChars / nToks).otherwise(0.0).as("avg_token_len"): _*)
       .withColumn("quality_score",
         lit(0.4) * least(col("n_tokens"), lit(100.0)) / 100.0 +
           lit(0.3) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) +
@@ -608,7 +612,7 @@ object TextAnalysis {
     *    the loop; fence once outside, or pin the loop state via
     *    PinnedLoop (which cuts lineage and with it the fence node).
     */
-  private def optimizerFence(df: DataFrame): DataFrame =
+  private[graft] def optimizerFence(df: DataFrame): DataFrame =
     df.observe(s"__graft_fence_${fenceId.incrementAndGet()}",
       count(lit(1)).as("rows"))
 
